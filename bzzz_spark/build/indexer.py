@@ -1,0 +1,254 @@
+"""SPIMI-style inverted-index build over transcript tables.
+
+Reference behavior being rebuilt (NOT ported): bzzz's store path opens a
+Lucene IndexWriter per request, routes each document to an internal
+shard by hash, analyzes fields and commits in two phases
+(reference: src/bzzz/index_store.clj:95-157, index_directory.clj:210-240).
+The Spark-first rebuild is a declarative pipeline:
+
+  transcripts (conv_id, turn_idx, role, text, tool, ts)
+    │  dedup upserts: latest ts per (conv_id, turn_idx)         [S3]
+    ▼
+  docs  docid = dense rank over (conv_id, turn_idx)  — two-pass range
+        partition + offsets, no global window (build/ids.py)
+        + tokens (JVM-regex analyzer) + dl
+    │  explode → map-side partial agg (SPIMI local combining)
+    ▼
+  tf    (term, docid, dl, tf)           term-partitioned shuffle
+    ▼
+  dictionary (term, term_id, df, cf)    + stats (N, avgdl)
+    │  join df back (AQE skew-join splits the head-term side)
+    ▼
+  posting rows (term_id, segment, docid, tf, dl, df)
+    │  segment = docid // segment_size — the skew salt: a head term's
+    │  postings split across ALL segments, so no single task ever holds
+    │  more than segment_size postings of one term.  Segments double as
+    │  the query-time unit of parallelism (Lucene leaf ≙ segment).
+    ▼
+  postings blocks — delta-gap + varint, ≤ block_size postings/block,
+        per-block max_tf / max BM25 score (block-max WAND metadata)
+
+Every stage is a DataFrame op; Python appears only in the Arrow-batched
+block encoder (numpy codec, no per-row Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bzzz_spark import BM25_B, BM25_K1
+from bzzz_spark.analysis.tokenizer import standard_tokenize
+from bzzz_spark.build.codec import encode_varints
+from bzzz_spark.build.ids import assign_sequential_ids
+from bzzz_spark.query.scoring import score_np
+
+POSTINGS_SCHEMA = (
+    "term_id long, segment int, block_id int, first_docid long, count int, "
+    "doc_gaps binary, tfs binary, block_max_tf int, block_max_score double"
+)
+
+
+@dataclass
+class IndexConfig:
+    k1: float = BM25_K1
+    b: float = BM25_B
+    block_size: int = 128
+    segment_size: int = 1 << 16
+    num_partitions: int | None = None
+    store_text: bool = True
+
+    def to_dict(self) -> dict:
+        return {
+            "k1": self.k1, "b": self.b, "block_size": self.block_size,
+            "segment_size": self.segment_size, "store_text": self.store_text,
+        }
+
+
+@dataclass
+class BzzzIndex:
+    docs: DataFrame
+    dictionary: DataFrame
+    postings: DataFrame
+    stats: DataFrame  # single row: n_docs, avgdl
+    config: IndexConfig = field(default_factory=IndexConfig)
+
+    def scalar_stats(self) -> tuple[int, float]:
+        row = self.stats.collect()[0]
+        return int(row["n_docs"]), float(row["avgdl"])
+
+
+def dedup_upserts(transcripts: DataFrame) -> DataFrame:
+    """Keep the latest row per (conv_id, turn_idx).
+
+    Reference semantics: updateDocument(Term("id", ...)) delete-then-add
+    (reference: src/bzzz/index_store.clj:109-113).  The window hashes by
+    the doc key, so it scales (no global sort).
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").desc())
+    return (
+        transcripts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def build_docs(transcripts: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """docs table: dense docid over (conv_id, turn_idx), tokens, dl."""
+    deduped = dedup_upserts(transcripts)
+    with_ids = assign_sequential_ids(
+        deduped, ["conv_id", "turn_idx"], "docid", cfg.num_partitions
+    )
+    docs = with_ids.withColumn("tokens", standard_tokenize(F.col("text"))).withColumn(
+        "dl", F.size("tokens")
+    )
+    cols = ["docid", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "tokens"]
+    if cfg.store_text:
+        cols.insert(6, "text")
+    return docs.select(*cols)
+
+
+def build_tf(docs: DataFrame) -> DataFrame:
+    """(term, docid, dl, tf) — Spark's partial hash-agg before the shuffle
+    IS the SPIMI local combining step."""
+    return (
+        docs.select("docid", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "docid", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_dictionary(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    return assign_sequential_ids(agg, ["term"], "term_id", cfg.num_partitions)
+
+
+def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
+    """Arrow-streaming block encoder.
+
+    Input partitions are hash-partitioned by (term_id, segment) and
+    sorted by (term_id, segment, docid).  Arrow may split a group across
+    record batches, so the encoder carries the trailing (possibly
+    incomplete) group to the next batch — blocks always reach
+    block_size regardless of Arrow batch boundaries, keeping output
+    bytes deterministic.
+    """
+    block_size = cfg.block_size
+    k1, b = cfg.k1, cfg.b
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["term_id"].to_numpy()
+        s = pdf["segment"].to_numpy()
+        d = pdf["docid"].to_numpy()
+        tf = pdf["tf"].to_numpy()
+        dl = pdf["dl"].to_numpy()
+        dfreq = pdf["df"].to_numpy()
+        change = np.flatnonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        out: dict[str, list] = {k: [] for k in (
+            "term_id", "segment", "block_id", "first_docid", "count",
+            "doc_gaps", "tfs", "block_max_tf", "block_max_score",
+        )}
+        for st, en in zip(starts, ends):
+            n = en - st
+            df_term = float(dfreq[st])
+            for bi, off in enumerate(range(0, n, block_size)):
+                lo, hi = st + off, st + min(off + block_size, n)
+                bd, btf, bdl = d[lo:hi], tf[lo:hi], dl[lo:hi]
+                scores = score_np(btf, bdl, df_term, n_docs, avgdl, k1, b)
+                out["term_id"].append(int(t[st]))
+                out["segment"].append(int(s[st]))
+                out["block_id"].append(bi)
+                out["first_docid"].append(int(bd[0]))
+                out["count"].append(int(bd.size))
+                out["doc_gaps"].append(encode_varints(np.diff(bd)))
+                out["tfs"].append(encode_varints(btf.astype(np.int64) - 1))
+                out["block_max_tf"].append(int(btf.max()))
+                out["block_max_score"].append(float(scores.max()))
+        return pd.DataFrame(out)
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            t = pdf["term_id"].to_numpy()
+            s = pdf["segment"].to_numpy()
+            # the trailing group may continue in the next batch — hold it
+            last_mask = (t == t[-1]) & (s == s[-1])
+            split = len(pdf) - int(last_mask.sum())
+            carry = pdf.iloc[split:].reset_index(drop=True)
+            done = pdf.iloc[:split]
+            if len(done):
+                yield encode_groups(done)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return encode
+
+
+def build_posting_rows(
+    tf: DataFrame, dictionary: DataFrame, cfg: IndexConfig
+) -> DataFrame:
+    """(term_id, segment, docid, tf, dl, df) — segment is the skew salt."""
+    return (
+        tf.join(dictionary.select("term", "term_id", "df"), "term")
+        .withColumn(
+            "segment", (F.col("docid") / F.lit(cfg.segment_size)).cast("int")
+        )
+        .select("term_id", "segment", "docid", "tf", "dl", "df")
+    )
+
+
+def encode_postings(
+    posting_rows: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig
+) -> DataFrame:
+    spark = posting_rows.sparkSession
+    n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
+    arranged = posting_rows.repartition(
+        n_part, "term_id", "segment"
+    ).sortWithinPartitions("term_id", "segment", "docid")
+    return arranged.mapInPandas(
+        _make_block_encoder(n_docs, avgdl, cfg), schema=POSTINGS_SCHEMA
+    )
+
+
+def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzIndex:
+    """In-memory (unmaterialized) index build — tests and small corpora.
+
+    For the checkpointed, resumable on-disk build use
+    :func:`bzzz_spark.build.checkpoint.build_and_write`.
+    """
+    cfg = cfg or IndexConfig()
+    docs = build_docs(transcripts, cfg)
+    docs.cache()
+    stats_row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
+    tf = build_tf(docs)
+    dictionary = build_dictionary(tf, cfg)
+    dictionary.cache()
+    posting_rows = build_posting_rows(tf, dictionary, cfg)
+    postings = encode_postings(posting_rows, n_docs, avgdl, cfg)
+    stats = docs.sparkSession.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    )
+    return BzzzIndex(
+        docs=docs.drop("tokens"),
+        dictionary=dictionary,
+        postings=postings,
+        stats=stats,
+        config=cfg,
+    )

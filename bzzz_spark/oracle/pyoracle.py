@@ -1,0 +1,174 @@
+"""Pure-Python reference engine — the rank oracle.
+
+≤200 LoC, zero Spark: tokenize → in-memory postings → BM25 → top-k.
+Interprets the same AST as the Spark executor; pytest asserts the two
+produce rank-identical docids and scores (SURVEY.md §5 "adopted for our
+engine": exact-value assertions in the reference's test style, e.g.
+test/bzzz/core_test.clj:578-599 asserts exact float scores).
+
+Scoring semantics are pinned in bzzz_spark.query.ast; BM25 math comes
+from bzzz_spark.query.scoring (the single source of truth).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from collections import Counter, defaultdict
+
+from bzzz_spark.analysis.tokenizer import py_tokenize
+from bzzz_spark.query import ast
+from bzzz_spark.query.scoring import idf
+from bzzz_spark import BM25_B, BM25_K1
+
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class PyIndex:
+    def __init__(self, rows: list[dict]):
+        """rows: dicts with conv_id, turn_idx, role, text, tool, ts."""
+        latest: dict[tuple, dict] = {}
+        for r in rows:  # upsert: latest ts wins (index_store.clj:109-113)
+            key = (r["conv_id"], r["turn_idx"])
+            if key not in latest or r["ts"] >= latest[key]["ts"]:
+                latest[key] = r
+        ordered = sorted(latest.values(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+        self.docs: list[dict] = []
+        self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        for docid, r in enumerate(ordered):
+            toks = py_tokenize(r["text"])
+            doc = dict(r)
+            doc["docid"] = docid
+            doc["dl"] = len(toks)
+            self.docs.append(doc)
+            for term, tf in Counter(toks).items():
+                self.postings[term][docid] = tf
+        self.n_docs = len(self.docs)
+        self.avgdl = (
+            sum(d["dl"] for d in self.docs) / self.n_docs if self.n_docs else 0.0
+        )
+
+    # ---------------------------------------------------------------- scoring
+
+    def _bm25(self, term: str) -> dict[int, float]:
+        plist = self.postings.get(term, {})
+        if not plist:
+            return {}
+        w = idf(self.n_docs, len(plist))
+        out = {}
+        for docid, tf in plist.items():
+            dl = self.docs[docid]["dl"]
+            out[docid] = w * (
+                tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+            )
+        return out
+
+    def execute(self, node: ast.Query, custom_fns: dict | None = None) -> dict[int, float]:
+        """AST → {docid: score}."""
+        ex = lambda n: self.execute(n, custom_fns)  # noqa: E731
+        if isinstance(node, ast.Term):
+            return {d: s * node.boost for d, s in self._bm25(node.value).items()}
+        if isinstance(node, ast.MatchAll):
+            return {d["docid"]: node.boost for d in self.docs}
+        if isinstance(node, ast.Range):
+            out = {}
+            for d in self.docs:
+                v = d.get(node.field_name)
+                if v is None:
+                    continue
+                ok = True
+                if node.min is not None:
+                    ok = v >= node.min if node.min_inclusive else v > node.min
+                if ok and node.max is not None:
+                    ok = v <= node.max if node.max_inclusive else v < node.max
+                if ok:
+                    out[d["docid"]] = node.boost
+            return out
+        if isinstance(node, ast.Bool):
+            musts = [ex(q) for q in node.must]
+            shoulds = [ex(q) for q in node.should]
+            nots = [ex(q) for q in node.must_not]
+            msm = node.effective_msm()
+            if musts:
+                cand = set(musts[0])
+                for m in musts[1:]:
+                    cand &= set(m)
+            elif shoulds:
+                cand = set().union(*[set(s) for s in shoulds])
+            else:
+                cand = set()  # only must_not matches nothing (Lucene semantics)
+            for nt in nots:
+                cand -= set(nt)
+            out = {}
+            for docid in cand:
+                sh_hits = [s[docid] for s in shoulds if docid in s]
+                if len(sh_hits) < msm:
+                    continue
+                out[docid] = (sum(m[docid] for m in musts) + sum(sh_hits)) * node.boost
+            return out
+        if isinstance(node, ast.Filtered):
+            q, f = ex(node.query), ex(node.filter)
+            return {d: s * node.boost for d, s in q.items() if d in f}
+        if isinstance(node, ast.ConstantScore):
+            return {d: node.boost for d in ex(node.query)}
+        if isinstance(node, ast.DisMax):
+            subs = [ex(q) for q in node.queries]
+            all_docs = set().union(*[set(s) for s in subs]) if subs else set()
+            out = {}
+            for docid in all_docs:
+                scores = [s[docid] for s in subs if docid in s]
+                mx = max(scores)
+                out[docid] = (mx + node.tie_breaker * (sum(scores) - mx)) * node.boost
+            return out
+        if isinstance(node, ast.Wildcard):
+            terms = fnmatch.filter(self.postings.keys(), node.value)
+            docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
+            return {d: node.boost for d in docs}
+        if isinstance(node, ast.Fuzzy):
+            terms = [
+                t
+                for t in self.postings
+                if t.startswith(node.value[: node.prefix_len])
+                and levenshtein(t, node.value) <= node.max_edits
+            ]
+            docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
+            return {d: node.boost for d in docs}
+        if isinstance(node, ast.NoZeroScore):
+            return {d: s for d, s in ex(node.query).items() if s != 0.0}
+        if isinstance(node, ast.RandomScore):
+            return {
+                d: node.base + ast.rand_score(d, node.seed) for d in ex(node.query)
+            }
+        if isinstance(node, ast.CustomScore):
+            base = ex(node.query)
+            fn = (custom_fns or {})[node.expression]
+            out = {}
+            for d, s in base.items():
+                v = fn(self.docs[d], s)
+                out[d] = (v if node.replace else s * v) * node.boost
+            return out
+        raise ValueError(f"oracle cannot execute {type(node).__name__}")
+
+    def search(
+        self,
+        node: ast.Query,
+        size: int = 20,
+        page: int = 0,
+        custom_fns: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k with the reference's paging: PQ of page*size+size, return
+        rows [page*size, page*size+size) (index_search.clj:272,306).
+        Deterministic tie-break (score desc, docid asc)."""
+        scored = self.execute(node, custom_fns)
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[page * size : page * size + size]

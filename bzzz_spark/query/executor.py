@@ -1,0 +1,339 @@
+"""Spark query executor: AST → DataFrame plan → top-k.
+
+The reference's query lifecycle (SURVEY.md §3.1) is: parse JSON → Lucene
+Query tree → per-segment doc-at-a-time scoring into a priority queue →
+k-way merge across shards.  The Spark translation:
+
+  parse JSON → AST (bzzz_spark.query.ast)
+  → driver-side dictionary lookup of the query's terms (+ wildcard /
+    fuzzy expansion against the dictionary — Lucene's rewrite())
+  → decode only those terms' posting blocks (Arrow kernel; parquet
+    row-group min/max stats on term_id prune the scan)
+  → BM25 scoring as a JVM Column expression
+  → AST combinators as joins / unions / groupBy over (docid, score)
+  → TakeOrderedAndProject for the top-k priority-queue merge —
+    exactly Lucene's PQ, distributed, with the deterministic
+    (score desc, docid asc) tie-break the north rule requires.
+
+Everything except block decoding is JVM-side.  For flat term /
+conjunctive queries, :mod:`bzzz_spark.query.wand` provides the
+block-max pruned fast path; this module is the exhaustive engine every
+operator lowers to and the cross-check for WAND.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bzzz_spark.build.codec import decode_block
+from bzzz_spark.build.indexer import BzzzIndex
+from bzzz_spark.oracle.pyoracle import levenshtein
+from bzzz_spark.query import ast
+from bzzz_spark.query.scoring import score_col
+
+
+def decode_postings(postings: DataFrame, term_ids: list[int]) -> DataFrame:
+    """Decode the blocks of the given terms → (term_id, docid, tf).
+
+    The isin filter reaches the parquet scan (row-group pruning via
+    min/max stats — postings are written sorted by term_id within
+    files).  Decoding loops over *blocks*, not postings: numpy does the
+    per-posting work.
+    """
+    sub = postings.filter(F.col("term_id").isin([int(t) for t in term_ids]))
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pieces = []
+            for row in pdf.itertuples(index=False):
+                d, tf = decode_block(row.first_docid, row.count, row.doc_gaps, row.tfs)
+                pieces.append(
+                    pd.DataFrame({"term_id": row.term_id, "docid": d, "tf": tf})
+                )
+            if pieces:
+                yield pd.concat(pieces, ignore_index=True)
+
+    return sub.mapInPandas(dec, "term_id long, docid long, tf long")
+
+
+class _Ctx:
+    """Per-search state: dictionary lookups, expansions, one shared decode."""
+
+    def __init__(self, index: BzzzIndex, node: ast.Query):
+        self.index = index
+        self.n_docs, self.avgdl = index.scalar_stats()
+
+        terms = set(ast.collect_terms(node))
+        # wildcard/fuzzy expansion — Lucene's multi-term rewrite, done
+        # driver-side against the (small) dictionary projection
+        self.expansions: dict[tuple, list[str]] = {}
+        patterns = _collect_multiterm(node)
+        if patterns:
+            vocab = [
+                r["term"] for r in index.dictionary.select("term").collect()
+            ]
+            for p in patterns:
+                if isinstance(p, ast.Wildcard):
+                    exp = fnmatch.filter(vocab, p.value)
+                else:  # Fuzzy
+                    exp = [
+                        t
+                        for t in vocab
+                        if t.startswith(p.value[: p.prefix_len])
+                        and levenshtein(t, p.value) <= p.max_edits
+                    ]
+                self.expansions[_mt_key(p)] = exp
+                terms.update(exp)
+
+        rows = (
+            index.dictionary.filter(F.col("term").isin(list(terms)))
+            .select("term", "term_id", "df")
+            .collect()
+            if terms
+            else []
+        )
+        self.term_meta = {r["term"]: (r["term_id"], r["df"]) for r in rows}
+        spark = index.docs.sparkSession
+        if self.term_meta:
+            meta_df = spark.createDataFrame(
+                [(t, tid, df) for t, (tid, df) in self.term_meta.items()],
+                "term string, term_id long, df long",
+            )
+            decoded = decode_postings(
+                index.postings, [tid for tid, _ in self.term_meta.values()]
+            )
+            self.scored = (
+                decoded.join(F.broadcast(meta_df), "term_id")
+                .join(index.docs.select("docid", "dl"), "docid")
+                .withColumn(
+                    "score",
+                    score_col(
+                        F.col("tf"), F.col("dl"), F.col("df"),
+                        float(self.n_docs), self.avgdl,
+                    ),
+                )
+                .select("term", "docid", "score")
+            )
+        else:
+            self.scored = spark.createDataFrame(
+                [], "term string, docid long, score double"
+            )
+
+    def empty(self) -> DataFrame:
+        return self.index.docs.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+
+
+def _mt_key(p) -> tuple:
+    if isinstance(p, ast.Wildcard):
+        return ("w", p.value)
+    return ("f", p.value, p.max_edits, p.prefix_len)
+
+
+def _collect_multiterm(node: ast.Query) -> list:
+    out = []
+
+    def walk(n):
+        if isinstance(n, (ast.Wildcard, ast.Fuzzy)):
+            out.append(n)
+        elif isinstance(n, ast.Bool):
+            for c in (*n.must, *n.must_not, *n.should):
+                walk(c)
+        elif isinstance(n, ast.Filtered):
+            walk(n.query), walk(n.filter)
+        elif isinstance(n, (ast.ConstantScore, ast.NoZeroScore, ast.RandomScore,
+                            ast.CustomScore)):
+            walk(n.query)
+        elif isinstance(n, ast.DisMax):
+            for c in n.queries:
+                walk(c)
+
+    walk(node)
+    return out
+
+
+def _tagged_union(dfs: list[DataFrame]) -> DataFrame:
+    parts = [d.withColumn("tag", F.lit(i)) for i, d in enumerate(dfs)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
+    """AST node → DataFrame(docid, score). Each node's output has unique
+    docids, which the Bool/DisMax count-based combinators rely on."""
+    docs = ctx.index.docs
+    if isinstance(node, ast.Term):
+        if node.value not in ctx.term_meta:
+            return ctx.empty()
+        return ctx.scored.filter(F.col("term") == node.value).select(
+            "docid", (F.col("score") * node.boost).alias("score")
+        )
+    if isinstance(node, ast.MatchAll):
+        return docs.select("docid", F.lit(float(node.boost)).alias("score"))
+    if isinstance(node, ast.Range):
+        c = F.col(node.field_name)
+        cond = F.lit(True)
+        if node.min is not None:
+            cond = cond & (c >= node.min if node.min_inclusive else c > node.min)
+        if node.max is not None:
+            cond = cond & (c <= node.max if node.max_inclusive else c < node.max)
+        return docs.filter(cond).select(
+            "docid", F.lit(float(node.boost)).alias("score")
+        )
+    if isinstance(node, ast.Bool):
+        musts = [_execute(q, ctx) for q in node.must]
+        shoulds = [_execute(q, ctx) for q in node.should]
+        msm = node.effective_msm()
+        if musts:
+            # conjunction via union + groupBy-having (one shuffle), not
+            # n-way join chains: count(*) == n works because each child
+            # emits unique docids
+            base = (
+                _tagged_union(musts)
+                .groupBy("docid")
+                .agg(F.sum("score").alias("m_score"), F.count(F.lit(1)).alias("m_cnt"))
+                .filter(F.col("m_cnt") == len(musts))
+                .select("docid", "m_score")
+            )
+            if shoulds:
+                sh = (
+                    _tagged_union(shoulds)
+                    .groupBy("docid")
+                    .agg(F.sum("score").alias("s_score"),
+                         F.count(F.lit(1)).alias("s_cnt"))
+                )
+                base = (
+                    base.join(sh, "docid", "left")
+                    .filter(F.coalesce(F.col("s_cnt"), F.lit(0)) >= msm)
+                    .select(
+                        "docid",
+                        (F.col("m_score") + F.coalesce(F.col("s_score"), F.lit(0.0))
+                         ).alias("m_score"),
+                    )
+                )
+            out = base.select(
+                "docid", (F.col("m_score") * node.boost).alias("score")
+            )
+        elif shoulds:
+            out = (
+                _tagged_union(shoulds)
+                .groupBy("docid")
+                .agg(F.sum("score").alias("s_score"), F.count(F.lit(1)).alias("s_cnt"))
+                .filter(F.col("s_cnt") >= max(msm, 1))
+                .select("docid", (F.col("s_score") * node.boost).alias("score"))
+            )
+        else:
+            # only must_not (or empty) matches nothing — Lucene semantics
+            return ctx.empty()
+        if node.must_not:
+            nots = [_execute(q, ctx).select("docid") for q in node.must_not]
+            excl = nots[0]
+            for nt in nots[1:]:
+                excl = excl.unionByName(nt)
+            out = out.join(excl.distinct(), "docid", "left_anti")
+        return out
+    if isinstance(node, ast.Filtered):
+        q = _execute(node.query, ctx)
+        f = _execute(node.filter, ctx).select("docid")
+        return q.join(f, "docid", "left_semi").select(
+            "docid", (F.col("score") * node.boost).alias("score")
+        )
+    if isinstance(node, ast.ConstantScore):
+        return _execute(node.query, ctx).select(
+            "docid", F.lit(float(node.boost)).alias("score")
+        )
+    if isinstance(node, ast.DisMax):
+        subs = [_execute(q, ctx) for q in node.queries]
+        if not subs:
+            return ctx.empty()
+        return (
+            _tagged_union(subs)
+            .groupBy("docid")
+            .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
+            .select(
+                "docid",
+                ((F.col("mx") + node.tie_breaker * (F.col("sm") - F.col("mx")))
+                 * node.boost).alias("score"),
+            )
+        )
+    if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
+        exp = ctx.expansions.get(_mt_key(node), [])
+        if not exp:
+            return ctx.empty()
+        return (
+            ctx.scored.filter(F.col("term").isin(exp))
+            .select("docid")
+            .distinct()
+            .select("docid", F.lit(float(node.boost)).alias("score"))
+        )
+    if isinstance(node, ast.NoZeroScore):
+        return _execute(node.query, ctx).filter(F.col("score") != 0.0)
+    if isinstance(node, ast.RandomScore):
+        sub = _execute(node.query, ctx)
+        # portable md5-based rand — identical in the Python oracle and in
+        # DuckDB SQL (reference is non-reproducible by design:
+        # src/bzzz/queries/random_score.clj:15-22; we pin a seed)
+        r = F.conv(
+            F.substring(
+                F.md5(F.format_string(f"{node.seed}:%d", F.col("docid"))), 1, 8
+            ),
+            16, 10,
+        ).cast("double") / float(1 << 32)
+        return sub.select("docid", (F.lit(node.base) + r).alias("score"))
+    if isinstance(node, ast.CustomScore):
+        sub = _execute(node.query, ctx)
+        joined = sub.withColumnRenamed("score", "_score").join(docs, "docid")
+        expr_val = F.expr(node.expression)
+        new_score = (
+            expr_val if node.replace else F.col("_score") * expr_val
+        ) * node.boost
+        return joined.select("docid", new_score.alias("score"))
+    raise ValueError(f"cannot execute {type(node).__name__}")
+
+
+def execute(index: BzzzIndex, query: ast.Query | dict | str) -> DataFrame:
+    """Full matched set with scores (no top-k cut)."""
+    node = query if isinstance(query, ast.Query) else ast.parse_query(query)
+    return _execute(node, _Ctx(index, node))
+
+
+def search(
+    index: BzzzIndex,
+    query: ast.Query | dict | str,
+    size: int = 20,
+    page: int = 0,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Top-k search with the reference's paging semantics: PQ sized
+    page*size+size, rows [page*size, (page+1)*size) returned
+    (reference: index_search.clj:272-273,306; default size 20 per
+    src/bzzz/const.clj:8).  Returns (docid, score [, fields...]) in
+    (score desc, docid asc) order."""
+    matched = execute(index, query)
+    k = page * size + size
+    top = matched.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    if page > 0:
+        w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+        top = (
+            top.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > page * size)
+            .drop("__rn")
+        )
+    if fields:
+        top = top.join(index.docs.select("docid", *fields), "docid", "left").orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+    return top
+
+
+def total_hits(index: BzzzIndex, query) -> int:
+    """Reference's totalHits (index_search.clj:287-288)."""
+    return execute(index, query).count()

@@ -1,0 +1,100 @@
+"""Analyzer parity — the single highest-risk parity item (SURVEY.md §7 M1).
+
+The reference lesson: analyzer mismatch between index and query time
+silently returns nothing (reference README.md:104-105).  We pin that the
+JVM tokenizer (index path), the Python tokenizer (query/oracle path),
+and the analyzer-component transforms agree on a torture fixture.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bzzz_spark.analysis.analyzers import build_analyzer
+from bzzz_spark.analysis.tokenizer import py_tokenize, standard_tokenize
+from bzzz_spark.fixtures import TORTURE, synth_transcripts_pdf
+
+TEXTS = [
+    "Jack's naïve 日本語 FooBar 3.14 snake_case UPPER a " + "x" * 65,
+    "hello,world  foo-bar\tbaz\nqux",
+    "MiXeD CaSe AND punct!!! (parens) [brackets] {braces}",
+    "",
+    "   ",
+    "123 0x1f 3.14159 1,000,000",
+    " ".join(TORTURE),
+    "l'élève déjà-vu C'est-à-dire",
+    "ünïcödé ÅÄÖ ß Straße",
+] + list(synth_transcripts_pdf(n_conv=5)["text"])
+
+
+def test_jvm_python_tokenizer_parity(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": TEXTS}))
+    got = df.select(standard_tokenize(F.col("text")).alias("toks")).collect()
+    for row, text in zip(got, TEXTS):
+        assert row["toks"] == py_tokenize(text), f"mismatch on {text!r}"
+
+
+def test_tokenize_lowercases_and_splits(spark):
+    assert py_tokenize("Hello WORLD") == ["hello", "world"]
+    assert py_tokenize("foo-bar") == ["foo", "bar"]
+    assert py_tokenize("snake_case") == ["snake_case"]
+    assert py_tokenize("3.14") == ["3", "14"]
+    assert py_tokenize(None) == []
+
+
+def _run(spark, analyzer, value):
+    df = spark.createDataFrame(pd.DataFrame({"t": [value]}))
+    return df.select(analyzer(F.col("t")).alias("o")).collect()[0]["o"]
+
+
+def test_whitespace_analyzer(spark):
+    a = build_analyzer("whitespace")
+    assert _run(spark, a, "Foo  Bar\tbaz") == ["Foo", "Bar", "baz"]
+
+
+def test_keyword_analyzer(spark):
+    a = build_analyzer("keyword")
+    assert _run(spark, a, "Foo Bar") == ["Foo Bar"]
+
+
+def test_letter_analyzer(spark):
+    a = build_analyzer("letter")
+    assert _run(spark, a, "abc123def GHI") == ["abc", "def", "GHI"]
+
+
+def test_ngram_analyzer(spark):
+    # reference: test/bzzz/core_test.clj:297-317 (ngram min=2 max=3)
+    a = build_analyzer({"tokenizer": {"type": "ngram", "min_gram": 2, "max_gram": 3}})
+    out = _run(spark, a, "abcd")
+    assert sorted(out) == sorted(["ab", "bc", "cd", "abc", "bcd"])
+
+
+def test_edge_ngram_analyzer(spark):
+    # reference: test/bzzz/core_test.clj:320-327
+    a = build_analyzer(
+        {"tokenizer": {"type": "edge-ngram", "min_gram": 1, "max_gram": 3}}
+    )
+    assert _run(spark, a, "abcd") == ["a", "ab", "abc"]
+
+
+def test_filter_chain(spark):
+    a = build_analyzer(
+        {
+            "char-filter": [
+                {"type": "pattern-replace", "pattern": "<b>", "replacement": ""},
+                {"type": "html-strip"},
+            ],
+            "tokenizer": "whitespace",
+            "filter": [
+                {"type": "lowercase"},
+                {"type": "length", "min": 2, "max": 10},
+                {"type": "limit", "max-token-count": 3},
+            ],
+        }
+    )
+    out = _run(spark, a, "<b>KEEP</b> <i>x</i> Second THIRD fourth fifth")
+    assert out == ["keep", "second", "third"]
+
+
+def test_reverse_filter(spark):
+    a = build_analyzer({"tokenizer": "whitespace", "filter": [{"type": "reverse"}]})
+    assert _run(spark, a, "abc def") == ["cba", "fed"]
