@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine side: every query runs through bzzz_spark's REAL code path —
+index build (SPIMI + varint blocks) then the AST executor — over the
+driver's parquet tables.  Oracle side: hand-derived ANSI SQL for DuckDB
+computing the same result from first principles (tokenize → tf/df →
+BM25), so the comparison crosses two independent implementations.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark result and the oracle SQL (the driver hashes values after
+sorting columns by name).  Scores are rounded to 4 decimals on both
+sides (both engines do float64 BM25; cross-engine libm differences are
+~1e-15, far below the rounding grain).
 """
 
 from __future__ import annotations
@@ -12,27 +18,545 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bzzz_spark import BM25_B, BM25_K1
+from bzzz_spark.build.indexer import BzzzIndex, IndexConfig, build_index
+from bzzz_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bzzz_spark.functions.similarity import brute_force_topk, ivf_topk
+from bzzz_spark.functions.text import BPE_ISH_PATTERN, STOPWORDS, text_profile
+from bzzz_spark.query import ast
+from bzzz_spark.query.executor import execute, facet_counts, search
+
+TOK = r"[\p{L}\p{N}_]+"
+K1P1 = BM25_K1 + 1.0
+
+_IDX_CACHE: dict = {}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> BzzzIndex:
+    """Build (once per sf_dir per session) the inverted index over the
+    documents table.  doc_id is dense and unique, so docid == doc_id."""
+    key = (id(spark), sf_dir)
+    if key not in _IDX_CACHE:
+        idx = build_index(
+            _documents(spark, sf_dir),
+            IndexConfig(
+                key_cols=("doc_id",), text_col="text", ts_col=None,
+                block_size=128, segment_size=1024,
+            ),
+        )
+        idx.docs.cache().count()
+        idx.dictionary.cache().count()
+        idx.postings.cache().count()
+        _IDX_CACHE[key] = idx
+    return _IDX_CACHE[key]
+
+
+def _hits(index: BzzzIndex, node, size: int = 10, page: int = 0) -> DataFrame:
+    return search(index, node, size=size, page=page).select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-k with a must-not, over sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    node = ast.Bool(
+        must=[ast.Term("scan"), ast.Term("agg")], must_not=[ast.Term("dup")]
+    )
+    return _hits(idx, node, size=10)
+
+
+# ---------------------------------------------------------------- oracle SQL
+# Shared CTE prefix: tokenize → tf → dl → stats → df, all from first
+# principles in DuckDB (independent of the engine's index structures).
+
+_BASE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) t USING (doc_id)
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+"""
+
+
+def _score_expr(tf="tf.tf", dl="dl.dl", df="dfx.df") -> str:
+    return (
+        f"ln(1.0 + (stats.n - {df} + 0.5) / ({df} + 0.5)) * "
+        f"(({tf}) * {K1P1} / (({tf}) + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * ({dl}) / stats.avgdl)))"
+    )
+
+
+def _term_scores(terms: list[str]) -> str:
+    """Per-doc summed BM25 over the given terms + per-doc matched count."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""scores AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS score, count(*) AS nmatch
+  FROM tf
+  JOIN dfx USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+)"""
+
+
+def _topk(inner: str, k: int, offset: int = 0) -> str:
+    return f"""SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM ({inner})
+) WHERE rn > {offset} AND rn <= {offset + k}"""
+
+
+# ------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- search operators (SURVEY.md §2.3/§2.4/§2.5) ---
+    def q_term_topk(spark, sf):
+        return _hits(_index(spark, sf), ast.Term("merge"), size=10)
+
+    def q_term_rare(spark, sf):
+        return _hits(_index(spark, sf), ast.Term("dup"), size=10)
+
+    def q_and2(spark, sf):
+        node = ast.Bool(must=[ast.Term("scan"), ast.Term("filter")])
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_and3_skew(spark, sf):
+        node = ast.Bool(must=[ast.Term("batch"), ast.Term("scan"), ast.Term("dup")])
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_must_not(spark, sf):
+        node = ast.Bool(must=[ast.Term("merge")], must_not=[ast.Term("dup")])
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_should_msm2(spark, sf):
+        node = ast.Bool(
+            should=[ast.Term("dup"), ast.Term("window"), ast.Term("stream")],
+            minimum_should_match=2,
+        )
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_filtered_range(spark, sf):
+        node = ast.Filtered(
+            query=ast.Term("merge"), filter=ast.Range("n_chars", min=200, max=400)
+        )
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_match_all(spark, sf):
+        return _hits(_index(spark, sf), ast.MatchAll(), size=20)
+
+    def q_paging(spark, sf):
+        return _hits(_index(spark, sf), ast.Term("merge"), size=5, page=1)
+
+    def q_constant_score(spark, sf):
+        return _hits(
+            _index(spark, sf), ast.ConstantScore(ast.Term("dup"), boost=2.5), size=20
+        )
+
+    def q_dismax(spark, sf):
+        node = ast.DisMax(
+            queries=[ast.Term("merge"), ast.Term("filter")], tie_breaker=0.3
+        )
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_wildcard(spark, sf):
+        return _hits(_index(spark, sf), ast.Wildcard("s*"), size=10)
+
+    def q_fuzzy(spark, sf):
+        return _hits(_index(spark, sf), ast.Fuzzy("scan", max_edits=1), size=10)
+
+    def q_custom_score(spark, sf):
+        node = ast.CustomScore(ast.Term("merge"), expression="sqrt(n_chars)")
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_facet_lang(spark, sf):
+        return facet_counts(_index(spark, sf), ast.Term("dup"), "lang", size=10)
+
+    def q_facet_source(spark, sf):
+        return facet_counts(_index(spark, sf), ast.Term("merge"), "source", size=10)
+
+    def q_total_hits(spark, sf):
+        return (
+            execute(_index(spark, sf), ast.Bool(must=[ast.Term("scan"),
+                                                      ast.Term("agg")]))
+            .agg(F.count(F.lit(1)).alias("total"))
+        )
+
+    def q_dictionary(spark, sf):
+        return _index(spark, sf).dictionary.select("term", "df", "cf")
+
+    def q_stats(spark, sf):
+        idx = _index(spark, sf)
+        return idx.stats.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+
+    # --- training-data pipeline operators ---
+    def d_dedup_exact(spark, sf):
+        return exact_duplicates(_documents(spark, sf)).select(
+            "fp", "canonical_id", "n_dups"
+        )
+
+    def d_minhash_lsh(spark, sf):
+        return minhash_lsh_pairs(
+            _documents(spark, sf), num_hashes=8, bands=4, shingle_n=3
+        )
+
+    def d_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _documents(spark, sf), shingle_n=3, threshold=0.03
+        )
+
+    def d_simhash(spark, sf):
+        return simhash(_documents(spark, sf)).select(
+            F.col("id").alias("doc_id"), "simhash"
+        )
+
+    def s_cosine_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        ]
+        return brute_force_topk(emb, qs, k=5)
+
+    def s_ivf_topk_fullprobe(spark, sf):
+        # nprobe == nlist → exact: the IVF plumbing must reproduce brute force
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < 2).collect()
+        ]
+        return ivf_topk(emb, qs, k=5, nlist=8, nprobe=8)
+
+    def t_text_profile(spark, sf):
+        return text_profile(_documents(spark, sf))
+
+    def t_tokens_by_source(spark, sf):
+        from bzzz_spark.functions.text import bpe_ish_token_count, token_count
+
+        return (
+            _documents(spark, sf)
+            .groupBy("source")
+            .agg(
+                F.sum(token_count("text")).alias("n_tokens"),
+                F.sum(bpe_ish_token_count("text")).alias("n_bpe_tokens"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+
+    q.update(
+        q_term_topk=q_term_topk, q_term_rare=q_term_rare, q_and2=q_and2,
+        q_and3_skew=q_and3_skew, q_must_not=q_must_not,
+        q_should_msm2=q_should_msm2, q_filtered_range=q_filtered_range,
+        q_match_all=q_match_all, q_paging=q_paging,
+        q_constant_score=q_constant_score, q_dismax=q_dismax,
+        q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_custom_score=q_custom_score,
+        q_facet_lang=q_facet_lang, q_facet_source=q_facet_source,
+        q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
+        d_dedup_exact=d_dedup_exact, d_minhash_lsh=d_minhash_lsh,
+        d_jaccard=d_jaccard, d_simhash=d_simhash,
+        s_cosine_topk=s_cosine_topk, s_ivf_topk_fullprobe=s_ivf_topk_fullprobe,
+        t_text_profile=t_text_profile, t_tokens_by_source=t_tokens_by_source,
+    )
+    return q
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _shingle_cte(n: int = 3) -> str:
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents)
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, {leads} AS s
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE s IS NOT NULL
+)"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_hashes)
+    )
+    band_exprs = []
+    for bi in range(bands):
+        parts = " || '|' || ".join(f"m{i}" for i in range(bi * r, (bi + 1) * r))
+        band_exprs.append(f"md5('band{bi}:' || {parts}) AS band{bi}")
+    joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
+        f"ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"
+        for bi in range(bands)
+    )
+    return f"""WITH {_shingle_cte(3)},
+sigs AS (
+  SELECT doc_id, {', '.join(band_exprs)}
+  FROM (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)
+)
+SELECT DISTINCT id_a, id_b FROM ({joins})"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tok
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({assemble})::BIGINT AS simhash FROM votes"""
+
+
+def _lang_sql() -> str:
+    toks = f"regexp_extract_all(lower(text), '{TOK}')"
+    hits = {
+        lang: (
+            f"len(list_filter({toks}, t -> t IN "
+            f"({', '.join(repr(w) for w in STOPWORDS[lang])})))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    out = "'und'"
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = (
+            f"CASE WHEN {best} > 0 AND {hits[lang]} = {best} "
+            f"THEN '{lang}' ELSE {out} END"
+        )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    en_stop = ", ".join(repr(w) for w in STOPWORDS["en"])
+    toks = f"regexp_extract_all(lower(text), '{TOK}')"
+    o: dict[str, str] = {}
+
+    o["q_term_topk"] = f"{_BASE}, {_term_scores(['merge'])}\n{_topk('SELECT doc_id, score FROM scores', 10)}"
+    o["q_term_rare"] = f"{_BASE}, {_term_scores(['dup'])}\n{_topk('SELECT doc_id, score FROM scores', 10)}"
+    o["q_and2"] = (
+        f"{_BASE}, {_term_scores(['scan', 'filter'])}\n"
+        + _topk("SELECT doc_id, score FROM scores WHERE nmatch = 2", 10)
+    )
+    o["q_and3_skew"] = (
+        f"{_BASE}, {_term_scores(['batch', 'scan', 'dup'])}\n"
+        + _topk("SELECT doc_id, score FROM scores WHERE nmatch = 3", 10)
+    )
+    o["q_must_not"] = (
+        f"{_BASE}, {_term_scores(['merge'])}\n"
+        + _topk(
+            "SELECT doc_id, score FROM scores WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM tf WHERE term = 'dup')",
+            10,
+        )
+    )
+    o["q_should_msm2"] = (
+        f"{_BASE}, {_term_scores(['dup', 'window', 'stream'])}\n"
+        + _topk("SELECT doc_id, score FROM scores WHERE nmatch >= 2", 10)
+    )
+    o["q_filtered_range"] = (
+        f"{_BASE}, {_term_scores(['merge'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score FROM scores s JOIN documents d "
+            "ON d.doc_id = s.doc_id WHERE d.n_chars BETWEEN 200 AND 400",
+            10,
+        )
+    )
+    o["q_match_all"] = _topk(
+        "SELECT doc_id, 1.0::DOUBLE AS score FROM documents", 20
+    )
+    o["q_paging"] = (
+        f"{_BASE}, {_term_scores(['merge'])}\n"
+        + _topk("SELECT doc_id, score FROM scores", 5, offset=5)
+    )
+    o["q_constant_score"] = f"{_BASE}\n" + _topk(
+        "SELECT DISTINCT doc_id, 2.5::DOUBLE AS score FROM tf WHERE term = 'dup'", 20
+    )
+    o["q_dismax"] = (
+        f"{_BASE},\nsub AS (\n"
+        f"  SELECT tf.doc_id, {_score_expr()} AS s\n"
+        "  FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats\n"
+        "  WHERE tf.term IN ('merge', 'filter')\n)\n"
+        + _topk(
+            "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS score "
+            "FROM sub GROUP BY doc_id",
+            10,
+        )
+    )
+    o["q_wildcard"] = (
+        f"{_BASE}\n"
+        + _topk(
+            "SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tf WHERE term LIKE 's%'",
+            10,
+        )
+    )
+    o["q_fuzzy"] = (
+        f"{_BASE}\n"
+        + _topk(
+            "SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tf "
+            "WHERE levenshtein(term, 'scan') <= 1",
+            10,
+        )
+    )
+    o["q_custom_score"] = (
+        f"{_BASE}, {_term_scores(['merge'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score * sqrt(d.n_chars) AS score "
+            "FROM scores s JOIN documents d ON d.doc_id = s.doc_id",
+            10,
+        )
+    )
+    o["q_facet_lang"] = f"""{_BASE}
+SELECT lang, count(*) AS cnt FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
+GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10"""
+    o["q_facet_source"] = f"""{_BASE}
+SELECT source, count(*) AS cnt FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+GROUP BY source ORDER BY cnt DESC, source LIMIT 10"""
+    o["q_total_hits"] = f"""{_BASE}
+SELECT count(*) AS total FROM (
+  SELECT doc_id FROM tf WHERE term IN ('scan', 'agg')
+  GROUP BY doc_id HAVING count(*) = 2
+)"""
+    o["q_dictionary"] = f"""{_BASE}
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term"""
+    o["q_stats"] = f"""{_BASE}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       round((SELECT avgdl FROM stats), 6) AS avgdl"""
+
+    o["d_dedup_exact"] = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1 HAVING count(*) >= 2"""
+    o["d_minhash_lsh"] = _minhash_sql(8, 4)
+    o["d_jaccard"] = f"""WITH {_shingle_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(shared::DOUBLE / (sa.n + sb.n - shared), 6) >= 0.03"""
+    o["d_simhash"] = _simhash_sql(32)
+
+    o["s_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+comp AS (
+  SELECT q.query_id, e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos
+  FROM comp GROUP BY 1, 2
+)
+SELECT query_id, vec_id, cos, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+    o["s_ivf_topk_fullprobe"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 2),
+comp AS (
+  SELECT q.query_id, e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos
+  FROM comp GROUP BY 1, 2
+)
+SELECT query_id, vec_id, cos, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+    mean_wl = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_sum(list_transform({toks}, t -> length(t)))::DOUBLE / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+    stop_ratio = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> t IN ({en_stop})))::DOUBLE / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+    punct_ratio = (
+        "CASE WHEN length(text) > 0 THEN "
+        f"len(regexp_extract_all(text, '[^\\s\\p{{L}}\\p{{N}}]'))::DOUBLE / length(text) "
+        "ELSE 0.0 END"
+    )
+    upper_ratio = (
+        "CASE WHEN length(text) > 0 THEN "
+        "len(regexp_extract_all(text, '\\p{Lu}'))::DOUBLE / length(text) "
+        "ELSE 0.0 END"
+    )
+    quality = (
+        f"0.4 * least(len({toks})::DOUBLE / 100.0, 1.0) "
+        f"+ 0.3 * least(({stop_ratio}) * 4.0, 1.0) "
+        f"+ 0.3 * greatest(0.0, 1.0 - ({punct_ratio}) * 3.0 - ({upper_ratio}))"
+    )
+    o["t_text_profile"] = f"""
+SELECT doc_id,
+       len({toks}) AS n_tokens,
+       len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe_tokens,
+       {_lang_sql()} AS lang_pred,
+       round({quality}, 6) AS quality,
+       round({mean_wl}, 6) AS mean_word_len,
+       round({stop_ratio}, 6) AS stopword_ratio,
+       round({punct_ratio}, 6) AS punct_ratio,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents"""
+    o["t_tokens_by_source"] = f"""
+SELECT source,
+       sum(len({toks}))::BIGINT AS n_tokens,
+       sum(len(regexp_extract_all(text, '{bpe_sql}')))::BIGINT AS n_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source"""
+    return o

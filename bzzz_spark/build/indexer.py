@@ -62,11 +62,19 @@ class IndexConfig:
     segment_size: int = 1 << 16
     num_partitions: int | None = None
     store_text: bool = True
+    # schema mapping — defaults are the transcript shape from the build
+    # spec; any table with a unique key + a text column can be indexed
+    # (e.g. key_cols=("doc_id",) for the documents table)
+    key_cols: tuple = ("conv_id", "turn_idx")
+    text_col: str = "text"
+    ts_col: str | None = "ts"  # None → skip upsert dedup
 
     def to_dict(self) -> dict:
         return {
             "k1": self.k1, "b": self.b, "block_size": self.block_size,
             "segment_size": self.segment_size, "store_text": self.store_text,
+            "key_cols": list(self.key_cols), "text_col": self.text_col,
+            "ts_col": self.ts_col,
         }
 
 
@@ -83,34 +91,36 @@ class BzzzIndex:
         return int(row["n_docs"]), float(row["avgdl"])
 
 
-def dedup_upserts(transcripts: DataFrame) -> DataFrame:
-    """Keep the latest row per (conv_id, turn_idx).
+def dedup_upserts(
+    df: DataFrame, key_cols: tuple = ("conv_id", "turn_idx"), ts_col: str = "ts"
+) -> DataFrame:
+    """Keep the latest row per document key.
 
     Reference semantics: updateDocument(Term("id", ...)) delete-then-add
     (reference: src/bzzz/index_store.clj:109-113).  The window hashes by
     the doc key, so it scales (no global sort).
     """
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").desc())
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
     return (
-        transcripts.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
 
 
-def build_docs(transcripts: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """docs table: dense docid over (conv_id, turn_idx), tokens, dl."""
-    deduped = dedup_upserts(transcripts)
+def build_docs(table: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """docs table: dense docid over key_cols, tokens, dl + all stored cols."""
+    deduped = (
+        dedup_upserts(table, cfg.key_cols, cfg.ts_col) if cfg.ts_col else table
+    )
     with_ids = assign_sequential_ids(
-        deduped, ["conv_id", "turn_idx"], "docid", cfg.num_partitions
+        deduped, list(cfg.key_cols), "docid", cfg.num_partitions
     )
-    docs = with_ids.withColumn("tokens", standard_tokenize(F.col("text"))).withColumn(
-        "dl", F.size("tokens")
-    )
-    cols = ["docid", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "tokens"]
-    if cfg.store_text:
-        cols.insert(6, "text")
-    return docs.select(*cols)
+    docs = with_ids.withColumn(
+        "tokens", standard_tokenize(F.col(cfg.text_col))
+    ).withColumn("dl", F.size("tokens"))
+    stored = [c for c in table.columns if cfg.store_text or c != cfg.text_col]
+    return docs.select("docid", *stored, "dl", "tokens")
 
 
 def build_tf(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,244 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, cheapest → most general; each returns a DataFrame so it
+composes into Spark pipelines, and each (except the embedding path) is
+built from md5-based hashing that is bit-identical in Spark, DuckDB and
+Python, so correctness is oracle-checkable cross-engine.
+
+Scale notes (the design target is ~10^11 docs):
+- exact: one groupBy on a 128-bit hash — one shuffle, no skew (hash keys
+  are uniform).
+- minhash LSH: signatures are per-doc (narrow); the only shuffle is the
+  band-key groupBy; band keys are uniform hashes → no skew.  Pair
+  explosion is bounded by bucket sizes; buckets above `max_bucket` are
+  dropped (logged) as degenerate (boilerplate) clusters.
+- ngram-jaccard: exact verify step — run on LSH candidates at scale,
+  or standalone on small corpora.
+- simhash: 32-bit signature via per-bit majority vote, one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bzzz_spark.functions.text import normalize_text, shingles
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) texts.
+
+    Returns (fp, canonical_id, n_dups, ids) for groups with ≥2 members;
+    canonical = min id (the keep-this-one policy).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i ':' shingle).  String-min of hex digests is a valid uniform
+    minhash and is portable across engines."""
+    sh = shingles(text_col, shingle_n)
+
+    def _hasher(i: int):
+        # single-argument lambda: a two-parameter lambda would be treated
+        # by F.transform as (element, index) and clobber the closure var
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b for
+    Jaccard s.  The bucket self-join is the classic shingle→minhash→
+    band→bucket-join pipeline; buckets larger than max_bucket are
+    dropped (degenerate boilerplate at web scale).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.lit(f"band{bi}:"),
+                            F.array_join(F.slice("sig", bi * r + 1, r), "|"),
+                        )
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    ).distinct()
+    sized = band_rows.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("bsize") <= max_bucket)
+    a = sized.select(F.col("bucket"), F.col("id").alias("id_a"))
+    b = sized.select(F.col("bucket"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 10000,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold over token n-gram shingle sets.
+
+    Inverted self-join on shingles (only pairs sharing ≥1 shingle are
+    considered); shingles appearing in > max_shingle_df docs are dropped
+    first (stopword-shingle skew guard — the same head-skew discipline
+    as the index build).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s"))
+        .distinct()
+    )
+    rare = sh.withColumn(
+        "sdf", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(F.col("sdf") <= max_shingle_df).drop("sdf")
+    sizes = rare.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("s"), F.col("id").alias("id_a"))
+    b = rare.select(F.col("s"), F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — per-bit majority vote over token hashes, tf-weighted.
+
+    Token hash = first 8 hex chars of md5 (32 uniform bits), portable
+    across engines.  Near-dups = small Hamming distance between
+    signatures (see simhash_pairs)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}_]+"), 0
+                ),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            )
+        ).alias("h"),
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Scale path: band the signature into bits/band_bits chunks — any pair
+    within distance d < #bands shares at least one identical band
+    (pigeonhole), so the candidate join is an equi-join per band, never
+    an all-pairs product."""
+    sigs = simhash(df, text_col, id_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{bi}:"),
+                        (F.shiftright("simhash", bi * band_bits).bitwiseAND(F.lit(mask))).cast("string"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = banded.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = banded.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -337,3 +337,25 @@ def search(
 def total_hits(index: BzzzIndex, query) -> int:
     """Reference's totalHits (index_search.clj:287-288)."""
     return execute(index, query).count()
+
+
+def facet_counts(
+    index: BzzzIndex, query, facet_field: str, size: int = 20
+) -> DataFrame:
+    """Facet counts over the matched set (reference F1: count docs per
+    label within the matched set, top `size`, default 20 —
+    index_search.clj:252-262,294-305).
+
+    The reference's cross-shard facet merge is explicitly approximate
+    (a label cut by one shard's limit undercounts —
+    index_search.clj:186-204 'broken by design'); the Spark groupBy is
+    global before the limit, so our counts are exact.  Deterministic
+    tie-break: count desc, label asc."""
+    matched = execute(index, query).select("docid")
+    return (
+        matched.join(index.docs.select("docid", facet_field), "docid")
+        .groupBy(facet_field)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(facet_field).asc())
+        .limit(size)
+    )
