@@ -1,0 +1,213 @@
+"""Checkpointed, resumable on-disk index build.
+
+The reference wraps every store in a 2-phase prepareCommit/commit with
+rollback (reference: src/bzzz/index_directory.clj:210-240).  The Spark
+rebuild gets atomicity from materialized stage outputs plus a manifest
+that is only advanced after a stage/chunk lands:
+
+  out_dir/
+    manifest.json        config, lineage, stage + chunk checkpoints
+    docs/                parquet, docid-sorted (min/max pruning on docid)
+    dictionary/          parquet
+    stats/               parquet (n_docs, avgdl)
+    postings/chunk=i/    parquet per chunk (a contiguous segment range)
+    metrics/chunk=i/     per-segment build metrics (n_blocks, n_postings,
+                         bytes) — the per-partition lineage/metrics log
+
+Resume: a crashed/killed build re-runs `build_and_write` with the same
+args; completed stages and chunks are skipped (their manifest entries
+exist), the rest re-run.  Chunk outputs are deterministic (fixed
+partitioning + group-preserving encoder), so an interrupted+resumed
+build is bit-identical to an uninterrupted one — asserted in
+tests/test_checkpoint.py.
+
+Per-chunk cost is proportional to chunk size: a chunk is a contiguous
+docid range, so the tokenize+tf recompute for it reads only that slice
+of docs/ (parquet min/max pruning on the docid sort order).  The
+dictionary (global df) is computed once in its own stage.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bzzz_spark.build.indexer import (
+    BzzzIndex,
+    IndexConfig,
+    build_dictionary,
+    build_docs,
+    build_tf,
+    encode_postings,
+)
+
+MANIFEST = "manifest.json"
+
+
+def _load_manifest(out_dir: str) -> dict:
+    p = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"stages": {}, "chunks": {}, "complete": False}
+
+
+def _save_manifest(out_dir: str, m: dict) -> None:
+    p = os.path.join(out_dir, MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=2, sort_keys=True)
+    os.replace(tmp, p)  # atomic on POSIX
+
+
+def build_and_write(
+    table: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    n_chunks: int = 4,
+    max_chunks: int | None = None,
+) -> dict:
+    """Run (or resume) the checkpointed build.  Returns the manifest.
+
+    ``max_chunks`` limits how many NEW posting chunks this invocation
+    writes (test hook for simulating interruption).
+    """
+    cfg = cfg or IndexConfig()
+    spark = table.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    m = _load_manifest(out_dir)
+    if m.get("complete"):
+        return m
+    if "config" in m and m["config"] != cfg.to_dict():
+        raise ValueError(
+            "resume config mismatch: manifest has a different IndexConfig — "
+            "delete the output dir or pass the original config"
+        )
+    m["config"] = cfg.to_dict()
+
+    docs_path = os.path.join(out_dir, "docs")
+    dict_path = os.path.join(out_dir, "dictionary")
+    stats_path = os.path.join(out_dir, "stats")
+
+    # ---- stage: docs (docid assignment + tokenize + dl) ----
+    if "docs" not in m["stages"]:
+        t0 = time.perf_counter()
+        docs = build_docs(table, cfg)
+        docs.write.mode("overwrite").parquet(docs_path)
+        row = (
+            spark.read.parquet(docs_path)
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs = int(row["n"])
+        avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
+        ).write.mode("overwrite").parquet(stats_path)
+        m["stages"]["docs"] = {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "took_sec": round(time.perf_counter() - t0, 3),
+            "input_rows": table.count(),
+        }
+        _save_manifest(out_dir, m)
+
+    n_docs = m["stages"]["docs"]["n_docs"]
+    avgdl = m["stages"]["docs"]["avgdl"]
+
+    # ---- stage: dictionary (global term ids + df/cf) ----
+    if "dictionary" not in m["stages"]:
+        t0 = time.perf_counter()
+        docs = spark.read.parquet(docs_path)
+        dictionary = build_dictionary(build_tf(docs), cfg)
+        dictionary.write.mode("overwrite").parquet(dict_path)
+        m["stages"]["dictionary"] = {
+            "n_terms": spark.read.parquet(dict_path).count(),
+            "took_sec": round(time.perf_counter() - t0, 3),
+        }
+        _save_manifest(out_dir, m)
+
+    # ---- stage: postings, chunked by contiguous segment (docid) ranges ----
+    n_segments = max(1, math.ceil(n_docs / cfg.segment_size))
+    n_chunks = min(n_chunks, n_segments)
+    per_chunk = math.ceil(n_segments / n_chunks)
+    written = 0
+    for ci in range(n_chunks):
+        key = str(ci)
+        if key in m["chunks"]:
+            continue
+        if max_chunks is not None and written >= max_chunks:
+            break
+        t0 = time.perf_counter()
+        seg_lo, seg_hi = ci * per_chunk, min((ci + 1) * per_chunk, n_segments)
+        doc_lo = seg_lo * cfg.segment_size
+        doc_hi = seg_hi * cfg.segment_size  # exclusive
+        docs = spark.read.parquet(docs_path).filter(
+            (F.col("docid") >= doc_lo) & (F.col("docid") < doc_hi)
+        )
+        dictionary = spark.read.parquet(dict_path)
+        tf = build_tf(docs)
+        rows = (
+            tf.join(dictionary.select("term", "term_id", "df"), "term")
+            .withColumn(
+                "segment", (F.col("docid") / F.lit(cfg.segment_size)).cast("int")
+            )
+            .select("term_id", "segment", "docid", "tf", "dl", "df")
+        )
+        postings = encode_postings(rows, n_docs, avgdl, cfg)
+        chunk_path = os.path.join(out_dir, "postings", f"chunk={ci}")
+        postings.write.mode("overwrite").parquet(chunk_path)
+        metrics = (
+            spark.read.parquet(chunk_path)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("count").alias("n_postings"),
+                F.sum(F.octet_length("doc_gaps") + F.octet_length("tfs")).alias(
+                    "payload_bytes"
+                ),
+                F.countDistinct("term_id").alias("n_terms"),
+            )
+            .withColumn("chunk", F.lit(ci))
+        )
+        metrics_path = os.path.join(out_dir, "metrics", f"chunk={ci}")
+        metrics.write.mode("overwrite").parquet(metrics_path)
+        agg = metrics.agg(
+            F.sum("n_blocks").alias("b"), F.sum("n_postings").alias("p")
+        ).collect()[0]
+        m["chunks"][key] = {
+            "segments": [seg_lo, seg_hi],
+            "docids": [doc_lo, doc_hi],
+            "n_blocks": int(agg["b"] or 0),
+            "n_postings": int(agg["p"] or 0),
+            "took_sec": round(time.perf_counter() - t0, 3),
+        }
+        _save_manifest(out_dir, m)
+        written += 1
+
+    if len(m["chunks"]) == n_chunks:
+        m["complete"] = True
+        m["n_segments"] = n_segments
+        _save_manifest(out_dir, m)
+    return m
+
+
+def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
+    m = _load_manifest(out_dir)
+    if not m.get("complete"):
+        raise ValueError(f"index at {out_dir} is incomplete — resume the build")
+    cfg_d = dict(m["config"])
+    cfg_d["key_cols"] = tuple(cfg_d["key_cols"])
+    cfg = IndexConfig(**cfg_d)
+    return BzzzIndex(
+        docs=spark.read.parquet(os.path.join(out_dir, "docs")).drop("tokens"),
+        dictionary=spark.read.parquet(os.path.join(out_dir, "dictionary")),
+        postings=spark.read.parquet(os.path.join(out_dir, "postings")).drop("chunk"),
+        stats=spark.read.parquet(os.path.join(out_dir, "stats")),
+        config=cfg,
+    )

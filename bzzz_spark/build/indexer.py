@@ -49,8 +49,9 @@ from bzzz_spark.build.ids import assign_sequential_ids
 from bzzz_spark.query.scoring import score_np
 
 POSTINGS_SCHEMA = (
-    "term_id long, segment int, block_id int, first_docid long, count int, "
-    "doc_gaps binary, tfs binary, block_max_tf int, block_max_score double"
+    "term_id long, segment int, block_id int, first_docid long, "
+    "last_docid long, count int, doc_gaps binary, tfs binary, "
+    "block_max_tf int, block_max_score double"
 )
 
 
@@ -164,8 +165,8 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(pdf)]))
         out: dict[str, list] = {k: [] for k in (
-            "term_id", "segment", "block_id", "first_docid", "count",
-            "doc_gaps", "tfs", "block_max_tf", "block_max_score",
+            "term_id", "segment", "block_id", "first_docid", "last_docid",
+            "count", "doc_gaps", "tfs", "block_max_tf", "block_max_score",
         )}
         for st, en in zip(starts, ends):
             n = en - st
@@ -178,6 +179,7 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
                 out["segment"].append(int(s[st]))
                 out["block_id"].append(bi)
                 out["first_docid"].append(int(bd[0]))
+                out["last_docid"].append(int(bd[-1]))
                 out["count"].append(int(bd.size))
                 out["doc_gaps"].append(encode_varints(np.diff(bd)))
                 out["tfs"].append(encode_varints(btf.astype(np.int64) - 1))

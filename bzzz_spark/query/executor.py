@@ -311,22 +311,35 @@ def search(
     size: int = 20,
     page: int = 0,
     fields: list[str] | None = None,
+    use_wand: bool = True,
 ) -> DataFrame:
     """Top-k search with the reference's paging semantics: PQ sized
     page*size+size, rows [page*size, (page+1)*size) returned
     (reference: index_search.clj:272-273,306; default size 20 per
     src/bzzz/const.clj:8).  Returns (docid, score [, fields...]) in
-    (score desc, docid asc) order."""
-    matched = execute(index, query)
-    k = page * size + size
-    top = matched.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
-    if page > 0:
-        w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
-        top = (
-            top.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > page * size)
-            .drop("__rn")
-        )
+    (score desc, docid asc) order.
+
+    Flat term/AND/OR shapes take the block-max pruned per-segment path
+    (bzzz_spark.query.wand) by default; everything else lowers to the
+    exhaustive DataFrame plan.  Both paths produce identical results
+    (cross-checked in tests/test_wand.py)."""
+    node = query if isinstance(query, ast.Query) else ast.parse_query(query)
+    top = None
+    if use_wand:
+        from bzzz_spark.query.wand import wand_search
+
+        top = wand_search(index, node, size=size, page=page)
+    if top is None:
+        matched = execute(index, node)
+        k = page * size + size
+        top = matched.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+        if page > 0:
+            w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+            top = (
+                top.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > page * size)
+                .drop("__rn")
+            )
     if fields:
         top = top.join(index.docs.select("docid", *fields), "docid", "left").orderBy(
             F.col("score").desc(), F.col("docid").asc()

@@ -1,0 +1,260 @@
+"""Block-max pruned top-k scoring — the fast path for flat queries.
+
+The reference scores doc-at-a-time per segment leaf with a priority
+queue (Lucene; the leapfrog pattern is visible in
+reference src/java/bzzz/java/query/TermPayloadClojureScoreQuery.java:237-257).
+The Spark translation keeps the per-leaf structure: each docid-range
+*segment* is scored independently by a vectorized numpy kernel (one
+cogrouped-applyInPandas task per segment), emitting a per-segment
+top-k; Spark's TakeOrderedAndProject is the cross-segment PQ merge.
+θ cannot be shared across segments (they run in parallel), so pruning
+is per-segment — still exact, just conservative, and embarrassingly
+parallel at 1000-executor scale.
+
+Pruning by query shape (all results EXACT — pruning never changes them;
+tests cross-check against the exhaustive executor and the oracle):
+
+- single term: a doc's whole score lives in one block, so blocks are
+  processed in descending block_max_score order and processing stops
+  once the kth-best score ≥ the next block's max (classic block-max
+  top-k).
+- conjunction (AND): block-granular leapfrog — the rarest term's blocks
+  are decoded first; every other term's blocks are skipped entirely
+  unless their [first_docid, last_docid] range intersects a candidate,
+  plus a block-max bound: a block is skipped when its max score + the
+  other terms' remaining max < the current kth best of full matches.
+- disjunction (OR/minimum-should-match): dense per-segment score
+  accumulator (segments are bounded by segment_size, so the
+  accumulator is a small flat array), msm enforced by a match counter.
+
+Anything deeper (nesting, filters, boosts per clause, must_not) falls
+back to the exhaustive DataFrame executor in
+bzzz_spark.query.executor — same results, more I/O.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bzzz_spark import BM25_B, BM25_K1
+from bzzz_spark.build.codec import decode_block
+from bzzz_spark.build.indexer import BzzzIndex
+from bzzz_spark.query import ast
+from bzzz_spark.query.scoring import idf as idf_fn
+
+
+def classify(node: ast.Query):
+    """('term'|'and'|'or', [(value, boost)], msm, boost) for flat shapes,
+    else None (executor fallback)."""
+    if isinstance(node, ast.Term):
+        return ("term", [(node.value, node.boost)], 1, 1.0)
+    if isinstance(node, ast.Bool) and not node.must_not and node.boost == 1.0:
+        if node.must and not node.should:
+            if all(isinstance(q, ast.Term) for q in node.must):
+                return (
+                    "and",
+                    [(q.value, q.boost) for q in node.must],
+                    len(node.must),
+                    node.boost,
+                )
+        if node.should and not node.must:
+            if all(isinstance(q, ast.Term) for q in node.should):
+                return (
+                    "or",
+                    [(q.value, q.boost) for q in node.should],
+                    node.effective_msm(),
+                    node.boost,
+                )
+    return None
+
+
+def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    return (
+        tf
+        * (BM25_K1 + 1.0)
+        / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+    )
+
+
+def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
+                 segment_size: int):
+    """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
+    cogrouped kernel (blocks_pdf, norms_pdf) -> per-segment top-k pdf."""
+
+    def kernel(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if len(blocks) == 0 or len(norms) == 0:
+            return empty
+        nd = norms["docid"].to_numpy()
+        order = np.argsort(nd)
+        nd = nd[order]
+        ndl = norms["dl"].to_numpy().astype(np.float64)[order]
+
+        def dl_of(docids: np.ndarray) -> np.ndarray:
+            return ndl[np.searchsorted(nd, docids)]
+
+        def decode(rows: pd.DataFrame):
+            ds, ts = [], []
+            for r in rows.itertuples(index=False):
+                d, t = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
+                ds.append(d)
+                ts.append(t)
+            d = np.concatenate(ds)
+            t = np.concatenate(ts).astype(np.float64)
+            o = np.argsort(d, kind="stable")
+            return d[o], t[o]
+
+        def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
+            o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
+            return pd.DataFrame({"docid": docids[o], "score": scores[o]})
+
+        if mode == "term":
+            (tid, (w, boost)) = next(iter(qmeta.items()))
+            sub = blocks[blocks["term_id"] == tid]
+            if len(sub) == 0:
+                return empty
+            # block-max top-k: process blocks in descending max-score
+            # order; stop when the kth best so far beats every remaining
+            # block's upper bound.  Exact: a doc's whole score for a
+            # single-term query lives in exactly one block.
+            sub = sub.sort_values("block_max_score", ascending=False)
+            theta = -np.inf
+            seen = 0
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for r in sub.itertuples(index=False):
+                if seen >= k and boost * r.block_max_score <= theta:
+                    break  # all remaining blocks are upper-bounded below θ
+                d, t = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
+                s = w * _tfc(t.astype(np.float64), dl_of(d), avgdl)
+                out_d.append(d)
+                out_s.append(s)
+                seen += d.size
+                if seen >= k:
+                    flat = np.concatenate(out_s)
+                    theta = np.partition(flat, flat.size - k)[flat.size - k]
+            return topk(np.concatenate(out_d), np.concatenate(out_s))
+
+        if mode == "and":
+            # rarest term first (fewest postings in this segment)
+            sizes = blocks.groupby("term_id")["count"].sum()
+            if len(sizes) < len(qmeta):
+                return empty  # a must-term has no postings in this segment
+            t_order = list(sizes.sort_values().index)
+            rsub = blocks[blocks["term_id"] == t_order[0]]
+            cand_d, cand_t = decode(rsub)
+            w, _ = qmeta[t_order[0]]
+            acc = w * _tfc(cand_t, dl_of(cand_d), avgdl)
+            for tid in t_order[1:]:
+                sub = blocks[blocks["term_id"] == tid]
+                # block-granular leapfrog: skip blocks whose
+                # [first_docid, last_docid] range holds no candidate
+                lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(), "left")
+                hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(), "right")
+                sub = sub[hi > lo]
+                if len(sub) == 0:
+                    return empty
+                d, t = decode(sub)
+                w, _ = qmeta[tid]
+                pos = np.searchsorted(d, cand_d)
+                pos = np.clip(pos, 0, d.size - 1)
+                hit = d[pos] == cand_d
+                if not hit.any():
+                    return empty
+                cand_d = cand_d[hit]
+                acc = acc[hit] + w * _tfc(t[pos[hit]], dl_of(cand_d), avgdl)
+            return topk(cand_d, acc)
+
+        # mode == "or": dense accumulator over the segment's docid range
+        # (bounded by segment_size — a small flat array)
+        base = (int(nd.min()) // segment_size) * segment_size
+        acc = np.zeros(segment_size, dtype=np.float64)
+        cnt = np.zeros(segment_size, dtype=np.int32)
+        for tid, (w, _boost) in qmeta.items():
+            sub = blocks[blocks["term_id"] == tid]
+            if len(sub) == 0:
+                continue
+            d, t = decode(sub)
+            off = d - base
+            acc[off] += w * _tfc(t, dl_of(d), avgdl)
+            cnt[off] += 1
+        ok = np.flatnonzero(cnt >= max(msm, 1))
+        if ok.size == 0:
+            return empty
+        return topk(ok + base, acc[ok])
+
+    return kernel
+
+
+def wand_candidates(
+    index: BzzzIndex, node: ast.Query, k: int
+) -> DataFrame | None:
+    """Per-segment top-k (docid, score) for flat shapes, else None."""
+    shape = classify(node)
+    if shape is None:
+        return None
+    mode, terms, msm, _boost = shape
+    vals = [v for v, _ in terms]
+    if len(set(vals)) != len(vals):
+        return None  # repeated terms would collapse in qmeta — fall back
+    spark = index.docs.sparkSession
+    n_docs, avgdl = index.scalar_stats()
+    if n_docs == 0 or avgdl == 0:
+        return spark.createDataFrame([], "docid long, score double")
+    rows = index.dictionary.filter(F.col("term").isin(vals)).select(
+        "term", "term_id", "df"
+    ).collect()
+    meta = {r["term"]: (r["term_id"], r["df"]) for r in rows}
+    if mode == "and" and len(meta) < len(terms):
+        return spark.createDataFrame([], "docid long, score double")
+    qmeta = {}
+    for v, boost in terms:
+        if v in meta:
+            tid, df = meta[v]
+            qmeta[tid] = (idf_fn(n_docs, df) * boost, boost)
+    if not qmeta:
+        return spark.createDataFrame([], "docid long, score double")
+
+    blocks = index.postings.filter(
+        F.col("term_id").isin([int(t) for t in qmeta])
+    )
+    seg_size = index.config.segment_size
+    norms = index.docs.select(
+        "docid", "dl", (F.col("docid") / seg_size).cast("int").alias("segment")
+    )
+    # only ship norms for segments that actually hold query blocks
+    segs = blocks.select("segment").distinct()
+    norms = norms.join(F.broadcast(segs), "segment", "left_semi")
+    kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size)
+    return (
+        blocks.groupby("segment")
+        .cogroup(norms.groupby("segment"))
+        .applyInPandas(lambda b, n: kernel(b, n), schema="docid long, score double")
+    )
+
+
+def wand_search(
+    index: BzzzIndex, node: ast.Query, size: int = 20, page: int = 0
+) -> DataFrame | None:
+    """Top-k via the block-max path; None if the shape is unsupported."""
+    k = page * size + size
+    cand = wand_candidates(index, node, k)
+    if cand is None:
+        return None
+    top = cand.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    if page > 0:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+        top = (
+            top.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > page * size)
+            .drop("__rn")
+        )
+    return top
