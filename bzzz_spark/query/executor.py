@@ -352,6 +352,62 @@ def total_hits(index: BzzzIndex, query) -> int:
     return execute(index, query).count()
 
 
+def _sort_exprs(sort: list) -> list:
+    """Sort spec → orderBy columns (reference T3/T4: typed field sorts,
+    `_score`/`_doc` specials, reverse flag, expression sorts —
+    src/bzzz/expr.clj:12-59, index_search.clj:96-103).  Spec items:
+    "field" | ("field", "asc"|"desc") | {"expression": sql, "order": ...}.
+    A trailing docid tie-break keeps every ordering total and
+    deterministic (the north rule's rank stability)."""
+    cols = []
+    for s in sort:
+        order = "asc"
+        if isinstance(s, tuple):
+            name, order = s
+            c = F.col("_score") if name == "_score" else (
+                F.col("docid") if name == "_doc" else F.col(name)
+            )
+        elif isinstance(s, dict):
+            c = F.expr(s["expression"])
+            order = s.get("order", "asc")
+        else:
+            name = s
+            c = F.col("_score") if name == "_score" else (
+                F.col("docid") if name == "_doc" else F.col(name)
+            )
+        cols.append(c.desc_nulls_last() if order == "desc" else c.asc_nulls_last())
+    cols.append(F.col("docid").asc())
+    return cols
+
+
+def sorted_search(
+    index: BzzzIndex,
+    query: ast.Query | dict | str,
+    sort: list,
+    size: int = 20,
+    page: int = 0,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Top-k by arbitrary sort keys instead of score (reference T3/T4).
+    The matched set is joined with stored doc columns so field and
+    expression sorts can reference them; `_score` refers to the BM25
+    score of the match."""
+    matched = execute(index, query).withColumnRenamed("score", "_score")
+    joined = matched.join(index.docs, "docid")
+    exprs = _sort_exprs(sort)
+    k = page * size + size
+    top = joined.orderBy(*exprs).limit(k)
+    if page > 0:
+        w = Window.orderBy(*exprs)
+        top = (
+            top.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > page * size)
+            .drop("__rn")
+        )
+    keep = ["docid", "_score"] + (fields or [])
+    return top.select(*keep).withColumnRenamed("_score", "score")
+
+
 def facet_counts(
     index: BzzzIndex, query, facet_field: str, size: int = 20
 ) -> DataFrame:
