@@ -252,6 +252,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ivf_topk(emb, qs, k=5, nlist=8, nprobe=8)
 
+    # --- events table: log-search over a derived text column ---
+    def _events_index(spark, sf):
+        key = (id(spark), sf, "events")
+        if key not in _IDX_CACHE:
+            ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+                "etext", F.concat_ws(" ", F.col("event_type"), F.col("props"))
+            )
+            idx = build_index(
+                ev,
+                IndexConfig(key_cols=("event_id",), text_col="etext",
+                            ts_col=None, segment_size=4096),
+            )
+            idx.docs.cache().count()
+            idx.dictionary.cache().count()
+            idx.postings.cache().count()
+            _IDX_CACHE[key] = idx
+        return _IDX_CACHE[key]
+
+    def e_term_topk(spark, sf):
+        return _hits(_events_index(spark, sf), ast.Term("error"), size=10)
+
+    def e_range_filtered(spark, sf):
+        node = ast.Filtered(
+            query=ast.Term("click"), filter=ast.Range("value", min=5.0, max=50.0)
+        )
+        return _hits(_events_index(spark, sf), node, size=10)
+
+    def e_facet_type(spark, sf):
+        return facet_counts(
+            _events_index(spark, sf), ast.Range("value", min=20.0), "event_type",
+            size=10,
+        )
+
     def t_text_profile(spark, sf):
         return text_profile(_documents(spark, sf))
 
@@ -281,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_jaccard=d_jaccard, d_simhash=d_simhash,
         s_cosine_topk=s_cosine_topk, s_ivf_topk_fullprobe=s_ivf_topk_fullprobe,
         t_text_profile=t_text_profile, t_tokens_by_source=t_tokens_by_source,
+        e_term_topk=e_term_topk, e_range_filtered=e_range_filtered,
+        e_facet_type=e_facet_type,
     )
     return q
 
@@ -516,6 +551,45 @@ SELECT query_id, vec_id, cos, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5"""
+
+    ev_base = f"""
+WITH ev AS (
+  SELECT row_number() OVER (ORDER BY event_id) - 1 AS doc_id,
+         event_type, value,
+         concat_ws(' ', event_type, props) AS text
+  FROM events
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS term
+  FROM ev
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT e.doc_id, coalesce(t.dl, 0) AS dl
+  FROM ev e
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) t USING (doc_id)
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+"""
+    o["e_term_topk"] = (
+        f"{ev_base}, {_term_scores(['error'])}\n"
+        + _topk("SELECT doc_id, score FROM scores", 10)
+    )
+    o["e_range_filtered"] = (
+        f"{ev_base}, {_term_scores(['click'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score FROM scores s JOIN ev ON ev.doc_id = s.doc_id "
+            "WHERE ev.value BETWEEN 5.0 AND 50.0",
+            10,
+        )
+    )
+    o["e_facet_type"] = f"""{ev_base}
+SELECT event_type, count(*) AS cnt FROM ev
+WHERE value >= 20.0
+GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10"""
 
     mean_wl = (
         f"CASE WHEN len({toks}) > 0 THEN "

@@ -25,15 +25,22 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    nb = np.ones(v.size, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nb += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    return nb
+
+
 def encode_varints(values: np.ndarray) -> bytes:
     """LEB128-encode a 1-D array of non-negative int64/uint64 values."""
     v = np.asarray(values).astype(np.uint64, copy=False)
     if v.size == 0:
         return b""
     # bytes needed per value: one 7-bit group minimum, +1 per set group above
-    nb = np.ones(v.size, dtype=np.int64)
-    for shift in range(7, 64, 7):
-        nb += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    nb = varint_lengths(v)
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)

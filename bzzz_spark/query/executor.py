@@ -325,7 +325,7 @@ def search(
     (cross-checked in tests/test_wand.py)."""
     node = query if isinstance(query, ast.Query) else ast.parse_query(query)
     top = None
-    if use_wand:
+    if use_wand and index.wand_safe:
         from bzzz_spark.query.wand import wand_search
 
         top = wand_search(index, node, size=size, page=page)

