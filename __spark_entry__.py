@@ -194,6 +194,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = ast.CustomScore(ast.Term("merge"), expression="sqrt(n_chars)")
         return _hits(_index(spark, sf), node, size=10)
 
+    def q_no_norm(spark, sf):
+        # Q16: length-norm disabled → BM25 with b = 0
+        return _hits(_index(spark, sf), ast.NoNorm(ast.Term("merge")), size=10)
+
+    def q_expr_score(spark, sf):
+        # Q13: score REPLACED by the expression (expr-score), not combined
+        node = ast.CustomScore(
+            ast.Term("merge"), expression="ln(1.0 + n_chars)", replace=True
+        )
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_random_score(spark, sf):
+        # Q14, pinned seed: score = base + md5-derived per-doc rand
+        node = ast.RandomScore(ast.Term("dup"), base=1.0, seed=7)
+        return _hits(_index(spark, sf), node, size=20)
+
+    def q_no_zero(spark, sf):
+        # Q15 over an expr-score that is 0 for short docs
+        node = ast.NoZeroScore(
+            ast.CustomScore(
+                ast.Term("merge"),
+                expression="greatest(cast(n_chars as double) - 300.0, 0.0)",
+                replace=True,
+            )
+        )
+        return _hits(_index(spark, sf), node, size=20)
+
+    def q_parser(spark, sf):
+        # Q9: Lucene-classic query-string syntax → AST → same executor
+        from bzzz_spark.query.parser import parse_query_string
+
+        node = parse_query_string("scan AND (dup OR window)")
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_sort_field(spark, sf):
+        # T3: top-k by stored field, not by score
+        from bzzz_spark.query.executor import sorted_search
+
+        return sorted_search(
+            _index(spark, sf), ast.Term("merge"), sort=[("n_chars", "desc")],
+            size=10, fields=["n_chars"],
+        ).select(F.col("docid").alias("doc_id"), "n_chars")
+
+    def q_sort_expr(spark, sf):
+        # T4: top-k by a SQL expression over stored fields
+        from bzzz_spark.query.executor import sorted_search
+
+        return sorted_search(
+            _index(spark, sf), ast.Term("scan"),
+            sort=[{"expression": "n_chars % 7", "order": "asc"}],
+            size=10, fields=["n_chars"],
+        ).select(F.col("docid").alias("doc_id"), "n_chars")
+
+    def q_explain(spark, sf):
+        # R3: per-hit per-term BM25 component breakdown
+        from bzzz_spark.query.explain import explain_search
+
+        node = ast.Bool(must=[ast.Term("scan"), ast.Term("agg")])
+        ex = explain_search(_index(spark, sf), node, size=5)
+        part = F.explode("_explain").alias("p")
+        return ex.select(F.col("docid").alias("doc_id"), part).select(
+            "doc_id",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+            F.round("p.idf", 4).alias("idf"),
+            F.round("p.term_score", 4).alias("term_score"),
+        )
+
+    def q_highlight(spark, sf):
+        # R2 (rows-only check: fragmenting is not SQL-expressible)
+        from bzzz_spark.query.highlight import search_with_highlight
+
+        hl = search_with_highlight(
+            _index(spark, sf), ast.Term("dup"), size=5, fragment_size=80
+        )
+        frag = F.explode("_highlight").alias("f")
+        return hl.select(F.col("docid").alias("doc_id"), frag).select(
+            "doc_id", "f.fragment", "f.start", "f.end",
+            F.col("f.score").alias("n_matches"),
+        )
+
     def q_facet_lang(spark, sf):
         return facet_counts(_index(spark, sf), ast.Term("dup"), "lang", size=10)
 
@@ -216,9 +297,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline operators ---
     def d_dedup_exact(spark, sf):
-        return exact_duplicates(_documents(spark, sf)).select(
+        # union a deterministic duplicate block so the check is
+        # non-vacuous (the synthetic corpus has no natural exact dups)
+        docs = _documents(spark, sf)
+        dups = docs.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        return exact_duplicates(docs.unionByName(dups)).select(
             "fp", "canonical_id", "n_dups"
         )
+
+    def d_near_dup_cosine(spark, sf):
+        # embedding-cosine near-dup; nlist=1 → exact all-pairs (the
+        # oracle-checkable configuration; nlist>1 is the scale path)
+        from bzzz_spark.functions.similarity import cosine_near_dup_pairs
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        # the synthetic embeddings have no true dups (max pairwise cos
+        # ≈ 0.51) — 0.45 keeps the check non-vacuous
+        return cosine_near_dup_pairs(emb, threshold=0.45, nlist=1)
 
     def d_minhash_lsh(spark, sf):
         return minhash_lsh_pairs(
@@ -285,6 +382,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=10,
         )
 
+    def a_edge_ngram(spark, sf):
+        # A6: edge-ngram tokenizer over a keyword-ish column
+        from bzzz_spark.analysis.analyzers import tok_edge_ngram
+
+        return (
+            _documents(spark, sf)
+            .select(F.explode(tok_edge_ngram(F.col("source"), 2, 4)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def a_ngram(spark, sf):
+        # A5: all character n-grams
+        from bzzz_spark.analysis.analyzers import tok_ngram
+
+        return (
+            _documents(spark, sf)
+            .select(F.explode(tok_ngram(F.col("lang"), 2, 3)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def _event_payloads(spark, sf):
+        # A9 shape: 'term|int' pairs — synthesized deterministically from
+        # the events table (event_type carries floor(value) as payload)
+        from bzzz_spark.analysis.payloads import delimited_payload_tokenize
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("event_id").alias("docid"),
+            F.concat(
+                F.col("event_type"), F.lit("|"),
+                F.floor("value").cast("int").cast("string"),
+            ).alias("ptext"),
+        )
+        return delimited_payload_tokenize(ev, text_col="ptext", id_col="docid")
+
+    def p_payload_score(spark, sf):
+        # Q17 deterministic subset: registered Python scoring fn over
+        # per-position payloads
+        from bzzz_spark.analysis.payloads import payload_score_search
+
+        hits, _ = payload_score_search(
+            _event_payloads(spark, sf), None, "click",
+            score_fn=lambda c: sum(
+                int.from_bytes(p, "big") for p in c["payloads"]
+            ),
+            size=10,
+        )
+        return hits.select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    def p_payload_buckets(spark, sf):
+        # F3: fixed-bucket aggregation filled from the scoring closure
+        from bzzz_spark.analysis.payloads import payload_score_search
+
+        def pay(c):
+            return sum(int.from_bytes(p, "big") for p in c["payloads"])
+
+        _, buckets = payload_score_search(
+            _event_payloads(spark, sf), None, "click",
+            score_fn=lambda c: float(pay(c)),
+            bucket_fn=lambda c: pay(c) % 8, n_buckets=8, size=10,
+        )
+        return buckets
+
+    def m_features(spark, sf):
+        # multimodal plumbing (rows-only check): binary payload →
+        # deterministic fake feature vector via Arrow-batched UDF
+        from bzzz_spark.functions.multimodal import attach_payload, extract_features
+
+        media = attach_payload(
+            _documents(spark, sf).filter(F.col("doc_id") < 50), "text", "doc_id"
+        )
+        return extract_features(media, feat_dim=8).select(
+            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        )
+
     def t_text_profile(spark, sf):
         return text_profile(_documents(spark, sf))
 
@@ -308,10 +483,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_match_all=q_match_all, q_paging=q_paging,
         q_constant_score=q_constant_score, q_dismax=q_dismax,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_custom_score=q_custom_score,
+        q_no_norm=q_no_norm, q_expr_score=q_expr_score,
+        q_random_score=q_random_score, q_no_zero=q_no_zero, q_parser=q_parser,
+        q_sort_field=q_sort_field, q_sort_expr=q_sort_expr,
+        q_explain=q_explain, q_highlight=q_highlight,
         q_facet_lang=q_facet_lang, q_facet_source=q_facet_source,
         q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
-        d_dedup_exact=d_dedup_exact, d_minhash_lsh=d_minhash_lsh,
+        d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
+        d_minhash_lsh=d_minhash_lsh,
         d_jaccard=d_jaccard, d_simhash=d_simhash,
+        a_edge_ngram=a_edge_ngram, a_ngram=a_ngram,
+        p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
+        m_features=m_features,
         s_cosine_topk=s_cosine_topk, s_ivf_topk_fullprobe=s_ivf_topk_fullprobe,
         t_text_profile=t_text_profile, t_tokens_by_source=t_tokens_by_source,
         e_term_topk=e_term_topk, e_range_filtered=e_range_filtered,
@@ -480,6 +663,73 @@ def oracle_sql() -> dict[str, str]:
             10,
         )
     )
+    # Q16: BM25 with the length-norm factor pinned to 1 (b = 0)
+    nn_score = (
+        f"ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5)) * "
+        f"(tf.tf * {K1P1} / (tf.tf + {BM25_K1}))"
+    )
+    o["q_no_norm"] = f"""{_BASE},
+scores AS (
+  SELECT tf.doc_id, sum({nn_score}) AS score
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  WHERE tf.term = 'merge' GROUP BY tf.doc_id
+)
+{_topk('SELECT doc_id, score FROM scores', 10)}"""
+    o["q_expr_score"] = f"""{_BASE}
+{_topk("SELECT tf.doc_id, ln(1.0 + d.n_chars) AS score "
+       "FROM tf JOIN documents d ON d.doc_id = tf.doc_id "
+       "WHERE tf.term = 'merge'", 10)}"""
+    o["q_random_score"] = f"""{_BASE},
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+{_topk("SELECT doc_id, 1.0 + ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT "
+       "/ 4294967296.0 AS score FROM matched", 20)}"""
+    o["q_no_zero"] = f"""{_BASE}
+{_topk("SELECT tf.doc_id, greatest(d.n_chars::DOUBLE - 300.0, 0.0) AS score "
+       "FROM tf JOIN documents d ON d.doc_id = tf.doc_id "
+       "WHERE tf.term = 'merge' "
+       "AND greatest(d.n_chars::DOUBLE - 300.0, 0.0) <> 0.0", 20)}"""
+    o["q_parser"] = f"""{_BASE},
+ts AS (
+  SELECT tf.doc_id, tf.term, {_score_expr()} AS s
+  FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ('scan', 'dup', 'window')
+),
+agg AS (
+  SELECT doc_id, sum(s) AS score,
+         max(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS has_must,
+         max(CASE WHEN term IN ('dup', 'window') THEN 1 ELSE 0 END) AS has_should
+  FROM ts GROUP BY doc_id
+)
+{_topk("SELECT doc_id, score FROM agg WHERE has_must = 1 AND has_should = 1", 10)}"""
+    o["q_sort_field"] = f"""{_BASE}
+SELECT doc_id, n_chars FROM (
+  SELECT d.doc_id, d.n_chars,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+) WHERE rn <= 10"""
+    o["q_sort_expr"] = f"""{_BASE}
+SELECT doc_id, n_chars FROM (
+  SELECT d.doc_id, d.n_chars,
+         row_number() OVER (ORDER BY d.n_chars % 7 ASC, d.doc_id) AS rn
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'scan')
+) WHERE rn <= 10"""
+    o["q_explain"] = f"""{_BASE}, {_term_scores(['scan', 'agg'])},
+top AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM scores WHERE nmatch = 2
+  ) WHERE rn <= 5
+)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5)), 4) AS idf,
+       round({_score_expr()}, 4) AS term_score
+FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+WHERE tf.term IN ('scan', 'agg') AND tf.doc_id IN (SELECT doc_id FROM top)"""
+
     o["q_facet_lang"] = f"""{_BASE}
 SELECT lang, count(*) AS cnt FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
@@ -500,9 +750,50 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        round((SELECT avgdl FROM stats), 6) AS avgdl"""
 
     o["d_dedup_exact"] = """
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+)
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS canonical_id, count(*) AS n_dups
-FROM documents GROUP BY 1 HAVING count(*) >= 2"""
+FROM alldocs GROUP BY 1 HAVING count(*) >= 2"""
+    o["d_near_dup_cosine"] = """
+WITH comp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos
+  FROM comp GROUP BY 1, 2
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45"""
+    o["a_edge_ngram"] = """
+SELECT gram, count(*) AS cnt FROM (
+  SELECT substr(source, 1, n) AS gram
+  FROM documents, (SELECT unnest(generate_series(2, 4)) AS n) ns
+  WHERE length(source) >= n
+) GROUP BY gram"""
+    o["a_ngram"] = """
+SELECT gram, count(*) AS cnt FROM (
+  SELECT substr(lang, i, n) AS gram
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(2, 3)) AS n) ns
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) pos
+  WHERE i + n - 1 <= length(lang)
+) GROUP BY gram"""
+    o["p_payload_score"] = """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT event_id AS doc_id, floor(value)::DOUBLE AS score,
+         row_number() OVER (ORDER BY floor(value) DESC, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+) WHERE rn <= 10"""
+    o["p_payload_buckets"] = """
+SELECT floor(value)::INT % 8 AS bucket, count(*) AS cnt
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY bucket"""
     o["d_minhash_lsh"] = _minhash_sql(8, 4)
     o["d_jaccard"] = f"""WITH {_shingle_cte(3)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -72,16 +72,19 @@ def tok_ngram(col: Column, min_gram: int, max_gram: int) -> Column:
     Lucene's NGramTokenizer output set (order is irrelevant to the index,
     which aggregates to (term, tf)).
     """
+    empty = F.array().cast("array<string>")
     return F.flatten(
         F.transform(
             F.sequence(F.lit(min_gram), F.lit(max_gram)),
-            lambda n: F.filter(
+            # guard: F.sequence(1, end) DESCENDS when end < 1, which
+            # would duplicate grams for values shorter than n
+            lambda n: F.when(
+                F.length(col) >= n,
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length(col) - n + 1, F.lit(0))),
+                    F.sequence(F.lit(1), F.length(col) - n + 1),
                     lambda i: F.substring(col, i, n),
                 ),
-                lambda t: F.length(t) > 0,
-            ),
+            ).otherwise(empty),
         )
     )
 

@@ -117,6 +117,15 @@ class NoZeroScore(Query):
 
 
 @dataclass
+class NoNorm(Query):
+    """Disable length normalization in the subtree's scoring (reference
+    Q16: src/bzzz/queries/no_norm.clj:5-12, NoNormQuery.java:31 —
+    normalize(1, boost)).  In BM25 terms: b = 0 for Terms below here."""
+
+    query: Query
+
+
+@dataclass
 class RandomScore(Query):
     query: Query
     base: float = 0.0
@@ -216,6 +225,8 @@ def parse_query(spec) -> Query:
         )
     if kind == "no-zero-score":
         return NoZeroScore(query=parse_query(body["query"]))
+    if kind == "no-norm":
+        return NoNorm(query=parse_query(body["query"]))
     if kind == "random-score":
         return RandomScore(
             query=parse_query(body["query"]),
@@ -260,7 +271,9 @@ def collect_terms(node: Query) -> list[str]:
                 walk(c)
         elif isinstance(n, Filtered):
             walk(n.query), walk(n.filter)
-        elif isinstance(n, (ConstantScore, NoZeroScore, RandomScore, CustomScore)):
+        elif isinstance(
+            n, (ConstantScore, NoZeroScore, NoNorm, RandomScore, CustomScore)
+        ):
             walk(n.query)
         elif isinstance(n, DisMax):
             for c in n.queries:

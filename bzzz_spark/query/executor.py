@@ -117,12 +117,22 @@ class _Ctx:
                         float(self.n_docs), self.avgdl,
                     ),
                 )
-                .select("term", "docid", "score")
+                # no-norm variant (Q16): dl := avgdl makes the BM25
+                # length-norm factor 1, i.e. b = 0
+                .withColumn(
+                    "score_nn",
+                    score_col(
+                        F.col("tf"), F.lit(self.avgdl), F.col("df"),
+                        float(self.n_docs), self.avgdl,
+                    ),
+                )
+                .select("term", "docid", "score", "score_nn")
             )
         else:
             self.scored = spark.createDataFrame(
-                [], "term string, docid long, score double"
+                [], "term string, docid long, score double, score_nn double"
             )
+        self.use_nonorm = False
 
     def empty(self) -> DataFrame:
         return self.index.docs.sparkSession.createDataFrame(
@@ -147,8 +157,8 @@ def _collect_multiterm(node: ast.Query) -> list:
                 walk(c)
         elif isinstance(n, ast.Filtered):
             walk(n.query), walk(n.filter)
-        elif isinstance(n, (ast.ConstantScore, ast.NoZeroScore, ast.RandomScore,
-                            ast.CustomScore)):
+        elif isinstance(n, (ast.ConstantScore, ast.NoZeroScore, ast.NoNorm,
+                            ast.RandomScore, ast.CustomScore)):
             walk(n.query)
         elif isinstance(n, ast.DisMax):
             for c in n.queries:
@@ -173,8 +183,9 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
     if isinstance(node, ast.Term):
         if node.value not in ctx.term_meta:
             return ctx.empty()
+        sc = "score_nn" if ctx.use_nonorm else "score"
         return ctx.scored.filter(F.col("term") == node.value).select(
-            "docid", (F.col("score") * node.boost).alias("score")
+            "docid", (F.col(sc) * node.boost).alias("score")
         )
     if isinstance(node, ast.MatchAll):
         return docs.select("docid", F.lit(float(node.boost)).alias("score"))
@@ -276,6 +287,13 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
         )
     if isinstance(node, ast.NoZeroScore):
         return _execute(node.query, ctx).filter(F.col("score") != 0.0)
+    if isinstance(node, ast.NoNorm):
+        prev = ctx.use_nonorm
+        ctx.use_nonorm = True
+        try:
+            return _execute(node.query, ctx)
+        finally:
+            ctx.use_nonorm = prev
     if isinstance(node, ast.RandomScore):
         sub = _execute(node.query, ctx)
         # portable md5-based rand — identical in the Python oracle and in

@@ -3,34 +3,59 @@ efficiency between N and 4N executors).
 
 No real cluster exists in this sandbox, so the same index build runs at
 two parallelism levels — local[N] and local[4N] — on the identical
-synthetic transcript corpus, in separate subprocesses (one SparkContext
-each).  Efficiency = (throughput@4N / throughput@N) / 4.
+input, in separate subprocesses (one SparkContext each).
+Efficiency = (throughput@4N / throughput@N) / 4.
+
+Measurement discipline (this box is a shared-host VM with bursty
+neighbor load — identical stages were observed to vary several-fold
+between runs):
+  * the corpus is materialized ONCE to parquet and every worker reads
+    the same files, so generation cost and plan differences are outside
+    the timed region (it also matches the north rule's input shape: the
+    build consumes a table, it does not synthesize data);
+  * N- and 4N-runs ALTERNATE, `--reps` times each, and each level is
+    scored by its fastest run (min wall time) — under additive external
+    noise the minimum is the consistent estimator of the machine's true
+    capability at that parallelism.
 
 Usage:
-  python tools/scaling_bench.py                 # N=8 vs 32, 400k turns
-  BZZZ_SCALING_TURNS=1000000 python tools/scaling_bench.py
-  python tools/scaling_bench.py --worker 8 400000   # internal
+  python tools/scaling_bench.py                    # 8 vs 32, 400k turns
+  BZZZ_SCALING_TURNS=1000000 BZZZ_SCALING_REPS=3 python tools/scaling_bench.py
+  python tools/scaling_bench.py --worker 8 /tmp/corpus   # internal
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def worker(cpus: int, n_turns: int) -> None:
-    from bzzz_spark.build.indexer import IndexConfig, build_index
+def generate(path: str, n_turns: int) -> None:
     from bzzz_spark.fixtures import synth_transcripts_spark
     from bzzz_spark.session import get_spark
 
+    spark = get_spark("scaling-gen", cpus=32, shuffle_partitions=32)
+    synth_transcripts_spark(spark, n_turns, parallelism=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def worker(cpus: int, corpus: str) -> None:
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.session import get_spark
+
     spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    df = synth_transcripts_spark(spark, n_turns, parallelism=cpus)
+    df = spark.read.parquet(corpus)
+    n_turns = df.count()  # warm the file-listing/footer caches, untimed
     cfg = IndexConfig(segment_size=1 << 15, num_partitions=cpus)
     t0 = time.perf_counter()
     idx = build_index(df, cfg)
@@ -50,10 +75,9 @@ def worker(cpus: int, n_turns: int) -> None:
     )
 
 
-def run_worker(cpus: int, n_turns: int) -> dict:
+def run_worker(cpus: int, corpus: str) -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus),
-         str(n_turns)],
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), corpus],
         capture_output=True, text=True, timeout=3000, cwd=REPO,
     )
     for line in out.stdout.splitlines():
@@ -66,24 +90,38 @@ def run_worker(cpus: int, n_turns: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+        worker(int(sys.argv[2]), sys.argv[3])
         return
     n_turns = int(os.environ.get("BZZZ_SCALING_TURNS", "400000"))
     n_small = int(os.environ.get("BZZZ_SCALING_N", "8"))
+    reps = int(os.environ.get("BZZZ_SCALING_REPS", "3"))
     n_big = 4 * n_small
-    small = run_worker(n_small, n_turns)
-    big = run_worker(n_big, n_turns)
-    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / (n_big / n_small)
-    result = {
-        "metric": "index-build scaling efficiency N->4N (local mode)",
-        "n_small": n_small, "n_big": n_big, "turns": n_turns,
-        "small": small, "big": big,
-        "speedup": round(big["turns_per_sec"] / small["turns_per_sec"], 3),
-        "efficiency": round(eff, 3),
-        "target": 0.8,
-        "pass": eff >= 0.8,
-    }
-    print(json.dumps(result))
+
+    corpus = tempfile.mkdtemp(prefix="bzzz_scaling_corpus_")
+    try:
+        generate(corpus, n_turns)
+        runs: dict[int, list[dict]] = {n_small: [], n_big: []}
+        for _ in range(reps):
+            for cpus in (n_small, n_big):  # alternate to cancel host drift
+                runs[cpus].append(run_worker(cpus, corpus))
+        small = min(runs[n_small], key=lambda r: r["sec"])
+        big = min(runs[n_big], key=lambda r: r["sec"])
+        eff = (big["turns_per_sec"] / small["turns_per_sec"]) / (n_big / n_small)
+        result = {
+            "metric": "index-build scaling efficiency N->4N (local mode)",
+            "n_small": n_small, "n_big": n_big, "turns": n_turns,
+            "reps": reps,
+            "small": small, "big": big,
+            "small_secs": [r["sec"] for r in runs[n_small]],
+            "big_secs": [r["sec"] for r in runs[n_big]],
+            "speedup": round(big["turns_per_sec"] / small["turns_per_sec"], 3),
+            "efficiency": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
 
 
 if __name__ == "__main__":
