@@ -63,6 +63,18 @@ class IndexConfig:
     segment_size: int = 1 << 16
     num_partitions: int | None = None
     store_text: bool = True
+    # posting-merge strategy:
+    #   "aligned" — segments are aligned to the docs frame's partitions
+    #     (docids are per-partition contiguous after assign_sequential_ids),
+    #     so posting rows never shuffle: tokenize → explode →
+    #     broadcast-join dictionary → sortWithinPartitions → encode, all
+    #     narrow.  Requires the dictionary to fit in a broadcast
+    #     (fine to ~tens of millions of terms).
+    #   "shuffle" — classic term-partitioned shuffle merge; works for
+    #     unbounded vocabularies and docs read back from parquet whose
+    #     partition layout is file-split-dependent (the checkpointed
+    #     build uses this so resumed chunks stay bit-identical).
+    merge_mode: str = "aligned"
     # schema mapping — defaults are the transcript shape from the build
     # spec; any table with a unique key + a text column can be indexed
     # (e.g. key_cols=("doc_id",) for the documents table)
@@ -287,11 +299,86 @@ def build_posting_rows(
 def encode_postings(
     posting_rows: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig
 ) -> DataFrame:
+    """Term-partitioned shuffle merge (merge_mode="shuffle").
+
+    Handles unbounded vocabularies; the price is a full shuffle of the
+    (term, doc) pair stream, which measured as the build's dominant
+    I/O cost (shuffle-write contention at high thread counts)."""
     spark = posting_rows.sparkSession
     n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
     arranged = posting_rows.repartition(
         n_part, "term_id", "segment"
     ).sortWithinPartitions("term_id", "segment", "docid")
+    return arranged.mapInPandas(
+        _make_block_encoder(n_docs, avgdl, cfg), schema=POSTINGS_SCHEMA
+    )
+
+
+def _aligned_segment_col(parts: list, segment_size: int):
+    """segment = seg_base[pid] + (docid - doc_lo[pid]) // segment_size,
+    from the per-partition (pid, lo, cnt) rows.  Valid on any frame
+    derived NARROWLY from the docs frame (partition ids preserved)."""
+    seg_base, lo_map, acc = {}, {}, 0
+    for r in sorted(parts, key=lambda r: r["pid"]):
+        seg_base[r["pid"]] = acc
+        lo_map[r["pid"]] = int(r["lo"])
+        acc += -(-int(r["cnt"]) // segment_size)  # ceil
+    pid = F.spark_partition_id()
+    base_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(seg_base.items()) for x in kv]),
+        pid,
+    )
+    lo_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(lo_map.items()) for x in kv]),
+        pid,
+    )
+    return (
+        base_expr + F.floor((F.col("docid") - lo_expr) / segment_size)
+    ).cast("int")
+
+
+def collect_doc_partitions(docs: DataFrame) -> list:
+    """One row per partition: (pid, lo=min docid, cnt) — docids are
+    contiguous per partition by construction (assign_sequential_ids)."""
+    return (
+        docs.select(F.spark_partition_id().alias("pid"), "docid")
+        .groupBy("pid")
+        .agg(F.min("docid").alias("lo"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+
+
+def encode_postings_aligned(
+    parts: list,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: IndexConfig,
+) -> DataFrame:
+    """Shuffle-free posting encode (merge_mode="aligned").
+
+    assign_sequential_ids leaves docids CONTIGUOUS per partition
+    (docid = partition_offset + local_rank), so defining segments
+    relative to each partition's offset makes every segment wholly
+    owned by one partition.  The pair stream then never shuffles:
+
+      tf (narrow from docs) → broadcast-join dictionary (term_id, df)
+        → segment = seg_base[pid] + (docid - doc_lo[pid]) // segment_size
+        → sortWithinPartitions(term_id, segment, docid) → Arrow encoder
+
+    The only wide ops left in the whole build are the docid range
+    shuffle (3M doc rows, not 75M pair rows) and the tiny dictionary
+    aggregation.  Segment numbering differs from the shuffle path
+    (per-partition tails may be short); nothing query-visible depends
+    on it — blocks carry their own first/last docid bounds.
+    """
+    rows = (
+        tf.withColumn("segment", _aligned_segment_col(parts, cfg.segment_size))
+        .join(F.broadcast(dictionary.select("term", "term_id", "df")), "term")
+        .select("term_id", "segment", "docid", "tf", "dl", "df")
+    )
+    arranged = rows.sortWithinPartitions("term_id", "segment", "docid")
     return arranged.mapInPandas(
         _make_block_encoder(n_docs, avgdl, cfg), schema=POSTINGS_SCHEMA
     )
@@ -320,8 +407,20 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     tf = build_tf(docs).persist()
     dictionary = build_dictionary(tf, cfg)
     dictionary.cache()
-    posting_rows = build_posting_rows(tf, dictionary, cfg)
-    postings = encode_postings(posting_rows, n_docs, avgdl, cfg)
+    if cfg.merge_mode == "aligned":
+        parts = collect_doc_partitions(docs)
+        postings = encode_postings_aligned(parts, tf, dictionary, n_docs, avgdl, cfg)
+        # docs carry their segment so the query side never needs the
+        # docid//segment_size formula (which aligned numbering breaks)
+        docs = docs.withColumn(
+            "segment", _aligned_segment_col(parts, cfg.segment_size)
+        )
+    else:
+        posting_rows = build_posting_rows(tf, dictionary, cfg)
+        postings = encode_postings(posting_rows, n_docs, avgdl, cfg)
+        docs = docs.withColumn(
+            "segment", (F.col("docid") / cfg.segment_size).cast("int")
+        )
     stats = docs.sparkSession.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
     )

@@ -94,86 +94,84 @@ def to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — deterministic, partition-independent."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def synth_transcripts_spark(
     spark: SparkSession, n_turns: int, seed: int = 42, parallelism: int | None = None
 ) -> DataFrame:
     """Bench-scale transcripts generated fully distributed.
 
-    Every value is a deterministic function of (row id, seed) via
-    xxhash64 — no RNG state, no driver memory, embarrassingly parallel.
-    ~8 turns/conv; 3–60 zipfian tokens per turn.
+    Every value is a deterministic function of (row id, seed) via a
+    vectorized splitmix64 inside mapInPandas — no RNG state, no driver
+    memory, embarrassingly parallel, identical output under any
+    partitioning.  ~8 turns/conv; 3–60 zipfian tokens per turn.
+    (An earlier all-column-expression version was ~10× slower: the
+    per-token 31-literal array build never constant-folds inside a
+    higher-order-function lambda.)
     """
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
     n_part = parallelism or spark.sparkContext.defaultParallelism
     df = spark.range(0, n_turns, 1, n_part)
-    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)))  # noqa: E731
-    n_tok = (h("ntok") % 58 + 3).cast("int")
-    # token j: u = hash(id, j) ∈ [0,1) → zipf-ish rank = floor(V ** (u ** 1.35));
-    # ranks 1..len(HEAD_TERMS) hit the head array, all deeper ranks map to
-    # the formatted body token (element len+1 of the lookup array).
-    tokens = F.transform(
-        F.sequence(F.lit(1), n_tok),
-        lambda j: F.element_at(
-            F.array(
-                *[F.lit(t) for t in HEAD_TERMS],
-                F.format_string(
-                    "tok%05d",
-                    F.least(
-                        F.lit(N_BODY_TERMS),
-                        F.greatest(
-                            F.lit(1),
-                            F.floor(
-                                F.pow(
-                                    F.lit(float(N_BODY_TERMS)),
-                                    F.pow(
-                                        (
-                                            F.abs(
-                                                F.xxhash64(
-                                                    F.col("id"), F.lit(seed), j
-                                                )
-                                            )
-                                            % 1000000
-                                        )
-                                        / 1000000.0,
-                                        F.lit(1.35),
-                                    ),
-                                )
-                            ).cast("int"),
-                        ),
-                    ),
-                ).alias("body"),
-            ),
-            F.least(
-                F.greatest(
-                    F.lit(1),
-                    F.floor(
-                        F.pow(
-                            F.lit(float(N_BODY_TERMS)),
-                            F.pow(
-                                (
-                                    F.abs(F.xxhash64(F.col("id"), F.lit(seed), j))
-                                    % 1000000
-                                )
-                                / 1000000.0,
-                                F.lit(1.35),
-                            ),
-                        )
-                    ).cast("int"),
-                ),
-                F.lit(len(HEAD_TERMS) + 1),
-            ).cast("int"),
-        ),
+    v = N_BODY_TERMS
+    # rank → token string lookup (rank 1..len(HEAD) = head terms)
+    tbl = np.array(
+        ["", *HEAD_TERMS]
+        + [f"tok{r:05d}" for r in range(len(HEAD_TERMS) + 1, v + 1)],
+        dtype=object,
     )
-    return df.select(
-        F.format_string("conv%09d", (F.col("id") / 8).cast("long")).alias("conv_id"),
-        (F.col("id") % 8).cast("int").alias("turn_idx"),
-        F.element_at(
-            F.array(*[F.lit(r) for r in ROLES]), (h("role") % 3 + 1).cast("int")
-        ).alias("role"),
-        F.array_join(tokens, " ").alias("text"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in TOOLS]), (h("tool") % 4 + 1).cast("int")
-        ).alias("tool"),
-        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(
-            secs=F.col("id").cast("double")
-        )).alias("ts"),
+    roles = np.array(ROLES, dtype=object)
+    tools = np.array(TOOLS, dtype=object)
+    seed64 = np.uint64(seed * 0x9E3779B9)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            n = len(ids)
+            with np.errstate(over="ignore"):
+                n_tok = (
+                    _splitmix64(ids * np.uint64(31) + seed64) % np.uint64(58)
+                ).astype(np.int64) + 3
+                offsets = np.concatenate(([0], np.cumsum(n_tok)))
+                total = int(offsets[-1])
+                rep_ids = np.repeat(ids, n_tok)
+                j = (np.arange(total, dtype=np.uint64)
+                     - np.repeat(offsets[:-1].astype(np.uint64), n_tok))
+                hv = _splitmix64(rep_ids * np.uint64(1000003) + j + seed64)
+            u = (hv % np.uint64(1000000)).astype(np.float64) / 1e6
+            ranks = np.clip(
+                np.floor(np.power(float(v), np.power(u, 1.35))).astype(np.int64),
+                1, v,
+            )
+            toks = tbl[ranks]
+            texts = [
+                " ".join(toks[offsets[i]:offsets[i + 1]]) for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": [f"conv{int(i) >> 3:09d}" for i in ids],
+                    "turn_idx": (ids % np.uint64(8)).astype(np.int32),
+                    "role": roles[
+                        (_splitmix64(ids + np.uint64(7)) % np.uint64(3)).astype(int)
+                    ],
+                    "text": texts,
+                    "tool": tools[
+                        (_splitmix64(ids + np.uint64(13)) % np.uint64(4)).astype(int)
+                    ],
+                    "ts": pd.Timestamp("2026-01-01")
+                    + pd.to_timedelta(ids.astype(np.int64), unit="s"),
+                }
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
     )

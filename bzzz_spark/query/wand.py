@@ -172,8 +172,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             return topk(cand_d, acc)
 
         # mode == "or": dense accumulator over the segment's docid range
-        # (bounded by segment_size — a small flat array)
-        base = (int(nd.min()) // segment_size) * segment_size
+        # (bounded by segment_size — a small flat array).  docids are
+        # dense and a segment's docids are contiguous in BOTH numbering
+        # schemes (aligned and docid//segment_size), so the segment's
+        # min docid present in norms IS its base.
+        base = int(nd.min())
         acc = np.zeros(segment_size, dtype=np.float64)
         cnt = np.zeros(segment_size, dtype=np.int32)
         for tid, (w, _boost) in qmeta.items():
@@ -225,9 +228,15 @@ def wand_candidates(
         F.col("term_id").isin([int(t) for t in qmeta])
     )
     seg_size = index.config.segment_size
-    norms = index.docs.select(
-        "docid", "dl", (F.col("docid") / seg_size).cast("int").alias("segment")
-    )
+    if "segment" in index.docs.columns:
+        # build stamped each doc's segment (required under aligned
+        # segment numbering, where docid//segment_size does not hold)
+        norms = index.docs.select("docid", "dl", "segment")
+    else:
+        # checkpoint-loaded indexes (shuffle mode): formula segments
+        norms = index.docs.select(
+            "docid", "dl", (F.col("docid") / seg_size).cast("int").alias("segment")
+        )
     # only ship norms for segments that actually hold query blocks
     segs = blocks.select("segment").distinct()
     norms = norms.join(F.broadcast(segs), "segment", "left_semi")

@@ -7,6 +7,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch space.
+
+    On real clusters this is node-local NVMe (spark.local.dir set by the
+    cluster manager).  This sandbox's virtio disk serializes concurrent
+    shuffle writers (measured 35× slower shuffle-write at 32 threads),
+    so default to tmpfs when it exists — the stand-in for fast local
+    disks.  Override with $BZZZ_LOCAL_DIR."""
+    env = os.environ.get("BZZZ_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        d = "/dev/shm/bzzz-spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
 def get_spark(
     app_name: str = "bzzz_spark",
     cpus: int | None = None,
@@ -34,8 +52,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("BZZZ_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("BZZZ_DRIVER_MEM", "16g"))
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

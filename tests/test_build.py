@@ -68,6 +68,7 @@ def test_postings_match_oracle_exactly(small_index, small_oracle):
 
 def test_block_invariants(small_index):
     cfg = small_index.config
+    seg_span: dict[int, list[int]] = {}
     for row in small_index.postings.collect():
         assert 1 <= row["count"] <= cfg.block_size
         d, tf = decode_block(
@@ -75,8 +76,18 @@ def test_block_invariants(small_index):
         )
         assert (d[1:] > d[:-1]).all() if len(d) > 1 else True
         assert tf.max() == row["block_max_tf"]
-        # all docids of a block live in the block's segment (the salt)
-        assert (d // cfg.segment_size == row["segment"]).all()
+        s = seg_span.setdefault(row["segment"], [int(d.min()), int(d.max())])
+        s[0] = min(s[0], int(d.min()))
+        s[1] = max(s[1], int(d.max()))
+    # the skew-salt invariant, valid in BOTH merge modes: a segment is a
+    # contiguous docid range holding at most segment_size docs, and
+    # segments do not overlap (in "shuffle" mode segment == docid //
+    # segment_size; in "aligned" mode segments are partition-relative)
+    spans = sorted(seg_span.values())
+    for lo, hi in spans:
+        assert hi - lo < cfg.segment_size
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
 
 
 def test_upsert_latest_ts_wins(spark):

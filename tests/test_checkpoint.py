@@ -34,9 +34,30 @@ def test_full_build_write_read_roundtrip(spark, small_pdf, small_oracle, tmp_pat
     n, avgdl = idx.scalar_stats()
     assert n == small_oracle.n_docs
     assert abs(avgdl - small_oracle.avgdl) < 1e-9
-    # identical postings to the in-memory build
-    mem = build_index(df, IndexConfig(**CFG))
+    # identical postings to the in-memory build (merge_mode="shuffle":
+    # the checkpointed build uses docid//segment_size segments, while
+    # the in-memory default "aligned" numbers segments per partition —
+    # bit-comparison only holds against the same numbering)
+    mem = build_index(df, IndexConfig(**CFG, merge_mode="shuffle"))
     assert _postings_rows(idx.postings) == _postings_rows(mem.postings)
+    # the aligned build must carry identical posting CONTENT
+    # (term → {docid: tf}) even though its block segmentation differs
+    mem_aligned = build_index(df, IndexConfig(**CFG, merge_mode="aligned"))
+
+    def content(ix):
+        from bzzz_spark.build.codec import decode_block
+
+        out = {}
+        for r in ix.postings.collect():
+            d, tf = decode_block(
+                r["first_docid"], r["count"], r["doc_gaps"], r["tfs"]
+            )
+            out.setdefault(r["term_id"], {}).update(
+                dict(zip(d.tolist(), tf.tolist()))
+            )
+        return out
+
+    assert content(mem_aligned) == content(idx)
     # and rank parity through the on-disk index
     got = [
         (r["docid"], r["score"])
