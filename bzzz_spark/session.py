@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the posting encoder streams tens of millions of rows through
+        # mapInPandas; 64k-row batches cut per-batch Python overhead ~6×
+        # vs the 10k default (the encoder carries split groups anyway)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BZZZ_DRIVER_MEM", "16g"))
     )
