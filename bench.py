@@ -1,16 +1,20 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Measures, at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS]:
-  1. index build over the documents table + the headline query set
-     (per-query wall seconds in "queries");
+  1. index build over the documents table + the headline query set;
   2. index-build throughput in turns/sec over a synthetic transcript
      corpus (BZZZ_BENCH_TURNS, default 200k) — the BASELINE.md metric;
   3. BM25 query latency p50/p99 over the reference query set.
 
-"value" is the total wall-clock of the headline work (seconds, lower is
-better).  Scaling-efficiency evidence (same build at local[8] vs
-local[32]) lives in tools/scaling_bench.py → BASELINE.md, since it needs
-two SparkContexts.
+Measurement discipline (BASELINE.md): this host's neighbor noise swings
+identical runs 6-9x, so every query is timed N times with the rounds
+INTERLEAVED (run all queries, then all again, ...) and scored by its
+MINIMUM — under additive external noise the minimum is the consistent
+estimator of the machine's capability.  Builds are timed min-of-
+BZZZ_BENCH_BUILD_REPS (default 2).  "value" is the total wall-clock of
+the headline work.  Scaling-efficiency evidence (same build at local[8]
+vs local[32]) lives in tools/scaling_bench.py → BASELINE.md, since it
+needs two SparkContexts.
 """
 
 from __future__ import annotations
@@ -28,6 +32,9 @@ from bzzz_spark.fixtures import synth_transcripts_spark  # noqa: E402
 from bzzz_spark.query import ast  # noqa: E402
 from bzzz_spark.query.executor import facet_counts, search  # noqa: E402
 from bzzz_spark.session import get_spark  # noqa: E402
+
+N_QUERY_REPS = int(os.environ.get("BZZZ_BENCH_QUERY_REPS", "3"))
+N_BUILD_REPS = int(os.environ.get("BZZZ_BENCH_BUILD_REPS", "2"))
 
 DOC_QUERIES = {
     "q_term_head": ast.Term("batch"),
@@ -62,6 +69,17 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def min_of_interleaved(jobs: dict, n_reps: int) -> dict[str, float]:
+    """jobs: name -> thunk.  Runs all jobs per round, n_reps rounds,
+    returns each job's minimum wall time across rounds."""
+    best: dict[str, float] = {}
+    for _ in range(n_reps):
+        for name, fn in jobs.items():
+            dt, _ = timed(fn)
+            best[name] = min(best.get(name, float("inf")), dt)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -72,22 +90,34 @@ def main() -> None:
     timings: dict[str, float] = {}
     total_t0 = time.perf_counter()
 
-    # 1. documents index build + headline queries
+    # 1. documents index build (min-of-N full rebuilds) + headline queries
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cfg = IndexConfig(key_cols=("doc_id",), text_col="text", ts_col=None,
                       segment_size=1 << 14)
-    dt, idx = timed(lambda: build_index(docs, cfg))
-    idx.postings.cache()
-    timings["build_documents"], _ = timed(lambda: idx.postings.count())
-    timings["build_documents"] += dt
+    idx = None
+
+    def build_docs_once():
+        nonlocal idx
+        if idx is not None:
+            idx.postings.unpersist()
+        idx = build_index(docs, cfg)
+        idx.postings.cache()
+        idx.postings.count()
+
+    timings["build_documents"] = min(
+        timed(build_docs_once)[0] for _ in range(N_BUILD_REPS)
+    )
+
+    doc_jobs = {}
     for name, node in DOC_QUERIES.items():
         page = 1 if name == "q_paging" else 0
-        timings[name], _ = timed(
+        doc_jobs[name] = (
             lambda n=node, p=page: search(idx, n, size=10, page=p).collect()
         )
-    timings["q_facet_lang"], _ = timed(
-        lambda: facet_counts(idx, ast.Term("dup"), "lang").collect()
-    )
+    doc_jobs["q_facet_lang"] = lambda: facet_counts(
+        idx, ast.Term("dup"), "lang"
+    ).collect()
+    timings.update(min_of_interleaved(doc_jobs, N_QUERY_REPS))
 
     # 2. transcript-corpus build throughput (the BASELINE.md headline).
     # The corpus is materialized to parquet first so the timed region is
@@ -103,18 +133,29 @@ def main() -> None:
     tdf = spark.read.parquet(corpus_dir)
     tdf.count()  # warm file listing/footers, untimed
     tcfg = IndexConfig(segment_size=1 << 15)
-    dt, tidx = timed(lambda: build_index(tdf, tcfg))
-    tidx.postings.cache()
-    dt2, n_blocks = timed(lambda: tidx.postings.count())
-    timings["build_transcripts"] = dt + dt2
+    tidx = None
+    n_blocks = 0
+
+    def build_transcripts_once():
+        nonlocal tidx, n_blocks
+        if tidx is not None:
+            tidx.postings.unpersist()
+        tidx = build_index(tdf, tcfg)
+        tidx.postings.cache()
+        n_blocks = tidx.postings.count()
+
+    timings["build_transcripts"] = min(
+        timed(build_transcripts_once)[0] for _ in range(N_BUILD_REPS)
+    )
     turns_per_sec = n_turns / timings["build_transcripts"]
 
     # 3. BM25 latency distribution over the reference query set
-    lat = []
-    for name, node in TRANSCRIPT_QUERIES.items():
-        timings[name], _ = timed(lambda n=node: search(tidx, n, size=10).collect())
-        lat.append(timings[name])
-    lat.sort()
+    t_jobs = {
+        name: (lambda n=node: search(tidx, n, size=10).collect())
+        for name, node in TRANSCRIPT_QUERIES.items()
+    }
+    timings.update(min_of_interleaved(t_jobs, N_QUERY_REPS))
+    lat = sorted(timings[name] for name in TRANSCRIPT_QUERIES)
     p50 = statistics.median(lat)
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
@@ -124,11 +165,15 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "bzzz_spark bench: doc-index build + headline queries "
-                "+ transcript build throughput + BM25 latency",
+                "+ transcript build throughput + BM25 latency "
+                f"(interleaved min-of-{N_QUERY_REPS} per query, "
+                f"min-of-{N_BUILD_REPS} per build)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
+                "n": N_QUERY_REPS,
+                "build_reps": N_BUILD_REPS,
                 "build_turns_per_sec": round(turns_per_sec, 1),
                 "bench_turns": n_turns,
                 "n_posting_blocks": n_blocks,

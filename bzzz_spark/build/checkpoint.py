@@ -83,12 +83,18 @@ def build_and_write(
     m = _load_manifest(out_dir)
     if m.get("complete"):
         return m
-    if "config" in m and m["config"] != cfg.to_dict():
+    # the checkpointed build always uses the term-partitioned shuffle
+    # merge (resumed chunks must be bit-identical regardless of the docs
+    # parquet's file-split layout) — record that, whatever cfg says, so
+    # read_index reconstructs a config matching the on-disk postings
+    cfg_d = cfg.to_dict()
+    cfg_d["merge_mode"] = "shuffle"
+    if "config" in m and m["config"] != cfg_d:
         raise ValueError(
             "resume config mismatch: manifest has a different IndexConfig — "
             "delete the output dir or pass the original config"
         )
-    m["config"] = cfg.to_dict()
+    m["config"] = cfg_d
 
     docs_path = os.path.join(out_dir, "docs")
     dict_path = os.path.join(out_dir, "dictionary")
@@ -203,6 +209,9 @@ def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
         raise ValueError(f"index at {out_dir} is incomplete — resume the build")
     cfg_d = dict(m["config"])
     cfg_d["key_cols"] = tuple(cfg_d["key_cols"])
+    # manifests written before merge_mode was persisted are always
+    # shuffle-built (the checkpoint path never used aligned numbering)
+    cfg_d.setdefault("merge_mode", "shuffle")
     cfg = IndexConfig(**cfg_d)
     return BzzzIndex(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")).drop("tokens"),

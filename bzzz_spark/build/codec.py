@@ -77,6 +77,44 @@ def decode_varints(data: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode the positions stream of one block.
+
+    ``flat_positions`` concatenates each posting's (strictly increasing)
+    token positions in docid order; ``tfs`` gives each posting's count.
+    Per posting the first position is absolute and the rest are deltas —
+    the same delta-gap + LEB128 machinery as docids (positions within a
+    doc are strictly increasing, so gaps are ≥ 1 after the first)."""
+    f = np.asarray(flat_positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if f.size != int(tfs.sum()):
+        raise ValueError("positions length must equal sum(tfs)")
+    if f.size == 0:
+        return b""
+    d = f.copy()
+    d[1:] -= f[:-1]
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    d[starts] = f[starts]  # first position of each posting is absolute
+    return encode_varints(d)
+
+
+def decode_positions(data: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` — returns the flat positions
+    array (split points are cumsum(tfs))."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = int(tfs.sum())
+    d = decode_varints(data, n)
+    if n == 0:
+        return d
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    # cumsum with resets at posting starts: subtract each posting's
+    # carried-in prefix so the absolute first value anchors its run
+    c = np.cumsum(d)
+    prefix = np.zeros(n, dtype=np.int64)
+    prefix[starts[1:]] = c[starts[1:] - 1]
+    return c - np.maximum.accumulate(prefix)
+
+
 def encode_block(docids: np.ndarray, tfs: np.ndarray) -> tuple[int, int, bytes, bytes]:
     """Encode one posting block. docids must be strictly increasing."""
     docids = np.asarray(docids, dtype=np.int64)

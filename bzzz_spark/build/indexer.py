@@ -55,6 +55,13 @@ POSTINGS_SCHEMA = (
 )
 
 
+def postings_schema(store_positions: bool) -> str:
+    """Block schema; with positions enabled each block carries a third
+    varint stream (per-posting within-doc position deltas — the
+    PhraseQuery substrate, mirroring Lucene's .pos file)."""
+    return POSTINGS_SCHEMA + (", positions binary" if store_positions else "")
+
+
 @dataclass
 class IndexConfig:
     k1: float = BM25_K1
@@ -75,6 +82,11 @@ class IndexConfig:
     #     partition layout is file-split-dependent (the checkpointed
     #     build uses this so resumed chunks stay bit-identical).
     merge_mode: str = "aligned"
+    # positional postings (phrase-query substrate).  Off by default: the
+    # north-rule posting layout is (docid, tf) blocks, and positions add
+    # ~2x encode work + bytes.  Indexes built with it answer Phrase
+    # queries; without it they raise.
+    store_positions: bool = False
     # schema mapping — defaults are the transcript shape from the build
     # spec; any table with a unique key + a text column can be indexed
     # (e.g. key_cols=("doc_id",) for the documents table)
@@ -87,7 +99,8 @@ class IndexConfig:
             "k1": self.k1, "b": self.b, "block_size": self.block_size,
             "segment_size": self.segment_size, "store_text": self.store_text,
             "key_cols": list(self.key_cols), "text_col": self.text_col,
-            "ts_col": self.ts_col,
+            "ts_col": self.ts_col, "merge_mode": self.merge_mode,
+            "store_positions": self.store_positions,
         }
 
 
@@ -339,13 +352,32 @@ def _aligned_segment_col(parts: list, segment_size: int):
 
 def collect_doc_partitions(docs: DataFrame) -> list:
     """One row per partition: (pid, lo=min docid, cnt) — docids are
-    contiguous per partition by construction (assign_sequential_ids)."""
-    return (
+    contiguous per partition by construction (assign_sequential_ids).
+
+    The aligned merge's correctness rests on these ranges: every frame
+    derived narrowly from docs must see the same (pid → docid range)
+    mapping.  The invariant check below turns any narrow-breaking change
+    upstream (a repartition, a filter before this projection, an
+    unpersist) into an immediate error instead of silent segment
+    corruption: sorted by pid, the (lo, lo+cnt) ranges must tile
+    [0, n_docs) exactly — contiguous, non-overlapping, pid-ordered."""
+    rows = (
         docs.select(F.spark_partition_id().alias("pid"), "docid")
         .groupBy("pid")
         .agg(F.min("docid").alias("lo"), F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    acc = 0
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        if int(r["lo"]) != acc:
+            raise RuntimeError(
+                "aligned-merge invariant violated: partition docid ranges "
+                f"do not tile [0, n): pid={r['pid']} starts at {r['lo']}, "
+                f"expected {acc}.  A non-narrow transformation was applied "
+                "to the docs frame between id assignment and the encode."
+            )
+        acc += int(r["cnt"])
+    return rows
 
 
 def encode_postings_aligned(

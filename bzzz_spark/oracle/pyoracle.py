@@ -12,7 +12,7 @@ from bzzz_spark.query.scoring (the single source of truth).
 
 from __future__ import annotations
 
-import fnmatch
+import re
 from collections import Counter, defaultdict
 
 from bzzz_spark.analysis.tokenizer import py_tokenize
@@ -131,7 +131,17 @@ class PyIndex:
                 out[docid] = (mx + node.tie_breaker * (sum(scores) - mx)) * node.boost
             return out
         if isinstance(node, ast.Wildcard):
-            terms = fnmatch.filter(self.postings.keys(), node.value)
+            # * and ? only (Lucene WildcardQuery semantics, matching the
+            # engine's glob_to_regex — no [seq] classes)
+            rx = re.compile(
+                "^"
+                + "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in node.value
+                )
+                + "$"
+            )
+            terms = [t for t in self.postings if rx.match(t)]
             docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
             return {d: node.boost for d in docs}
         if isinstance(node, ast.Fuzzy):

@@ -23,7 +23,7 @@ operator lowers to and the cross-check for WAND.
 
 from __future__ import annotations
 
-import fnmatch
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -32,9 +32,52 @@ from pyspark.sql import functions as F
 
 from bzzz_spark.build.codec import decode_block
 from bzzz_spark.build.indexer import BzzzIndex
-from bzzz_spark.oracle.pyoracle import levenshtein
 from bzzz_spark.query import ast
 from bzzz_spark.query.scoring import score_col
+
+
+def glob_to_regex(glob: str) -> str:
+    """Lucene wildcard glob (* and ? only, per the reference's
+    WildcardQuery — src/bzzz/queries/wildcard.clj:5-11) → anchored regex
+    valid in BOTH Java regex (Spark rlike) and CPython re."""
+    return (
+        "^"
+        + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in glob
+        )
+        + "$"
+    )
+
+
+def _multiterm_cond(p):
+    """Dictionary-side filter Column for one Wildcard/Fuzzy pattern —
+    Lucene's multi-term rewrite pushed into the scan instead of a
+    driver-side full-vocabulary collect (the reference rewrites against
+    the term dictionary the same way: queries/wildcard.clj:5-11,
+    fuzzy.clj:7-21).  At 10^8+ terms only the (small) expansion ever
+    reaches the driver."""
+    if isinstance(p, ast.Wildcard):
+        return F.col("term").rlike(glob_to_regex(p.value))
+    # Fuzzy: cheap codegen'd pre-filters (length band + prefix) ahead of
+    # the levenshtein, mirroring Lucene's prefix_len discipline
+    cond = (
+        F.abs(F.length("term") - F.lit(len(p.value))) <= F.lit(p.max_edits)
+    ) & (F.levenshtein(F.col("term"), F.lit(p.value)) <= F.lit(p.max_edits))
+    if p.prefix_len > 0:
+        cond = F.col("term").startswith(p.value[: p.prefix_len]) & cond
+    return cond
+
+
+def expand_multiterm(dictionary: DataFrame, patterns: list) -> list[str]:
+    """Candidate terms for ALL patterns in one Spark job over the
+    dictionary.  Collects only terms matching at least one pattern."""
+    if not patterns:
+        return []
+    cond = _multiterm_cond(patterns[0])
+    for p in patterns[1:]:
+        cond = cond | _multiterm_cond(p)
+    return [r["term"] for r in dictionary.filter(cond).select("term").collect()]
 
 
 def decode_postings(postings: DataFrame, term_ids: list[int]) -> DataFrame:
@@ -65,25 +108,28 @@ class _Ctx:
     """Per-search state: dictionary lookups, expansions, one shared decode."""
 
     def __init__(self, index: BzzzIndex, node: ast.Query):
+        from bzzz_spark.oracle.pyoracle import levenshtein
+
         self.index = index
+        validate_fields(index, node)
         self.n_docs, self.avgdl = index.scalar_stats()
 
         terms = set(ast.collect_terms(node))
-        # wildcard/fuzzy expansion — Lucene's multi-term rewrite, done
-        # driver-side against the (small) dictionary projection
+        # wildcard/fuzzy expansion — Lucene's multi-term rewrite, pushed
+        # into a dictionary filter (rlike / levenshtein Columns); only
+        # the matching expansion set is collected, never the vocabulary
         self.expansions: dict[tuple, list[str]] = {}
         patterns = _collect_multiterm(node)
         if patterns:
-            vocab = [
-                r["term"] for r in index.dictionary.select("term").collect()
-            ]
+            cand = expand_multiterm(index.dictionary, patterns)
             for p in patterns:
                 if isinstance(p, ast.Wildcard):
-                    exp = fnmatch.filter(vocab, p.value)
+                    rx = re.compile(glob_to_regex(p.value))
+                    exp = [t for t in cand if rx.match(t)]
                 else:  # Fuzzy
                     exp = [
                         t
-                        for t in vocab
+                        for t in cand
                         if t.startswith(p.value[: p.prefix_len])
                         and levenshtein(t, p.value) <= p.max_edits
                     ]
@@ -137,6 +183,48 @@ class _Ctx:
     def empty(self) -> DataFrame:
         return self.index.docs.sparkSession.createDataFrame(
             [], "docid long, score double"
+        )
+
+
+def indexed_fields(index: BzzzIndex) -> set[str]:
+    """Field names the index can answer term-ish queries on: the AST's
+    default field alias "text", the configured text column, and any
+    extra indexed fields (multi-field indexes)."""
+    cfg = index.config
+    out = {"text", cfg.text_col}
+    out.update(name for name, _ in getattr(cfg, "extra_fields", ()) or ())
+    return out
+
+
+def validate_fields(index: BzzzIndex, node: ast.Query) -> None:
+    """Unknown field names must raise, not silently score against the
+    default text index (the reference carries per-field indexes —
+    src/bzzz/index_store.clj:36-49 — so `role:assistant` means the role
+    field; answering it from the text field would be a wrong answer)."""
+    known = indexed_fields(index)
+    bad: list[str] = []
+
+    def walk(n):
+        if isinstance(n, (ast.Term, ast.Wildcard, ast.Fuzzy)):
+            if n.field_name not in known:
+                bad.append(n.field_name)
+        elif isinstance(n, ast.Bool):
+            for c in (*n.must, *n.must_not, *n.should):
+                walk(c)
+        elif isinstance(n, ast.Filtered):
+            walk(n.query), walk(n.filter)
+        elif isinstance(n, (ast.ConstantScore, ast.NoZeroScore, ast.NoNorm,
+                            ast.RandomScore, ast.CustomScore)):
+            walk(n.query)
+        elif isinstance(n, ast.DisMax):
+            for c in n.queries:
+                walk(c)
+
+    walk(node)
+    if bad:
+        raise ValueError(
+            f"query references unindexed field(s) {sorted(set(bad))}; "
+            f"this index answers fields {sorted(known)}"
         )
 
 
@@ -342,6 +430,7 @@ def search(
     exhaustive DataFrame plan.  Both paths produce identical results
     (cross-checked in tests/test_wand.py)."""
     node = query if isinstance(query, ast.Query) else ast.parse_query(query)
+    validate_fields(index, node)
     top = None
     if use_wand and index.wand_safe:
         from bzzz_spark.query.wand import wand_search

@@ -60,6 +60,19 @@ def score_np(
     )
 
 
+def tfc_col(tf: Column, dl: Column, avgdl: Column | float) -> Column:
+    """The BM25 tf component alone (phrase scoring multiplies this by a
+    SUM of per-term idfs — Lucene PhraseQuery's weight model)."""
+    avgdl = F.lit(avgdl) if not isinstance(avgdl, Column) else avgdl
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    return (
+        tf
+        * F.lit(BM25_K1 + 1.0)
+        / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl))
+    )
+
+
 def score_col(
     tf: Column, dl: Column, df: Column, N: Column | float, avgdl: Column | float
 ) -> Column:

@@ -18,10 +18,20 @@ def _default_local_dir() -> str | None:
     env = os.environ.get("BZZZ_LOCAL_DIR")
     if env:
         return env
+    # tmpfs is only safe when it is actually large: shuffle-mode builds
+    # can spill tens of GB, and filling /dev/shm fails the job with
+    # ENOSPC while pressuring system memory.  Require generous headroom
+    # (≥ 32 GiB free) before electing it; otherwise leave the OS default.
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        d = "/dev/shm/bzzz-spark-local"
-        os.makedirs(d, exist_ok=True)
-        return d
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            return None
+        if free_bytes >= 32 << 30:
+            d = "/dev/shm/bzzz-spark-local"
+            os.makedirs(d, exist_ok=True)
+            return d
     return None
 
 

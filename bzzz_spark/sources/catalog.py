@@ -120,9 +120,10 @@ class Catalog:
         Column (compose it from the query AST via executor.execute +
         anti-join for search-predicate deletes)."""
         current = self.read(name)
-        keep = current.filter(~predicate)
-        n = current.count() - keep.count()
-        self._rewrite(self._path(name), keep)
+        # one scan for the deleted count (not count(current)-count(keep),
+        # which costs two extra full scans), then the rewrite scan
+        n = current.filter(predicate).count()
+        self._rewrite(self._path(name), current.filter(~predicate))
         return n
 
     def delete_by_docids(self, name: str, matched: DataFrame, key: str) -> int:
@@ -130,9 +131,9 @@ class Catalog:
         delete-from-QUERY path: run executor.execute(index, query) and
         pass the matched docids."""
         current = self.read(name)
-        keep = current.join(matched.select(key).distinct(), key, "left_anti")
-        n = current.count() - keep.count()
-        self._rewrite(self._path(name), keep)
+        ids = matched.select(key).distinct()
+        n = current.join(ids, key, "left_semi").count()
+        self._rewrite(self._path(name), current.join(ids, key, "left_anti"))
         return n
 
     def truncate(self, name: str) -> None:

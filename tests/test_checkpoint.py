@@ -58,6 +58,16 @@ def test_full_build_write_read_roundtrip(spark, small_pdf, small_oracle, tmp_pat
         return out
 
     assert content(mem_aligned) == content(idx)
+    # duplicate-posting detection: dict.update() above would silently
+    # dedupe a double-emitted (term_id, docid); total decoded posting
+    # counts (sum of block counts) must also match
+    def n_postings(ix):
+        return sum(r["count"] for r in ix.postings.select("count").collect())
+
+    assert n_postings(mem_aligned) == n_postings(idx)
+    assert n_postings(idx) == sum(
+        len(v) for v in content(idx).values()
+    )
     # and rank parity through the on-disk index
     got = [
         (r["docid"], r["score"])

@@ -1,0 +1,67 @@
+"""Scale guards on the query path: multi-term expansion must happen in
+Spark (dictionary filter), never via a driver-side full-vocabulary
+collect (at 10^12 turns the vocabulary is 10^8+ terms → driver OOM);
+unknown field names must raise instead of silently answering from the
+text index (reference carries per-field indexes,
+src/bzzz/index_store.clj:36-49)."""
+
+import pytest
+
+from bzzz_spark.query import ast
+from bzzz_spark.query.executor import (
+    expand_multiterm,
+    glob_to_regex,
+    search,
+    validate_fields,
+)
+
+
+def test_glob_to_regex_semantics():
+    import re
+
+    rx = re.compile(glob_to_regex("s*n"))
+    assert rx.match("scan") and rx.match("sn") and not rx.match("scans")
+    rx = re.compile(glob_to_regex("te?m"))
+    assert rx.match("term") and not rx.match("teem_x") and not rx.match("tem")
+    # regex metachars in the glob are literal
+    rx = re.compile(glob_to_regex("a.b*"))
+    assert rx.match("a.bc") and not rx.match("axbc")
+
+
+def test_expansion_is_a_dictionary_filter_not_a_full_collect(small_index):
+    """The expansion plan must contain a Filter on the dictionary scan —
+    i.e. the rlike/levenshtein predicate runs in Spark and only matching
+    terms are collected."""
+    pats = [ast.Wildcard("tok001*"), ast.Fuzzy("spark", max_edits=1)]
+    cond_plan = small_index.dictionary.filter(
+        small_index.dictionary["term"].rlike(glob_to_regex("tok001*"))
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "RLIKE" in cond_plan or "rlike" in cond_plan
+
+    exp = expand_multiterm(small_index.dictionary, pats)
+    vocab_size = small_index.dictionary.count()
+    # the collected candidate set is the expansion, not the vocabulary
+    assert 0 < len(exp) < vocab_size
+    assert all(t.startswith("tok001") or "spark" in t or len(t) >= 4 for t in exp)
+
+
+def test_expansion_matches_oracle(small_index, small_oracle):
+    exp = set(expand_multiterm(small_index.dictionary, [ast.Wildcard("tok00*")]))
+    import re
+
+    rx = re.compile(glob_to_regex("tok00*"))
+    want = {t for t in small_oracle.postings if rx.match(t)}
+    assert exp == want
+
+
+def test_unknown_field_raises(small_index):
+    with pytest.raises(ValueError, match="unindexed field"):
+        search(small_index, ast.Term("assistant", field_name="role")).collect()
+    with pytest.raises(ValueError, match="unindexed field"):
+        validate_fields(
+            small_index,
+            ast.Bool(must=[ast.Term("x"), ast.Wildcard("a*", field_name="nope")]),
+        )
+    # the default alias and the configured text column are both fine
+    validate_fields(small_index, ast.Term("the"))
+    validate_fields(small_index, ast.Term("the", field_name="text"))
