@@ -52,7 +52,7 @@ def _index(spark: SparkSession, sf_dir: str) -> BzzzIndex:
             _documents(spark, sf_dir),
             IndexConfig(
                 key_cols=("doc_id",), text_col="text", ts_col=None,
-                block_size=128, segment_size=1024,
+                block_size=128, segment_size=1024, store_positions=True,
             ),
         )
         idx.docs.cache().count()
@@ -183,6 +183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             queries=[ast.Term("merge"), ast.Term("filter")], tie_breaker=0.3
         )
         return _hits(_index(spark, sf), node, size=10)
+
+    def q_phrase(spark, sf):
+        # PhraseQuery: exact adjacency over positional postings; score =
+        # (Σ idf) × tfc(phrase_freq, dl) — Lucene's PhraseWeight model
+        return _hits(_index(spark, sf), ast.Phrase(["filter", "merge"]), size=10)
 
     def q_wildcard(spark, sf):
         return _hits(_index(spark, sf), ast.Wildcard("s*"), size=10)
@@ -482,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_should_msm2=q_should_msm2, q_filtered_range=q_filtered_range,
         q_match_all=q_match_all, q_paging=q_paging,
         q_constant_score=q_constant_score, q_dismax=q_dismax,
+        q_phrase=q_phrase,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_custom_score=q_custom_score,
         q_no_norm=q_no_norm, q_expr_score=q_expr_score,
         q_random_score=q_random_score, q_no_zero=q_no_zero, q_parser=q_parser,
@@ -640,6 +646,30 @@ def oracle_sql() -> dict[str, str]:
             10,
         )
     )
+    o["q_phrase"] = f"""{_BASE},
+tok_pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(*) AS ptf
+  FROM tok_pos a JOIN tok_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'filter' AND b.term = 'merge'
+  GROUP BY a.doc_id
+),
+widf AS (
+  SELECT sum(ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS w
+  FROM dfx CROSS JOIN stats WHERE dfx.term IN ('filter', 'merge')
+),
+scores AS (
+  SELECT pf.doc_id,
+         widf.w * (pf.ptf * {K1P1} / (pf.ptf + {BM25_K1} *
+           (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS score
+  FROM pf
+  JOIN dl ON dl.doc_id = pf.doc_id
+  CROSS JOIN stats CROSS JOIN widf
+)
+{_topk('SELECT doc_id, score FROM scores', 10)}"""
     o["q_wildcard"] = (
         f"{_BASE}\n"
         + _topk(

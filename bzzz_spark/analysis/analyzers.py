@@ -38,11 +38,18 @@ def pattern_replace(col: Column, pattern: str, replacement: str) -> Column:
     return F.regexp_replace(col, pattern, replacement)
 
 
-def html_strip(col: Column) -> Column:
-    # Strip tags; entities are left alone (reference uses Lucene's
-    # HTMLStripCharFilter with an escaped-tags whitelist — we keep the
-    # simple variant and the whitelist lands via pattern_replace chains).
-    return F.regexp_replace(col, r"<[^>]*>", " ")
+def html_strip(col: Column, escaped_tags: tuple = ()) -> Column:
+    """Strip HTML tags; tags named in ``escaped_tags`` are preserved
+    (Lucene HTMLStripCharFilter's escapedTags — reference
+    src/bzzz/analyzer.clj:49).  Entities are left alone."""
+    if not escaped_tags:
+        return F.regexp_replace(col, r"<[^>]*>", " ")
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in escaped_tags)
+    # Java-regex negative lookahead: strip every tag whose name is NOT
+    # in the whitelist (open or close form)
+    return F.regexp_replace(col, rf"<(?!/?(?:{alt})\b)[^>]*>", " ")
 
 
 # ---------------------------------------------------------------- tokenizers
@@ -119,6 +126,26 @@ def flt_reverse(tokens: Column) -> Column:
     return F.transform(tokens, F.reverse)
 
 
+def flt_position(tokens: Column, position_increment: int = 0) -> Column:
+    """A13 — the reference's `position` filter (Lucene PositionFilter,
+    src/bzzz/analyzer.clj:82): overrides position increments.  The first
+    token sits at position 0 and each later token advances by
+    ``position_increment`` (0 → every token stacks at position 0, the
+    'synonym' trick; 1 → standard consecutive positions).
+
+    Returns array<struct<term:string, pos:int>>.  The default pipeline
+    derives positions from array offsets (increment 1 implicitly); a
+    chain ending in this filter feeds the positional index build via
+    :func:`bzzz_spark.build.indexer.build_tf_positioned`."""
+    return F.transform(
+        tokens,
+        lambda t, i: F.struct(
+            t.alias("term"),
+            (i * F.lit(position_increment)).cast("int").alias("pos"),
+        ),
+    )
+
+
 def flt_ngram(tokens: Column, min_gram: int, max_gram: int) -> Column:
     return F.flatten(F.transform(tokens, lambda t: tok_ngram(t, min_gram, max_gram)))
 
@@ -172,7 +199,7 @@ def build_analyzer(spec: dict | str | None = None):
             if cf["type"] == "pattern-replace":
                 c = pattern_replace(c, cf["pattern"], cf.get("replacement", ""))
             elif cf["type"] == "html-strip":
-                c = html_strip(c)
+                c = html_strip(c, tuple(cf.get("escaped-tags", ())))
             else:
                 raise ValueError(f"unknown char-filter {cf['type']!r}")
         if isinstance(tok_spec, str):

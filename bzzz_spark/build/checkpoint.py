@@ -157,13 +157,14 @@ def build_and_write(
             (F.col("docid") >= doc_lo) & (F.col("docid") < doc_hi)
         )
         dictionary = spark.read.parquet(dict_path)
-        tf = build_tf(docs)
+        tf = build_tf(docs, with_positions=cfg.store_positions)
+        extra = ["positions"] if cfg.store_positions else []
         rows = (
             tf.join(dictionary.select("term", "term_id", "df"), "term")
             .withColumn(
                 "segment", (F.col("docid") / F.lit(cfg.segment_size)).cast("int")
             )
-            .select("term_id", "segment", "docid", "tf", "dl", "df")
+            .select("term_id", "segment", "docid", "tf", "dl", "df", *extra)
         )
         postings = encode_postings(rows, n_docs, avgdl, cfg)
         chunk_path = os.path.join(out_dir, "postings", f"chunk={ci}")

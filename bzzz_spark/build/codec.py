@@ -80,11 +80,12 @@ def decode_varints(data: bytes, count: int | None = None) -> np.ndarray:
 def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
     """Encode the positions stream of one block.
 
-    ``flat_positions`` concatenates each posting's (strictly increasing)
+    ``flat_positions`` concatenates each posting's (nondecreasing)
     token positions in docid order; ``tfs`` gives each posting's count.
     Per posting the first position is absolute and the rest are deltas —
-    the same delta-gap + LEB128 machinery as docids (positions within a
-    doc are strictly increasing, so gaps are ≥ 1 after the first)."""
+    the same delta-gap + LEB128 machinery as docids.  Nondecreasing (not
+    strictly increasing) because a position filter with increment 0
+    legitimately stacks tokens at one position (gaps of 0 encode fine)."""
     f = np.asarray(flat_positions, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     if f.size != int(tfs.sum()):

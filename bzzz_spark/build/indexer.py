@@ -153,8 +153,10 @@ def build_docs(table: DataFrame, cfg: IndexConfig) -> DataFrame:
     return docs.select("docid", *stored, "dl", "tokens")
 
 
-def build_tf(docs: DataFrame, mode: str = "arrayagg") -> DataFrame:
-    """(term, docid, dl, tf) — the SPIMI local-combining step.
+def build_tf(
+    docs: DataFrame, mode: str = "arrayagg", with_positions: bool = False
+) -> DataFrame:
+    """(term, docid, dl, tf[, positions]) — the SPIMI local-combining step.
 
     mode="arrayagg" (default): tf is computed INSIDE each doc's token
     array with JVM array functions — a narrow, shuffle-free stage.
@@ -166,14 +168,48 @@ def build_tf(docs: DataFrame, mode: str = "arrayagg") -> DataFrame:
     mode="shuffle": classic explode + partial-agg + shuffle — keep for
     corpora with very long documents, where O(distinct × len) per doc
     would degenerate.
+
+    with_positions adds a sorted ``positions: array<int>`` column (the
+    0-based token offsets of the term within the doc; size == tf) —
+    still entirely JVM-side in both modes.
     """
     if mode == "shuffle":
+        if with_positions:
+            return (
+                docs.select(
+                    "docid", "dl", F.posexplode("tokens").alias("pos", "term")
+                )
+                .groupBy("term", "docid", "dl")
+                .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                .withColumn("tf", F.size("positions").cast("long"))
+                .select("term", "docid", "dl", "tf", "positions")
+            )
         return (
             docs.select("docid", "dl", F.explode("tokens").alias("term"))
             .groupBy("term", "docid", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
     toks = F.col("tokens")
+    if with_positions:
+        idxs = F.sequence(F.lit(0), F.size(toks) - 1)
+        pairs = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.filter(
+                    idxs, lambda i: F.element_at(toks, i + 1) == t
+                ).alias("positions"),
+            ),
+        )
+        return (
+            docs.filter(F.size(toks) > 0)  # sequence(0,-1) is invalid
+            .select("docid", "dl", F.explode(pairs).alias("p"))
+            .select(
+                F.col("p.term").alias("term"), "docid", "dl",
+                F.size("p.positions").cast("long").alias("tf"),
+                F.col("p.positions").alias("positions"),
+            )
+        )
     pairs = F.transform(
         F.array_distinct(toks),
         lambda t: F.struct(
@@ -184,6 +220,24 @@ def build_tf(docs: DataFrame, mode: str = "arrayagg") -> DataFrame:
     return docs.select(
         "docid", "dl", F.explode(pairs).alias("p")
     ).select(F.col("p.term").alias("term"), "docid", "dl", F.col("p.tf").alias("tf"))
+
+
+def build_tf_positioned(docs: DataFrame, positioned_col: str = "ptokens") -> DataFrame:
+    """(term, docid, dl, tf, positions) from an explicit
+    array<struct<term, pos>> column — the integration point for analyzer
+    chains that override position increments (A13 position filter,
+    reference src/bzzz/analyzer.clj:82).  Positions may repeat (increment
+    0 stacks tokens); tf counts occurrences, positions keep duplicates
+    sorted, matching Lucene's posting of same-position terms."""
+    return (
+        docs.select(
+            "docid", "dl", F.explode(positioned_col).alias("p")
+        )
+        .groupBy(F.col("p.term").alias("term"), "docid", "dl")
+        .agg(F.sort_array(F.collect_list("p.pos")).alias("positions"))
+        .withColumn("tf", F.size("positions").cast("long"))
+        .select("term", "docid", "dl", "tf", "positions")
+    )
 
 
 def build_dictionary(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -205,6 +259,7 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
     """
     block_size = cfg.block_size
     k1, b = cfg.k1, cfg.b
+    store_pos = cfg.store_positions
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         """Encode a whole partition's groups in vectorized passes: one
@@ -257,22 +312,42 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
         nb = bstarts.size
         gmv = memoryview(gap_buf)
         tmv = memoryview(tf_buf)
-        return pd.DataFrame(
-            {
-                "term_id": t[bstarts],
-                "segment": s[bstarts],
-                "block_id": (rwg[bstarts] // block_size).astype(np.int32),
-                "first_docid": d[bstarts],
-                "last_docid": d[bends - 1],
-                "count": counts.astype(np.int32),
-                "doc_gaps": [
-                    bytes(gmv[gap_offs[i]:gap_offs[i + 1]]) for i in range(nb)
-                ],
-                "tfs": [bytes(tmv[tf_offs[i]:tf_offs[i + 1]]) for i in range(nb)],
-                "block_max_tf": block_max_tf.astype(np.int32),
-                "block_max_score": block_max_score,
-            }
-        )
+        out = {
+            "term_id": t[bstarts],
+            "segment": s[bstarts],
+            "block_id": (rwg[bstarts] // block_size).astype(np.int32),
+            "first_docid": d[bstarts],
+            "last_docid": d[bends - 1],
+            "count": counts.astype(np.int32),
+            "doc_gaps": [
+                bytes(gmv[gap_offs[i]:gap_offs[i + 1]]) for i in range(nb)
+            ],
+            "tfs": [bytes(tmv[tf_offs[i]:tf_offs[i + 1]]) for i in range(nb)],
+            "block_max_tf": block_max_tf.astype(np.int32),
+            "block_max_score": block_max_score,
+        }
+        if store_pos:
+            # positions stream: delta-encoded with a reset (absolute
+            # value) at each posting start; blocks cut at posting
+            # boundaries, so every block's slice decodes independently
+            # given its tfs.  Same vectorized discipline as gaps: ONE
+            # varint encode for the whole partition, per-block slicing.
+            pos_flat = np.concatenate(pdf["positions"].to_numpy()).astype(
+                np.int64, copy=False
+            )
+            row_starts = np.concatenate(([0], np.cumsum(tf)[:-1]))
+            pv = pos_flat.copy()
+            pv[1:] -= pos_flat[:-1]
+            pv[row_starts] = pos_flat[row_starts]
+            pos_buf = encode_varints(pv)
+            row_bytes = np.add.reduceat(_varint_lengths(pv), row_starts)
+            pos_lens = np.add.reduceat(row_bytes, bstarts)
+            pos_offs = np.concatenate(([0], np.cumsum(pos_lens)))
+            pmv = memoryview(pos_buf)
+            out["positions"] = [
+                bytes(pmv[pos_offs[i]:pos_offs[i + 1]]) for i in range(nb)
+            ]
+        return pd.DataFrame(out)
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -299,13 +374,15 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
 def build_posting_rows(
     tf: DataFrame, dictionary: DataFrame, cfg: IndexConfig
 ) -> DataFrame:
-    """(term_id, segment, docid, tf, dl, df) — segment is the skew salt."""
+    """(term_id, segment, docid, tf, dl, df[, positions]) — segment is
+    the skew salt."""
+    extra = ["positions"] if "positions" in tf.columns else []
     return (
         tf.join(dictionary.select("term", "term_id", "df"), "term")
         .withColumn(
             "segment", (F.col("docid") / F.lit(cfg.segment_size)).cast("int")
         )
-        .select("term_id", "segment", "docid", "tf", "dl", "df")
+        .select("term_id", "segment", "docid", "tf", "dl", "df", *extra)
     )
 
 
@@ -323,7 +400,8 @@ def encode_postings(
         n_part, "term_id", "segment"
     ).sortWithinPartitions("term_id", "segment", "docid")
     return arranged.mapInPandas(
-        _make_block_encoder(n_docs, avgdl, cfg), schema=POSTINGS_SCHEMA
+        _make_block_encoder(n_docs, avgdl, cfg),
+        schema=postings_schema(cfg.store_positions),
     )
 
 
@@ -405,14 +483,16 @@ def encode_postings_aligned(
     (per-partition tails may be short); nothing query-visible depends
     on it — blocks carry their own first/last docid bounds.
     """
+    extra = ["positions"] if "positions" in tf.columns else []
     rows = (
         tf.withColumn("segment", _aligned_segment_col(parts, cfg.segment_size))
         .join(F.broadcast(dictionary.select("term", "term_id", "df")), "term")
-        .select("term_id", "segment", "docid", "tf", "dl", "df")
+        .select("term_id", "segment", "docid", "tf", "dl", "df", *extra)
     )
     arranged = rows.sortWithinPartitions("term_id", "segment", "docid")
     return arranged.mapInPandas(
-        _make_block_encoder(n_docs, avgdl, cfg), schema=POSTINGS_SCHEMA
+        _make_block_encoder(n_docs, avgdl, cfg),
+        schema=postings_schema(cfg.store_positions),
     )
 
 
@@ -436,7 +516,7 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     # tf feeds BOTH the dictionary and the posting rows — persist it so
     # the tokenize + in-array tf pass runs once (measured ~40% of the
     # encode phase when recomputed)
-    tf = build_tf(docs).persist()
+    tf = build_tf(docs, with_positions=cfg.store_positions).persist()
     dictionary = build_dictionary(tf, cfg)
     dictionary.cache()
     if cfg.merge_mode == "aligned":

@@ -44,14 +44,19 @@ class PyIndex:
         ordered = sorted(latest.values(), key=lambda r: (r["conv_id"], r["turn_idx"]))
         self.docs: list[dict] = []
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
         for docid, r in enumerate(ordered):
             toks = py_tokenize(r["text"])
             doc = dict(r)
             doc["docid"] = docid
             doc["dl"] = len(toks)
             self.docs.append(doc)
-            for term, tf in Counter(toks).items():
-                self.postings[term][docid] = tf
+            occ: dict[str, list[int]] = defaultdict(list)
+            for pos, t in enumerate(toks):
+                occ[t].append(pos)
+            for term, plist in occ.items():
+                self.postings[term][docid] = len(plist)
+                self.positions[term][docid] = plist
         self.n_docs = len(self.docs)
         self.avgdl = (
             sum(d["dl"] for d in self.docs) / self.n_docs if self.n_docs else 0.0
@@ -78,6 +83,32 @@ class PyIndex:
         ex = lambda n: self.execute(n, custom_fns)  # noqa: E731
         if isinstance(node, ast.Term):
             return {d: s * node.boost for d, s in self._bm25(node.value).items()}
+        if isinstance(node, ast.Phrase):
+            # Lucene PhraseWeight: (Σ idf(term_i)) × tfc(phrase_freq, dl)
+            maps = [self.positions.get(t) for t in node.terms]
+            if not maps or any(m is None for m in maps):
+                return {}
+            cand = set(maps[0])
+            for m in maps[1:]:
+                cand &= set(m)
+            w = sum(idf(self.n_docs, len(self.postings[t])) for t in node.terms)
+            out = {}
+            for docid in cand:
+                rest = [set(m[docid]) for m in maps[1:]]
+                ptf = sum(
+                    1
+                    for p in maps[0][docid]
+                    if all((p + i + 1) in s for i, s in enumerate(rest))
+                )
+                if ptf:
+                    dl = self.docs[docid]["dl"]
+                    out[docid] = (
+                        w
+                        * (ptf * (BM25_K1 + 1.0)
+                           / (ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)))
+                        * node.boost
+                    )
+            return out
         if isinstance(node, ast.MatchAll):
             return {d["docid"]: node.boost for d in self.docs}
         if isinstance(node, ast.Range):

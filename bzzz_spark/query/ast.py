@@ -96,6 +96,21 @@ class DisMax(Query):
 
 
 @dataclass
+class Phrase(Query):
+    """Exact phrase — all terms at consecutive token positions (Lucene
+    PhraseQuery, produced by the classic parser's quoted strings —
+    reference src/bzzz/queries/query_parser.clj:6-17).  Scoring pinned
+    to Lucene's PhraseWeight model: score = (Σ idf(term_i)) ×
+    tfc(phrase_freq, dl) × boost, where phrase_freq counts the exact
+    occurrences.  Requires an index built with store_positions=True;
+    slop is not supported (exact adjacency only, pinned deviation)."""
+
+    terms: list[str]
+    field_name: str = "text"
+    boost: float = 1.0
+
+
+@dataclass
 class Wildcard(Query):
     value: str  # glob with * and ?
     field_name: str = "text"
@@ -209,6 +224,18 @@ def parse_query(spec) -> Query:
             tie_breaker=body.get("tie-breaker", 0.0),
             boost=body.get("boost", 1.0),
         )
+    if kind == "phrase":
+        if "terms" in body:
+            terms = list(body["terms"])
+        else:
+            from bzzz_spark.analysis.tokenizer import py_tokenize
+
+            terms = py_tokenize(body["value"])
+        return Phrase(
+            terms=terms,
+            field_name=body.get("field", "text"),
+            boost=body.get("boost", 1.0),
+        )
     if kind == "wildcard":
         return Wildcard(
             value=body["value"],
@@ -266,6 +293,8 @@ def collect_terms(node: Query) -> list[str]:
     def walk(n: Query) -> None:
         if isinstance(n, Term):
             out.append(n.value)
+        elif isinstance(n, Phrase):
+            out.extend(n.terms)
         elif isinstance(n, Bool):
             for c in (*n.must, *n.must_not, *n.should):
                 walk(c)

@@ -30,10 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bzzz_spark.build.codec import decode_block
+from bzzz_spark.build.codec import decode_block, decode_positions
 from bzzz_spark.build.indexer import BzzzIndex
 from bzzz_spark.query import ast
-from bzzz_spark.query.scoring import score_col
+from bzzz_spark.query.scoring import idf as idf_fn
+from bzzz_spark.query.scoring import score_col, tfc_col
 
 
 def glob_to_regex(glob: str) -> str:
@@ -102,6 +103,45 @@ def decode_postings(postings: DataFrame, term_ids: list[int]) -> DataFrame:
                 yield pd.concat(pieces, ignore_index=True)
 
     return sub.mapInPandas(dec, "term_id long, docid long, tf long")
+
+
+def decode_postings_pos(postings: DataFrame, term_ids: list[int]) -> DataFrame:
+    """Decode blocks WITH positions → (term_id, docid, tf, positions).
+
+    Positions are the phrase-query substrate; the index must have been
+    built with store_positions=True."""
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "this index stores no positions — build it with "
+            "IndexConfig(store_positions=True) to answer phrase queries"
+        )
+    import numpy as np
+
+    sub = postings.filter(F.col("term_id").isin([int(t) for t in term_ids]))
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pieces = []
+            for row in pdf.itertuples(index=False):
+                d, tf = decode_block(row.first_docid, row.count, row.doc_gaps, row.tfs)
+                flat = decode_positions(row.positions, tf)
+                splits = np.split(flat, np.cumsum(tf)[:-1])
+                pieces.append(
+                    pd.DataFrame(
+                        {
+                            "term_id": row.term_id,
+                            "docid": d,
+                            "tf": tf,
+                            "positions": [p.astype(np.int32) for p in splits],
+                        }
+                    )
+                )
+            if pieces:
+                yield pd.concat(pieces, ignore_index=True)
+
+    return sub.mapInPandas(
+        dec, "term_id long, docid long, tf long, positions array<int>"
+    )
 
 
 class _Ctx:
@@ -205,7 +245,7 @@ def validate_fields(index: BzzzIndex, node: ast.Query) -> None:
     bad: list[str] = []
 
     def walk(n):
-        if isinstance(n, (ast.Term, ast.Wildcard, ast.Fuzzy)):
+        if isinstance(n, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Phrase)):
             if n.field_name not in known:
                 bad.append(n.field_name)
         elif isinstance(n, ast.Bool):
@@ -274,6 +314,47 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
         sc = "score_nn" if ctx.use_nonorm else "score"
         return ctx.scored.filter(F.col("term") == node.value).select(
             "docid", (F.col(sc) * node.boost).alias("score")
+        )
+    if isinstance(node, ast.Phrase):
+        metas = [ctx.term_meta.get(t) for t in node.terms]
+        if not metas or any(m is None for m in metas):
+            return ctx.empty()  # a missing term → phrase cannot occur
+        tids = [m[0] for m in metas]
+        pos = decode_postings_pos(ctx.index.postings, sorted(set(tids)))
+        parts = [
+            pos.filter(F.col("term_id") == tid).select(
+                "docid", F.col("positions").alias(f"p{i}")
+            )
+            for i, tid in enumerate(tids)
+        ]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "docid")
+        # phrase_freq: positions p of term 0 with p+i present in term i's
+        # positions for every i — JVM higher-order functions, no Python
+        p0 = F.col("p0")
+        if len(tids) > 1:
+            def adjacent(p):
+                cond = F.array_contains(F.col("p1"), p + 1)
+                for i in range(2, len(tids)):
+                    cond = cond & F.array_contains(F.col(f"p{i}"), p + i)
+                return cond
+
+            ptf = F.size(F.filter(p0, adjacent))
+        else:
+            ptf = F.size(p0)
+        # Lucene PhraseWeight: (Σ idf per term) × tfc(phrase_freq, dl)
+        sum_idf = sum(idf_fn(ctx.n_docs, m[1]) for m in metas)
+        dl_col = F.lit(ctx.avgdl) if ctx.use_nonorm else F.col("dl")
+        return (
+            joined.withColumn("ptf", ptf)
+            .filter(F.col("ptf") > 0)
+            .join(docs.select("docid", "dl"), "docid")
+            .select(
+                "docid",
+                (F.lit(sum_idf * node.boost)
+                 * tfc_col(F.col("ptf"), dl_col, ctx.avgdl)).alias("score"),
+            )
         )
     if isinstance(node, ast.MatchAll):
         return docs.select("docid", F.lit(float(node.boost)).alias("score"))

@@ -7,11 +7,12 @@ is implicitly a query-parser query, src/bzzz/query.clj:32-33).
 
 Supported subset, pinned here:
   term                      → Term on the default field
-  field:term                → Term on that field (our engine indexes one
-                              text field; other field names still parse)
-  "a b c"                   → conjunction of the phrase's terms (our
-                              postings store no positions — pinned
-                              deviation from Lucene's PhraseQuery)
+  field:term                → Term on that field (unknown fields parse
+                              but the executor rejects them loudly)
+  "a b c"                   → Phrase: terms at consecutive positions
+                              (Lucene PhraseQuery; needs an index built
+                              with store_positions=True — slop "~N" is
+                              not supported, pinned deviation)
   +term / -term / NOT term  → must / must_not
   a AND b, a && b           → conjunction
   a OR b, a || b            → disjunction
@@ -194,7 +195,7 @@ class _Parser:
                 return ast.MatchAll(boost=0.0)
             if len(terms) == 1:
                 return ast.Term(terms[0], field, boost)
-            return ast.Bool(must=[ast.Term(t, field) for t in terms], boost=boost)
+            return ast.Phrase(terms, field, boost)
         if kind == "term":
             return _leaf(text, self.field)
         raise ValueError(f"query-parser: unexpected {text!r}")

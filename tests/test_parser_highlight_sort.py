@@ -51,9 +51,12 @@ def test_parse_parens_boost_field():
     assert fld == ast.Term("user", "role", 2.0)
 
 
-def test_parse_phrase_as_conjunction():
+def test_parse_phrase():
     n = parse_query_string('"big data query"')
-    assert [t.value for t in n.must] == ["big", "data", "query"]
+    assert n == ast.Phrase(["big", "data", "query"], "text", 1.0)
+    assert parse_query_string('role:"big data"^2') == ast.Phrase(
+        ["big", "data"], "role", 2.0
+    )
 
 
 def test_parse_wildcard_fuzzy_range():

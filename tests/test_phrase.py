@@ -1,0 +1,206 @@
+"""Positional postings + phrase queries (Lucene PhraseQuery semantics,
+reference src/bzzz/queries/query_parser.clj:6-17 — quoted strings in the
+classic parser).  Parity is asserted against the pure-Python oracle's
+position-aware scorer; the codec roundtrip is asserted value-exactly."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql.functions import col as F_col, lit as F_lit
+
+from bzzz_spark.build.codec import decode_positions, encode_positions
+from bzzz_spark.build.indexer import IndexConfig, build_index
+from bzzz_spark.query import ast
+from bzzz_spark.query.executor import search
+from bzzz_spark.query.parser import parse_query_string
+
+
+# ------------------------------------------------------------------- codec
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.RandomState(7)
+    tfs = rng.randint(1, 9, size=50)
+    flat = np.concatenate(
+        [np.sort(rng.choice(200, size=t, replace=False)) for t in tfs]
+    )
+    buf = encode_positions(flat, tfs)
+    out = decode_positions(buf, tfs)
+    assert out.tolist() == flat.tolist()
+
+
+def test_positions_codec_edges():
+    assert encode_positions(np.array([], dtype=np.int64), np.array([], dtype=np.int64)) == b""
+    assert decode_positions(b"", np.array([], dtype=np.int64)).size == 0
+    # single posting, position 0
+    buf = encode_positions(np.array([0]), np.array([1]))
+    assert decode_positions(buf, np.array([1])).tolist() == [0]
+    # resets: second posting starts below the first's last position
+    flat = np.array([5, 9, 2, 3])
+    tfs = np.array([2, 2])
+    assert decode_positions(encode_positions(flat, tfs), tfs).tolist() == [5, 9, 2, 3]
+    with pytest.raises(ValueError):
+        encode_positions(np.array([1, 2]), np.array([1]))
+
+
+# ---------------------------------------------------------------- index+query
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, small_transcripts):
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    idx.docs.cache().count()
+    return idx
+
+
+def _bigram(small_oracle):
+    """A bigram that actually occurs in the corpus (from a mid doc)."""
+    from bzzz_spark.analysis.tokenizer import py_tokenize
+
+    for d in small_oracle.docs:
+        toks = py_tokenize(d["text"])
+        if len(toks) >= 4:
+            return toks[1], toks[2]
+    raise RuntimeError("corpus too small")
+
+
+def _assert_phrase_parity(pos_index, small_oracle, node, size=10):
+    got = [
+        (r["docid"], r["score"])
+        for r in search(pos_index, node, size=size).collect()
+    ]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
+    return got
+
+
+def test_phrase_matches_oracle(pos_index, small_oracle):
+    a, b = _bigram(small_oracle)
+    got = _assert_phrase_parity(pos_index, small_oracle, ast.Phrase([a, b]))
+    assert got, f"phrase '{a} {b}' should match at least its source doc"
+
+
+def test_phrase_is_stricter_than_and(pos_index, small_oracle):
+    a, b = _bigram(small_oracle)
+    n_phrase = len(small_oracle.execute(ast.Phrase([a, b])))
+    n_and = len(small_oracle.execute(ast.Bool(must=[ast.Term(a), ast.Term(b)])))
+    assert 0 < n_phrase <= n_and
+    got = search(pos_index, ast.Phrase([a, b]), size=1000).count()
+    assert got == n_phrase
+
+
+def test_phrase_reversed_usually_absent(pos_index, small_oracle):
+    a, b = _bigram(small_oracle)
+    _assert_phrase_parity(pos_index, small_oracle, ast.Phrase([b, a]))
+
+
+def test_phrase_three_terms_and_boost(pos_index, small_oracle):
+    from bzzz_spark.analysis.tokenizer import py_tokenize
+
+    for d in small_oracle.docs:
+        toks = py_tokenize(d["text"])
+        if len(toks) >= 5:
+            tri = toks[0:3]
+            break
+    _assert_phrase_parity(
+        pos_index, small_oracle, ast.Phrase(tri, boost=2.5)
+    )
+
+
+def test_phrase_missing_term_matches_nothing(pos_index, small_oracle):
+    node = ast.Phrase(["the", "zzzznotaterm"])
+    assert search(pos_index, node, size=10).count() == 0
+    assert small_oracle.execute(node) == {}
+
+
+def test_phrase_via_query_parser(pos_index, small_oracle):
+    a, b = _bigram(small_oracle)
+    node = parse_query_string(f'"{a} {b}"')
+    assert node == ast.Phrase([a, b], "text", 1.0)
+    _assert_phrase_parity(pos_index, small_oracle, node)
+
+
+def test_phrase_without_positions_raises(small_index):
+    with pytest.raises(ValueError, match="store_positions"):
+        search(small_index, ast.Phrase(["the", "data"]), size=5).collect()
+
+
+def test_positions_content_matches_oracle(pos_index, small_oracle):
+    """Decode EVERY posting's positions and compare with the oracle's
+    token offsets — the codec+build roundtrip at full coverage."""
+    from bzzz_spark.query.executor import decode_postings_pos
+
+    tid_of = {
+        r["term"]: r["term_id"] for r in pos_index.dictionary.collect()
+    }
+    terms = ["the", "data", "error"]
+    tids = [tid_of[t] for t in terms if t in tid_of]
+    rows = decode_postings_pos(pos_index.postings, tids).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["term_id"], {})[r["docid"]] = list(r["positions"])
+    for t in terms:
+        if t not in tid_of:
+            continue
+        want = small_oracle.positions.get(t, {})
+        assert got.get(tid_of[t], {}) == want
+
+
+# ------------------------------------------------- A13 position filter
+
+
+def test_position_filter_column(spark):
+    from bzzz_spark.analysis.analyzers import flt_position, tok_whitespace
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    out = df.select(
+        flt_position(tok_whitespace(F_col("text")), 0).alias("p0"),
+        flt_position(tok_whitespace(F_col("text")), 2).alias("p2"),
+    ).collect()[0]
+    assert [(r["term"], r["pos"]) for r in out["p0"]] == [
+        ("a", 0), ("b", 0), ("c", 0)
+    ]
+    assert [(r["term"], r["pos"]) for r in out["p2"]] == [
+        ("a", 0), ("b", 2), ("c", 4)
+    ]
+
+
+def test_build_tf_positioned_stacked_positions(spark):
+    """Increment 0 stacks every token at position 0 — tf still counts
+    occurrences, positions keep duplicates (Lucene same-position
+    postings)."""
+    from bzzz_spark.analysis.analyzers import flt_position, tok_whitespace
+    from bzzz_spark.build.indexer import build_tf_positioned
+
+    df = spark.createDataFrame([(0, "x y x",)], "docid long, text string")
+    docs = df.select(
+        "docid", F_lit(3).alias("dl"),
+        flt_position(tok_whitespace(F_col("text")), 0).alias("ptokens"),
+    )
+    rows = {r["term"]: r for r in build_tf_positioned(docs).collect()}
+    assert rows["x"]["tf"] == 2 and list(rows["x"]["positions"]) == [0, 0]
+    assert rows["y"]["tf"] == 1 and list(rows["y"]["positions"]) == [0]
+
+
+def test_html_strip_escaped_tags(spark):
+    from bzzz_spark.analysis.analyzers import html_strip
+
+    df = spark.createDataFrame(
+        [("<div>keep <b>bold</b> and <i>ital</i> drop <span>s</span></div>",)],
+        "text string",
+    )
+    out = df.select(
+        html_strip(F_col("text")).alias("all"),
+        html_strip(F_col("text"), ("b", "i")).alias("wl"),
+    ).collect()[0]
+    assert "<" not in out["all"]
+    assert "<b>bold</b>" in out["wl"] and "<i>ital</i>" in out["wl"]
+    assert "<div>" not in out["wl"] and "<span>" not in out["wl"]
