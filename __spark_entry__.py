@@ -53,6 +53,7 @@ def _index(spark: SparkSession, sf_dir: str) -> BzzzIndex:
             IndexConfig(
                 key_cols=("doc_id",), text_col="text", ts_col=None,
                 block_size=128, segment_size=1024, store_positions=True,
+                extra_fields=(("lang", "keyword"), ("source", "keyword")),
             ),
         )
         idx.docs.cache().count()
@@ -192,6 +193,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_wildcard(spark, sf):
         return _hits(_index(spark, sf), ast.Wildcard("s*"), size=10)
 
+    def q_field_term(spark, sf):
+        # per-field index: keyword field term (norms disabled → score is
+        # the field term's idf) summed with the text BM25 score
+        node = ast.Bool(
+            must=[ast.Term("merge"), ast.Term("en", field_name="lang")]
+        )
+        return _hits(_index(spark, sf), node, size=10)
+
+    def q_field_wildcard(spark, sf):
+        # wildcard scoped to a keyword field's key space
+        node = ast.Wildcard("src1*", field_name="source")
+        return _hits(_index(spark, sf), node, size=10)
+
     def q_fuzzy(spark, sf):
         return _hits(_index(spark, sf), ast.Fuzzy("scan", max_edits=1), size=10)
 
@@ -278,6 +292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hl.select(F.col("docid").alias("doc_id"), frag).select(
             "doc_id", "f.fragment", "f.start", "f.end",
             F.col("f.score").alias("n_matches"),
+        )
+
+    def q_facet_multi(spark, sf):
+        # F1 multi-dim: both dims counted in ONE pass over the matched set
+        from bzzz_spark.query.executor import facet_counts_multi
+
+        return facet_counts_multi(
+            _index(spark, sf), ast.Term("merge"), ["lang", "source"], size=5
+        )
+
+    def q_facet_tokens(spark, sf):
+        # F1 `use-analyzer` token faceting: labels are analyzed tokens,
+        # counted per occurrence (reference index_store.clj:86-93)
+        from bzzz_spark.query.executor import facet_counts_multi
+
+        return facet_counts_multi(
+            _index(spark, sf), ast.Term("dup"), ["text"], size=10,
+            use_analyzer=True,
         )
 
     def q_facet_lang(spark, sf):
@@ -439,6 +471,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
         )
 
+    def p_payload_state(spark, sf):
+        # Q17 broadcast read-only global state (reference
+        # EXPR_GLOBAL_STATE_RO, src/bzzz/state.clj:11-89): the scoring
+        # fn reads a broadcast dict on every executor
+        from bzzz_spark.analysis.payloads import payload_score_search
+
+        hits, _ = payload_score_search(
+            _event_payloads(spark, sf), None, "click",
+            score_fn=lambda c, st: (
+                sum(int.from_bytes(p, "big") for p in c["payloads"])
+                * st["mult"] + st["base"]
+            ),
+            state={"mult": 2.5, "base": 3.0},
+            size=10,
+        )
+        return hits.select(
+            F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    def p_result_state(spark, sf):
+        # R4 result-state: extra per-doc values emitted from the scorer
+        # with the hits (reference ExpressionContext.java:196-208)
+        from bzzz_spark.analysis.payloads import payload_score_search
+
+        def pay(c):
+            return sum(int.from_bytes(p, "big") for p in c["payloads"])
+
+        hits, _ = payload_score_search(
+            _event_payloads(spark, sf), None, "click",
+            score_fn=lambda c: float(pay(c)),
+            result_fields={"pay_mod": lambda c: pay(c) % 7},
+            result_schema="pay_mod int",
+            size=10,
+        )
+        return hits.select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "pay_mod",
+        )
+
     def p_payload_buckets(spark, sf):
         # F3: fixed-bucket aggregation filled from the scoring closure
         from bzzz_spark.analysis.payloads import payload_score_search
@@ -488,12 +560,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_match_all=q_match_all, q_paging=q_paging,
         q_constant_score=q_constant_score, q_dismax=q_dismax,
         q_phrase=q_phrase,
+        q_field_term=q_field_term, q_field_wildcard=q_field_wildcard,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_custom_score=q_custom_score,
         q_no_norm=q_no_norm, q_expr_score=q_expr_score,
         q_random_score=q_random_score, q_no_zero=q_no_zero, q_parser=q_parser,
         q_sort_field=q_sort_field, q_sort_expr=q_sort_expr,
         q_explain=q_explain, q_highlight=q_highlight,
         q_facet_lang=q_facet_lang, q_facet_source=q_facet_source,
+        q_facet_multi=q_facet_multi, q_facet_tokens=q_facet_tokens,
+        p_payload_state=p_payload_state, p_result_state=p_result_state,
         q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
         d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
         d_minhash_lsh=d_minhash_lsh,
@@ -670,6 +745,21 @@ scores AS (
   CROSS JOIN stats CROSS JOIN widf
 )
 {_topk('SELECT doc_id, score FROM scores', 10)}"""
+    o["q_field_term"] = f"""{_BASE}, {_term_scores(['merge'])},
+fld AS (SELECT count(*) AS df FROM documents WHERE lower(lang) = 'en'),
+fs AS (
+  SELECT d.doc_id,
+         ln(1.0 + (stats.n - fld.df + 0.5) / (fld.df + 0.5)) AS fscore
+  FROM documents d CROSS JOIN fld CROSS JOIN stats
+  WHERE lower(d.lang) = 'en'
+)
+{_topk("SELECT s.doc_id, s.score + fs.fscore AS score "
+       "FROM scores s JOIN fs ON fs.doc_id = s.doc_id", 10)}"""
+    o["q_field_wildcard"] = _topk(
+        "SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+        "WHERE lower(source) LIKE 'src1%'",
+        10,
+    )
     o["q_wildcard"] = (
         f"{_BASE}\n"
         + _topk(
@@ -760,6 +850,31 @@ FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id
 CROSS JOIN stats
 WHERE tf.term IN ('scan', 'agg') AND tf.doc_id IN (SELECT doc_id FROM top)"""
 
+    o["q_facet_multi"] = f"""{_BASE},
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+melted AS (
+  SELECT 'lang' AS dim, lang AS label FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM matched)
+  UNION ALL
+  SELECT 'source', source FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM matched)
+)
+SELECT dim, label, cnt FROM (
+  SELECT dim, label, cnt,
+         row_number() OVER (PARTITION BY dim ORDER BY cnt DESC, label) AS rn
+  FROM (SELECT dim, label, count(*) AS cnt FROM melted GROUP BY dim, label)
+) WHERE rn <= 5"""
+    o["q_facet_tokens"] = f"""{_BASE},
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+SELECT 'text' AS dim, label, cnt FROM (
+  SELECT label, cnt,
+         row_number() OVER (ORDER BY cnt DESC, label) AS rn
+  FROM (
+    SELECT tok.term AS label, count(*) AS cnt FROM tok
+    WHERE tok.doc_id IN (SELECT doc_id FROM matched)
+    GROUP BY tok.term
+  )
+) WHERE rn <= 10"""
     o["q_facet_lang"] = f"""{_BASE}
 SELECT lang, count(*) AS cnt FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
@@ -774,7 +889,15 @@ SELECT count(*) AS total FROM (
   GROUP BY doc_id HAVING count(*) = 2
 )"""
     o["q_dictionary"] = f"""{_BASE}
-SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term"""
+SELECT term, df, cf FROM (
+  SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+  UNION ALL
+  SELECT 'lang:' || lower(lang), count(*), count(*)::BIGINT
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'source:' || lower(source), count(*), count(*)::BIGINT
+  FROM documents GROUP BY source
+)"""
     o["q_stats"] = f"""{_BASE}
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        round((SELECT avgdl FROM stats), 6) AS avgdl"""
@@ -817,6 +940,20 @@ SELECT gram, count(*) AS cnt FROM (
     o["p_payload_score"] = """
 SELECT doc_id, round(score, 4) AS score FROM (
   SELECT event_id AS doc_id, floor(value)::DOUBLE AS score,
+         row_number() OVER (ORDER BY floor(value) DESC, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+) WHERE rn <= 10"""
+    o["p_payload_state"] = """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT event_id AS doc_id,
+         floor(value) * 2.5 + 3.0 AS score,
+         row_number() OVER (ORDER BY floor(value) * 2.5 + 3.0 DESC, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+) WHERE rn <= 10"""
+    o["p_result_state"] = """
+SELECT doc_id, round(score, 4) AS score, pay_mod FROM (
+  SELECT event_id AS doc_id, floor(value)::DOUBLE AS score,
+         floor(value)::INT % 7 AS pay_mod,
          row_number() OVER (ORDER BY floor(value) DESC, event_id) AS rn
   FROM events WHERE event_type = 'click'
 ) WHERE rn <= 10"""

@@ -146,49 +146,90 @@ def payload_score_search(
     payload_postings: DataFrame,
     docs: DataFrame,
     term: str,
-    score_fn: Callable[[dict], float],
+    score_fn: Callable[..., float],
     doc_value_cols: list[str] | None = None,
     size: int = 20,
     no_zero: bool = False,
     bucket_fn: Callable[[dict], int] | None = None,
     n_buckets: int = 0,
+    state: dict | None = None,
+    result_fields: dict[str, Callable[[dict], object]] | None = None,
+    result_schema: str = "",
 ):
     """Q17's deterministic subset: a REGISTERED Python scoring function
     over per-doc context {docid, payloads, <doc value cols>}, plus
     optional fixed-bucket aggregation (F3).
 
+    ``state`` is the reference's read-only global state
+    (EXPR_GLOBAL_STATE_RO pushed via /_state and read from scoring
+    closures — src/bzzz/state.clj:11-89,
+    TermPayloadClojureScoreQuery.java:25-28): a dict broadcast to every
+    executor; when given, score_fn is called as score_fn(ctx, state).
+    Mutable cross-doc state is intentionally NOT replicated (the
+    reference marks its engine NOT THREAD SAFE; order-dependent state is
+    non-reproducible by construction).
+
+    ``result_fields`` + ``result_schema`` are the reference's
+    result-state: extra per-doc values emitted from the scorer and
+    returned with the hits (ExpressionContext.java:196-208,
+    query.clj:59-68).  Each named callable maps ctx → value; the schema
+    string types the extra columns (e.g. "pay_mod int, tag string").
+
+    Prefer vectorized score_fns operating on whole batches where
+    possible; the row loop here is the compatibility hook for arbitrary
+    per-doc closures, not the engine's hot path.
+
     Returns (hits_df, buckets_df_or_None): hits = top `size`
-    (score desc, docid asc); buckets = (bucket, cnt) counts over ALL
-    matched docs (reference: int-array buckets filled from the scoring
-    closure, TermPayloadClojureScoreQuery.java:65-127).
+    (score desc, docid asc) with any result-state columns; buckets =
+    (bucket, cnt) counts over ALL matched docs (reference: int-array
+    buckets filled from the scoring closure,
+    TermPayloadClojureScoreQuery.java:65-127).
     """
     dvc = doc_value_cols or []
+    rfs = result_fields or {}
+    if bool(rfs) != bool(result_schema):
+        raise ValueError("result_fields and result_schema go together")
     cand = payload_postings.filter(F.col("term") == term)
     if dvc:
         cand = cand.join(docs.select("docid", *dvc), "docid")
 
-    out_schema = "docid long, score double" + (
-        ", bucket int" if bucket_fn else ""
+    out_schema = "docid long, score double"
+    if bucket_fn:
+        out_schema += ", bucket int"
+    if result_schema:
+        out_schema += ", " + result_schema
+
+    bc_state = (
+        payload_postings.sparkSession.sparkContext.broadcast(state)
+        if state is not None
+        else None
     )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc_state.value if bc_state is not None else None
+        score = (
+            (lambda c: score_fn(c, st)) if st is not None else score_fn
+        )
         for pdf in it:
             ctxs = pdf.to_dict("records")
             out = {
                 "docid": pdf["docid"],
-                "score": [float(score_fn(c)) for c in ctxs],
+                "score": [float(score(c)) for c in ctxs],
             }
             if bucket_fn:
                 out["bucket"] = [
                     min(max(int(bucket_fn(c)), 0), n_buckets - 1) for c in ctxs
                 ]
+            for name, fn in rfs.items():
+                out[name] = [fn(c) for c in ctxs]
             yield pd.DataFrame(out)
 
     scored = cand.mapInPandas(run, schema=out_schema)
     if no_zero:  # Q15 semantics fused into the payload path
         scored = scored.filter(F.col("score") != 0.0)
+    keep = ["docid", "score"] + list(rfs)
     hits = (
-        scored.select("docid", "score")
+        scored.select(*keep)
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(size)
     )

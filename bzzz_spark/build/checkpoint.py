@@ -42,9 +42,21 @@ from bzzz_spark.build.indexer import (
     IndexConfig,
     build_dictionary,
     build_docs,
+    build_field_tf,
     build_tf,
     encode_postings,
 )
+
+
+def _full_tf(docs, cfg: IndexConfig, avgdl: float):
+    """Text tf plus extra-field legs (shuffle mode — no segment
+    stamping needed; the repartition in encode_postings owns layout)."""
+    tf = build_tf(docs, with_positions=cfg.store_positions)
+    if cfg.extra_fields:
+        tf = tf.withColumn("dl", F.col("dl").cast("double"))
+        for leg in build_field_tf(docs, cfg, avgdl):
+            tf = tf.unionByName(leg)
+    return tf
 
 MANIFEST = "manifest.json"
 
@@ -130,7 +142,7 @@ def build_and_write(
     if "dictionary" not in m["stages"]:
         t0 = time.perf_counter()
         docs = spark.read.parquet(docs_path)
-        dictionary = build_dictionary(build_tf(docs), cfg)
+        dictionary = build_dictionary(_full_tf(docs, cfg, avgdl), cfg)
         dictionary.write.mode("overwrite").parquet(dict_path)
         m["stages"]["dictionary"] = {
             "n_terms": spark.read.parquet(dict_path).count(),
@@ -157,7 +169,7 @@ def build_and_write(
             (F.col("docid") >= doc_lo) & (F.col("docid") < doc_hi)
         )
         dictionary = spark.read.parquet(dict_path)
-        tf = build_tf(docs, with_positions=cfg.store_positions)
+        tf = _full_tf(docs, cfg, avgdl)
         extra = ["positions"] if cfg.store_positions else []
         rows = (
             tf.join(dictionary.select("term", "term_id", "df"), "term")
@@ -213,6 +225,9 @@ def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
     # manifests written before merge_mode was persisted are always
     # shuffle-built (the checkpoint path never used aligned numbering)
     cfg_d.setdefault("merge_mode", "shuffle")
+    cfg_d["extra_fields"] = tuple(
+        tuple(x) for x in cfg_d.get("extra_fields", [])
+    )
     cfg = IndexConfig(**cfg_d)
     return BzzzIndex(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")).drop("tokens"),

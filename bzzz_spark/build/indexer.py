@@ -93,6 +93,15 @@ class IndexConfig:
     key_cols: tuple = ("conv_id", "turn_idx")
     text_col: str = "text"
     ts_col: str | None = "ts"  # None → skip upsert dedup
+    # extra per-field inverted indexes (the reference indexes EVERY doc
+    # field, queries carry `field` — src/bzzz/index_store.clj:36-49).
+    # Each entry is (column_name, analyzer) with analyzer "keyword"
+    # (whole lowercased value = one term; reference `_not_analyzed`
+    # convention, util.clj:74-78) or "standard".  Field terms live in
+    # the same dictionary/postings keyed "<field>:<token>", indexed with
+    # norms DISABLED (reference `_no_norms` convention, util.clj:74-124):
+    # their BM25 length factor is pinned to 1 (dl := avgdl).
+    extra_fields: tuple = ()
 
     def to_dict(self) -> dict:
         return {
@@ -101,6 +110,7 @@ class IndexConfig:
             "key_cols": list(self.key_cols), "text_col": self.text_col,
             "ts_col": self.ts_col, "merge_mode": self.merge_mode,
             "store_positions": self.store_positions,
+            "extra_fields": [list(x) for x in self.extra_fields],
         }
 
 
@@ -220,6 +230,41 @@ def build_tf(
     return docs.select(
         "docid", "dl", F.explode(pairs).alias("p")
     ).select(F.col("p.term").alias("term"), "docid", "dl", F.col("p.tf").alias("tf"))
+
+
+def field_tokens_col(fname: str, analyzer: str):
+    """Tokens Column for one extra field, already key-prefixed
+    '<field>:<token>'.  ':' cannot occur inside a token (the standard
+    analyzer emits [\\p{L}\\p{N}_]+ runs), so keys never collide with
+    text terms."""
+    c = F.col(fname).cast("string")
+    if analyzer == "keyword":
+        toks = F.filter(
+            F.array(F.lower(c)), lambda t: t.isNotNull() & (t != F.lit(""))
+        )
+    elif analyzer == "standard":
+        toks = standard_tokenize(c)
+    else:
+        raise ValueError(f"unknown field analyzer {analyzer!r}")
+    return F.transform(toks, lambda t: F.concat(F.lit(fname + ":"), t))
+
+
+def build_field_tf(docs: DataFrame, cfg: IndexConfig, avgdl: float) -> list[DataFrame]:
+    """One tf leg per extra field: (term='<field>:<token>', docid, dl,
+    tf[, positions]).  dl is pinned to avgdl — norms disabled — so the
+    encoder's block-max bounds and the query-time score both see a BM25
+    length factor of exactly 1.  Each leg derives NARROWLY from docs
+    (partition ids preserved → aligned segment numbering stays valid
+    per leg)."""
+    legs = []
+    for fname, analyzer in cfg.extra_fields:
+        leg_docs = docs.select(
+            "docid",
+            F.lit(float(avgdl)).alias("dl"),
+            field_tokens_col(fname, analyzer).alias("tokens"),
+        )
+        legs.append(build_tf(leg_docs, with_positions=cfg.store_positions))
+    return legs
 
 
 def build_tf_positioned(docs: DataFrame, positioned_col: str = "ptokens") -> DataFrame:
@@ -484,8 +529,17 @@ def encode_postings_aligned(
     on it — blocks carry their own first/last docid bounds.
     """
     extra = ["positions"] if "positions" in tf.columns else []
+    if "segment" in tf.columns:
+        # multi-field builds stamp the segment per tf LEG before the
+        # union (spark_partition_id is only meaningful per leg — after a
+        # union, partition ids renumber and the pid→range map would lie)
+        seg_tf = tf
+    else:
+        seg_tf = tf.withColumn(
+            "segment", _aligned_segment_col(parts, cfg.segment_size)
+        )
     rows = (
-        tf.withColumn("segment", _aligned_segment_col(parts, cfg.segment_size))
+        seg_tf
         .join(F.broadcast(dictionary.select("term", "term_id", "df")), "term")
         .select("term_id", "segment", "docid", "tf", "dl", "df", *extra)
     )
@@ -515,12 +569,30 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 0.0
     # tf feeds BOTH the dictionary and the posting rows — persist it so
     # the tokenize + in-array tf pass runs once (measured ~40% of the
-    # encode phase when recomputed)
-    tf = build_tf(docs, with_positions=cfg.store_positions).persist()
+    # encode phase when recomputed).  Extra-field legs are unioned in
+    # with dl pinned to avgdl (norms disabled for field terms).
+    legs = [build_tf(docs, with_positions=cfg.store_positions)]
+    if cfg.extra_fields:
+        legs[0] = legs[0].withColumn("dl", F.col("dl").cast("double"))
+        legs.extend(build_field_tf(docs, cfg, avgdl))
+    parts = None
+    if cfg.merge_mode == "aligned":
+        parts = collect_doc_partitions(docs)
+        # stamp segments per leg BEFORE any union: spark_partition_id is
+        # only meaningful on frames derived narrowly from docs
+        legs = [
+            leg.withColumn(
+                "segment", _aligned_segment_col(parts, cfg.segment_size)
+            )
+            for leg in legs
+        ]
+    tf = legs[0]
+    for leg in legs[1:]:
+        tf = tf.unionByName(leg)
+    tf = tf.persist()
     dictionary = build_dictionary(tf, cfg)
     dictionary.cache()
     if cfg.merge_mode == "aligned":
-        parts = collect_doc_partitions(docs)
         postings = encode_postings_aligned(parts, tf, dictionary, n_docs, avgdl, cfg)
         # docs carry their segment so the query side never needs the
         # docid//segment_size formula (which aligned numbering breaks)
@@ -528,7 +600,7 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
             "segment", _aligned_segment_col(parts, cfg.segment_size)
         )
     else:
-        posting_rows = build_posting_rows(tf, dictionary, cfg)
+        posting_rows = build_posting_rows(tf.drop("segment"), dictionary, cfg)
         postings = encode_postings(posting_rows, n_docs, avgdl, cfg)
         docs = docs.withColumn(
             "segment", (F.col("docid") / cfg.segment_size).cast("int")

@@ -34,8 +34,13 @@ def levenshtein(a: str, b: str) -> int:
 
 
 class PyIndex:
-    def __init__(self, rows: list[dict]):
-        """rows: dicts with conv_id, turn_idx, role, text, tool, ts."""
+    def __init__(self, rows: list[dict], extra_fields: tuple = ()):
+        """rows: dicts with conv_id, turn_idx, role, text, tool, ts.
+
+        extra_fields mirrors IndexConfig.extra_fields: ((name, analyzer),
+        ...) — per-field postings keyed '<field>:<token>', scored with
+        norms disabled (dl := avgdl)."""
+        self.extra_fields = dict(extra_fields)
         latest: dict[tuple, dict] = {}
         for r in rows:  # upsert: latest ts wins (index_store.clj:109-113)
             key = (r["conv_id"], r["turn_idx"])
@@ -57,10 +62,32 @@ class PyIndex:
             for term, plist in occ.items():
                 self.postings[term][docid] = len(plist)
                 self.positions[term][docid] = plist
+            for fname, analyzer in self.extra_fields.items():
+                v = r.get(fname)
+                if v is None:
+                    continue
+                ftoks = (
+                    [str(v).lower()] if analyzer == "keyword"
+                    else py_tokenize(str(v))
+                )
+                for term, tf in Counter(ftoks).items():
+                    if term:
+                        self.postings[f"{fname}:{term}"][docid] = tf
         self.n_docs = len(self.docs)
         self.avgdl = (
             sum(d["dl"] for d in self.docs) / self.n_docs if self.n_docs else 0.0
         )
+
+    def _scoped_terms(self, field_name: str) -> list[tuple[str, str]]:
+        """(key, bare_token) pairs visible to a multi-term pattern on
+        the given field — field patterns see only their own key space,
+        default-field patterns never see field keys."""
+        if field_name in self.extra_fields:
+            pre = f"{field_name}:"
+            return [
+                (t, t[len(pre):]) for t in self.postings if t.startswith(pre)
+            ]
+        return [(t, t) for t in self.postings if ":" not in t]
 
     # ---------------------------------------------------------------- scoring
 
@@ -68,10 +95,12 @@ class PyIndex:
         plist = self.postings.get(term, {})
         if not plist:
             return {}
+        # extra-field terms score without norms: dl := avgdl
+        nonorm = ":" in term and term.split(":", 1)[0] in self.extra_fields
         w = idf(self.n_docs, len(plist))
         out = {}
         for docid, tf in plist.items():
-            dl = self.docs[docid]["dl"]
+            dl = self.avgdl if nonorm else self.docs[docid]["dl"]
             out[docid] = w * (
                 tf * (BM25_K1 + 1.0)
                 / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
@@ -82,7 +111,12 @@ class PyIndex:
         """AST → {docid: score}."""
         ex = lambda n: self.execute(n, custom_fns)  # noqa: E731
         if isinstance(node, ast.Term):
-            return {d: s * node.boost for d, s in self._bm25(node.value).items()}
+            key = (
+                f"{node.field_name}:{str(node.value).lower()}"
+                if node.field_name in self.extra_fields
+                else node.value
+            )
+            return {d: s * node.boost for d, s in self._bm25(key).items()}
         if isinstance(node, ast.Phrase):
             # Lucene PhraseWeight: (Σ idf(term_i)) × tfc(phrase_freq, dl)
             maps = [self.positions.get(t) for t in node.terms]
@@ -163,7 +197,8 @@ class PyIndex:
             return out
         if isinstance(node, ast.Wildcard):
             # * and ? only (Lucene WildcardQuery semantics, matching the
-            # engine's glob_to_regex — no [seq] classes)
+            # engine's glob_to_regex — no [seq] classes).  Patterns are
+            # scoped to their field's key space.
             rx = re.compile(
                 "^"
                 + "".join(
@@ -172,15 +207,18 @@ class PyIndex:
                 )
                 + "$"
             )
-            terms = [t for t in self.postings if rx.match(t)]
+            terms = [
+                t for t, bare in self._scoped_terms(node.field_name)
+                if rx.match(bare)
+            ]
             docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
             return {d: node.boost for d in docs}
         if isinstance(node, ast.Fuzzy):
             terms = [
                 t
-                for t in self.postings
-                if t.startswith(node.value[: node.prefix_len])
-                and levenshtein(t, node.value) <= node.max_edits
+                for t, bare in self._scoped_terms(node.field_name)
+                if bare.startswith(node.value[: node.prefix_len])
+                and levenshtein(bare, node.value) <= node.max_edits
             ]
             docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
             return {d: node.boost for d in docs}

@@ -285,28 +285,33 @@ def parse_query(spec) -> Query:
     raise ValueError(f"unknown query kind {kind!r}")
 
 
-def collect_terms(node: Query) -> list[str]:
-    """All Term values under a node (dictionary-lookup prefetch); the
-    analog of the reference's query-tree walk (Helper.java:43-63)."""
-    out: list[str] = []
+def iter_nodes(node: Query):
+    """Pre-order walk over a query tree — the analog of the reference's
+    query-tree post-walk (Helper.java:43-63).  Every tree consumer
+    (term prefetch, field validation, multi-term pattern collection)
+    shares this one traversal."""
+    yield node
+    if isinstance(node, Bool):
+        for c in (*node.must, *node.must_not, *node.should):
+            yield from iter_nodes(c)
+    elif isinstance(node, Filtered):
+        yield from iter_nodes(node.query)
+        yield from iter_nodes(node.filter)
+    elif isinstance(
+        node, (ConstantScore, NoZeroScore, NoNorm, RandomScore, CustomScore)
+    ):
+        yield from iter_nodes(node.query)
+    elif isinstance(node, DisMax):
+        for c in node.queries:
+            yield from iter_nodes(c)
 
-    def walk(n: Query) -> None:
+
+def collect_terms(node: Query) -> list[str]:
+    """All Term/Phrase values under a node (dictionary-lookup prefetch)."""
+    out: list[str] = []
+    for n in iter_nodes(node):
         if isinstance(n, Term):
             out.append(n.value)
         elif isinstance(n, Phrase):
             out.extend(n.terms)
-        elif isinstance(n, Bool):
-            for c in (*n.must, *n.must_not, *n.should):
-                walk(c)
-        elif isinstance(n, Filtered):
-            walk(n.query), walk(n.filter)
-        elif isinstance(
-            n, (ConstantScore, NoZeroScore, NoNorm, RandomScore, CustomScore)
-        ):
-            walk(n.query)
-        elif isinstance(n, DisMax):
-            for c in n.queries:
-                walk(c)
-
-    walk(node)
     return out

@@ -51,33 +51,66 @@ def glob_to_regex(glob: str) -> str:
     )
 
 
-def _multiterm_cond(p):
+def extra_field_map(index: BzzzIndex) -> dict[str, str]:
+    """{field_name: analyzer} for the index's extra per-field indexes."""
+    return dict(getattr(index.config, "extra_fields", ()) or ())
+
+
+def term_key(index: BzzzIndex, field_name: str, value: str) -> str:
+    """Dictionary key for a (field, value) term.  Default-field terms
+    are bare tokens; extra-field terms are '<field>:<lower(value)>'
+    (build-side keying in indexer.field_tokens_col)."""
+    if field_name in extra_field_map(index):
+        return f"{field_name}:{str(value).lower()}"
+    return value
+
+
+def _multiterm_cond(p, prefix: str = ""):
     """Dictionary-side filter Column for one Wildcard/Fuzzy pattern —
     Lucene's multi-term rewrite pushed into the scan instead of a
     driver-side full-vocabulary collect (the reference rewrites against
     the term dictionary the same way: queries/wildcard.clj:5-11,
     fuzzy.clj:7-21).  At 10^8+ terms only the (small) expansion ever
-    reaches the driver."""
+    reaches the driver.  ``prefix`` scopes the pattern to an extra
+    field's key space ('<field>:')."""
     if isinstance(p, ast.Wildcard):
-        return F.col("term").rlike(glob_to_regex(p.value))
+        return F.col("term").rlike(glob_to_regex(prefix + p.value))
     # Fuzzy: cheap codegen'd pre-filters (length band + prefix) ahead of
-    # the levenshtein, mirroring Lucene's prefix_len discipline
+    # the levenshtein, mirroring Lucene's prefix_len discipline.  The
+    # edit distance is measured on the bare token (field prefix
+    # stripped), so field keys don't inflate it.
+    bare = (
+        F.col("term").substr(F.lit(len(prefix) + 1), F.length("term"))
+        if prefix
+        else F.col("term")
+    )
     cond = (
-        F.abs(F.length("term") - F.lit(len(p.value))) <= F.lit(p.max_edits)
-    ) & (F.levenshtein(F.col("term"), F.lit(p.value)) <= F.lit(p.max_edits))
+        F.abs(F.length(bare) - F.lit(len(p.value))) <= F.lit(p.max_edits)
+    ) & (F.levenshtein(bare, F.lit(p.value)) <= F.lit(p.max_edits))
     if p.prefix_len > 0:
-        cond = F.col("term").startswith(p.value[: p.prefix_len]) & cond
+        cond = bare.startswith(p.value[: p.prefix_len]) & cond
+    if prefix:
+        cond = F.col("term").startswith(prefix) & cond
     return cond
 
 
-def expand_multiterm(dictionary: DataFrame, patterns: list) -> list[str]:
+def _pattern_prefix(index: BzzzIndex, p) -> str:
+    return (
+        f"{p.field_name}:" if p.field_name in extra_field_map(index) else ""
+    )
+
+
+def expand_multiterm(
+    dictionary: DataFrame, patterns: list, prefixes: list[str] | None = None
+) -> list[str]:
     """Candidate terms for ALL patterns in one Spark job over the
     dictionary.  Collects only terms matching at least one pattern."""
     if not patterns:
         return []
-    cond = _multiterm_cond(patterns[0])
-    for p in patterns[1:]:
-        cond = cond | _multiterm_cond(p)
+    prefixes = prefixes or [""] * len(patterns)
+    cond = _multiterm_cond(patterns[0], prefixes[0])
+    for p, pre in zip(patterns[1:], prefixes[1:]):
+        cond = cond | _multiterm_cond(p, pre)
     return [r["term"] for r in dictionary.filter(cond).select("term").collect()]
 
 
@@ -154,24 +187,40 @@ class _Ctx:
         validate_fields(index, node)
         self.n_docs, self.avgdl = index.scalar_stats()
 
-        terms = set(ast.collect_terms(node))
+        # dictionary keys to prefetch: bare tokens for the default text
+        # field, '<field>:<token>' for extra-field terms
+        terms: set[str] = set()
+        for n in ast.iter_nodes(node):
+            if isinstance(n, ast.Term):
+                terms.add(term_key(index, n.field_name, n.value))
+            elif isinstance(n, ast.Phrase):
+                terms.update(term_key(index, n.field_name, t) for t in n.terms)
         # wildcard/fuzzy expansion — Lucene's multi-term rewrite, pushed
         # into a dictionary filter (rlike / levenshtein Columns); only
         # the matching expansion set is collected, never the vocabulary
         self.expansions: dict[tuple, list[str]] = {}
         patterns = _collect_multiterm(node)
         if patterns:
-            cand = expand_multiterm(index.dictionary, patterns)
-            for p in patterns:
+            prefixes = [_pattern_prefix(index, p) for p in patterns]
+            cand = expand_multiterm(index.dictionary, patterns, prefixes)
+            for p, pre in zip(patterns, prefixes):
+                # scope candidates: field patterns only see their own
+                # key space; default-field patterns never see field keys
+                # (text tokens cannot contain ':')
+                scoped = (
+                    [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
+                    if pre
+                    else [(t, t) for t in cand if ":" not in t]
+                )
                 if isinstance(p, ast.Wildcard):
                     rx = re.compile(glob_to_regex(p.value))
-                    exp = [t for t in cand if rx.match(t)]
+                    exp = [t for t, bare in scoped if rx.match(bare)]
                 else:  # Fuzzy
                     exp = [
                         t
-                        for t in cand
-                        if t.startswith(p.value[: p.prefix_len])
-                        and levenshtein(t, p.value) <= p.max_edits
+                        for t, bare in scoped
+                        if bare.startswith(p.value[: p.prefix_len])
+                        and levenshtein(bare, p.value) <= p.max_edits
                     ]
                 self.expansions[_mt_key(p)] = exp
                 terms.update(exp)
@@ -242,58 +291,31 @@ def validate_fields(index: BzzzIndex, node: ast.Query) -> None:
     src/bzzz/index_store.clj:36-49 — so `role:assistant` means the role
     field; answering it from the text field would be a wrong answer)."""
     known = indexed_fields(index)
-    bad: list[str] = []
-
-    def walk(n):
-        if isinstance(n, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Phrase)):
-            if n.field_name not in known:
-                bad.append(n.field_name)
-        elif isinstance(n, ast.Bool):
-            for c in (*n.must, *n.must_not, *n.should):
-                walk(c)
-        elif isinstance(n, ast.Filtered):
-            walk(n.query), walk(n.filter)
-        elif isinstance(n, (ast.ConstantScore, ast.NoZeroScore, ast.NoNorm,
-                            ast.RandomScore, ast.CustomScore)):
-            walk(n.query)
-        elif isinstance(n, ast.DisMax):
-            for c in n.queries:
-                walk(c)
-
-    walk(node)
+    bad = sorted(
+        {
+            n.field_name
+            for n in ast.iter_nodes(node)
+            if isinstance(n, (ast.Term, ast.Wildcard, ast.Fuzzy, ast.Phrase))
+            and n.field_name not in known
+        }
+    )
     if bad:
         raise ValueError(
-            f"query references unindexed field(s) {sorted(set(bad))}; "
+            f"query references unindexed field(s) {bad}; "
             f"this index answers fields {sorted(known)}"
         )
 
 
 def _mt_key(p) -> tuple:
     if isinstance(p, ast.Wildcard):
-        return ("w", p.value)
-    return ("f", p.value, p.max_edits, p.prefix_len)
+        return ("w", p.field_name, p.value)
+    return ("f", p.field_name, p.value, p.max_edits, p.prefix_len)
 
 
 def _collect_multiterm(node: ast.Query) -> list:
-    out = []
-
-    def walk(n):
-        if isinstance(n, (ast.Wildcard, ast.Fuzzy)):
-            out.append(n)
-        elif isinstance(n, ast.Bool):
-            for c in (*n.must, *n.must_not, *n.should):
-                walk(c)
-        elif isinstance(n, ast.Filtered):
-            walk(n.query), walk(n.filter)
-        elif isinstance(n, (ast.ConstantScore, ast.NoZeroScore, ast.NoNorm,
-                            ast.RandomScore, ast.CustomScore)):
-            walk(n.query)
-        elif isinstance(n, ast.DisMax):
-            for c in n.queries:
-                walk(c)
-
-    walk(node)
-    return out
+    return [
+        n for n in ast.iter_nodes(node) if isinstance(n, (ast.Wildcard, ast.Fuzzy))
+    ]
 
 
 def _tagged_union(dfs: list[DataFrame]) -> DataFrame:
@@ -309,14 +331,19 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
     docids, which the Bool/DisMax count-based combinators rely on."""
     docs = ctx.index.docs
     if isinstance(node, ast.Term):
-        if node.value not in ctx.term_meta:
+        key = term_key(ctx.index, node.field_name, node.value)
+        if key not in ctx.term_meta:
             return ctx.empty()
-        sc = "score_nn" if ctx.use_nonorm else "score"
-        return ctx.scored.filter(F.col("term") == node.value).select(
+        # extra-field terms are indexed with norms disabled (dl:=avgdl
+        # at build) — score them with the no-norm variant
+        nonorm = ctx.use_nonorm or node.field_name in extra_field_map(ctx.index)
+        sc = "score_nn" if nonorm else "score"
+        return ctx.scored.filter(F.col("term") == key).select(
             "docid", (F.col(sc) * node.boost).alias("score")
         )
     if isinstance(node, ast.Phrase):
-        metas = [ctx.term_meta.get(t) for t in node.terms]
+        keys = [term_key(ctx.index, node.field_name, t) for t in node.terms]
+        metas = [ctx.term_meta.get(k) for k in keys]
         if not metas or any(m is None for m in metas):
             return ctx.empty()  # a missing term → phrase cannot occur
         tids = [m[0] for m in metas]
@@ -345,7 +372,8 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
             ptf = F.size(p0)
         # Lucene PhraseWeight: (Σ idf per term) × tfc(phrase_freq, dl)
         sum_idf = sum(idf_fn(ctx.n_docs, m[1]) for m in metas)
-        dl_col = F.lit(ctx.avgdl) if ctx.use_nonorm else F.col("dl")
+        nonorm = ctx.use_nonorm or node.field_name in extra_field_map(ctx.index)
+        dl_col = F.lit(ctx.avgdl) if nonorm else F.col("dl")
         return (
             joined.withColumn("ptf", ptf)
             .filter(F.col("ptf") > 0)
@@ -615,4 +643,69 @@ def facet_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col(facet_field).asc())
         .limit(size)
+    )
+
+
+def facet_counts_multi(
+    index: BzzzIndex,
+    query,
+    fields: list[str],
+    size: int = 20,
+    use_analyzer: bool = False,
+) -> DataFrame:
+    """Multi-dimension facet counts in ONE pass over the matched set →
+    (dim, label, cnt), top `size` per dim.
+
+    The reference declares N facet dims at index time and counts them
+    all in one FacetsCollector pass (index_store.clj:80-93,
+    index_search.clj:294-305); this is the Spark shape of that: the
+    matched→docs join and the groupBy happen once, dims are melted into
+    (dim, label) structs JVM-side before the single shuffle.
+
+    use_analyzer reproduces the reference's `use-analyzer` token
+    faceting (index_store.clj:86-93): labels are the analyzed TOKENS of
+    the stored column, counted per occurrence (a token twice in one doc
+    counts twice — Lucene taxonomy ordinals are added per occurrence).
+    Array-typed columns facet per element (the reference's multi-valued
+    facets)."""
+    from pyspark.sql.types import ArrayType
+
+    from bzzz_spark.analysis.tokenizer import standard_tokenize
+
+    matched = execute(index, query).select("docid")
+    docs = index.docs
+    dtypes = {f.name: f.dataType for f in docs.schema.fields}
+
+    def tag(base, dim_name):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # treats a second parameter as the element-index argument
+        return F.transform(
+            base,
+            lambda t: F.struct(F.lit(dim_name).alias("dim"), t.alias("label")),
+        )
+
+    arrs = []
+    for f in fields:
+        if use_analyzer:
+            base = standard_tokenize(F.col(f).cast("string"))
+        elif isinstance(dtypes.get(f), ArrayType):
+            base = F.transform(F.col(f), lambda t: t.cast("string"))
+        else:
+            base = F.array(F.col(f).cast("string"))
+        arrs.append(tag(base, f))
+    pairs = (
+        matched.join(docs.select("docid", *fields), "docid")
+        .select(F.explode(F.flatten(F.array(*arrs))).alias("p"))
+        .select("p.dim", "p.label")
+        .filter(F.col("label").isNotNull())
+    )
+    counts = pairs.groupBy("dim", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("dim").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    return (
+        counts.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= size)
+        .drop("__rank")
+        .orderBy("dim", F.col("cnt").desc(), "label")
     )

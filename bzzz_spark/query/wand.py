@@ -202,6 +202,16 @@ def wand_candidates(
     shape = classify(node)
     if shape is None:
         return None
+    # extra-field terms are keyed '<field>:<token>' in the dictionary
+    # and score without norms — route them through the exhaustive
+    # executor (which owns the key mapping) rather than mis-looking
+    # them up here by bare value
+    aliases = {"text", index.config.text_col}
+    if any(
+        isinstance(n, (ast.Term, ast.Phrase)) and n.field_name not in aliases
+        for n in ast.iter_nodes(node)
+    ):
+        return None
     mode, terms, msm, _boost = shape
     vals = [v for v, _ in terms]
     if len(set(vals)) != len(vals):

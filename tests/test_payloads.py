@@ -105,3 +105,54 @@ def test_payload_no_zero(spark):
         size=10, no_zero=True,
     )
     assert [r["docid"] for r in hits.collect()] == [2]
+
+
+def test_payload_state_broadcast(spark):
+    """Q17 read-only global state (reference EXPR_GLOBAL_STATE_RO,
+    src/bzzz/state.clj:11-89; test shapes at
+    test/bzzz/term_payload_clj_score_test.clj:59-150): the scoring fn
+    reads a broadcast dict, identically on every executor."""
+    docs = _df(spark, [(i, f"m|{i:02x}") for i in range(1, 5)])
+    payloads = byte_payload_tokenize(docs)
+
+    def score(ctx, state):
+        v = int.from_bytes(bytes(ctx["payloads"][0]), "big")
+        return v * state["mult"] + state["offsets"]["all"]
+
+    hits, _ = payload_score_search(
+        payloads, None, "m", score,
+        state={"mult": 10.0, "offsets": {"all": 0.5}}, size=10,
+    )
+    got = [(r["docid"], r["score"]) for r in hits.collect()]
+    assert got == [(4, 40.5), (3, 30.5), (2, 20.5), (1, 10.5)]
+
+
+def test_payload_result_state_columns(spark):
+    """R4 result-state: extra per-doc values from the scorer returned
+    with the hits (reference ExpressionContext.java:196-208)."""
+    docs = _df(spark, [(i, f"m|{i:02x}") for i in range(1, 5)])
+    payloads = byte_payload_tokenize(docs)
+
+    def pay(ctx):
+        return int.from_bytes(bytes(ctx["payloads"][0]), "big")
+
+    hits, _ = payload_score_search(
+        payloads, None, "m", lambda c: float(pay(c)),
+        result_fields={
+            "parity": lambda c: pay(c) % 2,
+            "tag": lambda c: f"v{pay(c)}",
+        },
+        result_schema="parity int, tag string",
+        size=2,
+    )
+    rows = hits.collect()
+    assert [(r["docid"], r["score"], r["parity"], r["tag"]) for r in rows] == [
+        (4, 4.0, 0, "v4"), (3, 3.0, 1, "v3")
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="go together"):
+        payload_score_search(
+            payloads, None, "m", lambda c: 1.0,
+            result_fields={"x": lambda c: 1},
+        )
