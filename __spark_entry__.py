@@ -282,16 +282,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_highlight(spark, sf):
-        # R2 (rows-only check: fragmenting is not SQL-expressible)
+        # R2, offsets-checked: with fragment_size >= any doc length each
+        # hit yields ONE fragment starting at the first token match and
+        # spanning to end-of-text, so (start, end, n_matches) are exactly
+        # SQL-expressible (DuckDB prefix-length regex).  The fragment
+        # TEXT (tag wrapping) is pinned by pytest against the pure-Python
+        # highlighter instead.
         from bzzz_spark.query.highlight import search_with_highlight
 
         hl = search_with_highlight(
-            _index(spark, sf), ast.Term("dup"), size=5, fragment_size=80
+            _index(spark, sf), ast.Term("dup"), size=5, fragment_size=100000
         )
         frag = F.explode("_highlight").alias("f")
         return hl.select(F.col("docid").alias("doc_id"), frag).select(
-            "doc_id", "f.fragment", "f.start", "f.end",
-            F.col("f.score").alias("n_matches"),
+            "doc_id", "f.start", "f.end",
+            F.col("f.score").cast("long").alias("n_matches"),
         )
 
     def q_facet_multi(spark, sf):
@@ -875,6 +880,26 @@ SELECT 'text' AS dim, label, cnt FROM (
     GROUP BY tok.term
   )
 ) WHERE rn <= 10"""
+    # start = length of the prefix before the first TOKEN-boundary 'dup'
+    # (the corpus is pure ASCII, so RE2's [^0-9a-z_] boundary equals the
+    # engine tokenizer's \\w-run boundary); end = end-of-text because
+    # fragment_size exceeds every doc; n_matches = tf.
+    o["q_highlight"] = f"""{_BASE}, {_term_scores(['dup'])},
+top AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= 5
+)
+SELECT d.doc_id,
+       length(regexp_replace(lower(d.text),
+              '^(.*?)(^|[^0-9a-z_])dup([^0-9a-z_]|$).*$', '\\1\\2', 's'))::INT
+         AS start,
+       length(d.text)::INT AS "end",
+       tf.tf AS n_matches
+FROM documents d
+JOIN tf ON tf.doc_id = d.doc_id AND tf.term = 'dup'
+WHERE d.doc_id IN (SELECT doc_id FROM top)"""
     o["q_facet_lang"] = f"""{_BASE}
 SELECT lang, count(*) AS cnt FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
@@ -961,6 +986,19 @@ SELECT doc_id, round(score, 4) AS score, pay_mod FROM (
 SELECT floor(value)::INT % 8 AS bucket, count(*) AS cnt
 FROM events WHERE event_type = 'click'
 GROUP BY 1 ORDER BY bucket"""
+    # the fake feature extractor is a bucketed byte histogram; the text
+    # payload is UTF-8 of an ASCII corpus, so ord(char) == byte value
+    o["m_features"] = """
+SELECT doc_id AS media_id,
+       round(CASE WHEN len(codes) > 0
+             THEN len(list_filter(codes, c -> c % 8 = 0))::DOUBLE / len(codes)
+             ELSE 0.0 END, 6) AS f0
+FROM (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1))) AS codes
+  FROM documents WHERE doc_id < 50
+)"""
     o["d_minhash_lsh"] = _minhash_sql(8, 4)
     o["d_jaccard"] = f"""WITH {_shingle_cte(3)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -74,11 +74,64 @@ def brute_force_topk(
 
 
 def make_centroids(dim: int, nlist: int, seed: int = 42) -> np.ndarray:
-    """Deterministic unit-norm centroids (seeded — no data-dependent
-    k-means pass; good enough for bucketing, reproducible everywhere)."""
+    """Deterministic unit-norm RANDOM centroids — the data-independent
+    fallback.  Random centroids bucket arbitrarily, so recall at
+    nprobe << nlist is poor on clustered data; prefer
+    :func:`train_centroids` (the ivf_topk default)."""
     rng = np.random.RandomState(seed)
     c = rng.standard_normal((nlist, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 65536,
+    iters: int = 12,
+) -> np.ndarray:
+    """Deterministic sampled spherical k-means → unit-norm centroids.
+
+    Scale shape: ONE narrow scan collects a bounded deterministic sample
+    (rows ordered by xxhash64 of the id — stable across partitionings),
+    then Lloyd iterations run as numpy matmuls on the driver.  At 100 TB
+    the sample stays 64k rows regardless of corpus size; assignment of
+    the full corpus stays distributed (assign_buckets).  Seeded and
+    wall-clock-free → the same table always trains the same centroids,
+    so bucket assignments are reproducible across jobs (required for
+    partition-pruned IVF tables)."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    if n <= nlist:
+        pad = make_centroids(X.shape[1], nlist - n, seed)
+        return np.vstack([X, pad]) if n else pad
+    cents = X[rng.choice(n, size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for k in range(nlist):
+            members = X[assign == k]
+            if len(members) == 0:
+                # empty cluster: reseed from the globally worst-served
+                # point (deterministic)
+                worst = (X @ cents.T).max(axis=1).argmin()
+                cents[k] = X[worst]
+                continue
+            m = members.sum(axis=0)
+            nm = np.linalg.norm(m)
+            cents[k] = m / nm if nm > 0 else cents[k]
+    return cents
 
 
 def assign_buckets(
@@ -119,14 +172,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train: bool = True,
 ) -> DataFrame:
     """Approximate top-k: scan only the nprobe nearest buckets per query.
 
     The bucket filter prunes the scan to ~nprobe/nlist of the corpus —
     at scale, write the bucketed table partitioned by bucket and the
-    filter becomes partition pruning (zero I/O for unprobed buckets)."""
+    filter becomes partition pruning (zero I/O for unprobed buckets).
+    Centroids are k-means-trained on a deterministic sample by default
+    (train=False falls back to seeded random — fine only when
+    nprobe == nlist, i.e. exact mode)."""
     dim = len(queries[0][1])
-    cents = make_centroids(dim, nlist, seed)
+    cents = (
+        train_centroids(embeddings, nlist, id_col, vec_col, seed)
+        if train
+        else make_centroids(dim, nlist, seed)
+    )
     bucketed = assign_buckets(embeddings, cents, id_col, vec_col)
     out = None
     for qid, qv in queries:
@@ -158,11 +219,19 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold), candidates restricted
-    to IVF-bucket cohabitants (no all-pairs product at scale)."""
+    to IVF-bucket cohabitants (no all-pairs product at scale).  Trained
+    centroids put near-duplicates in the same bucket far more reliably
+    than random ones (near-dups are by definition in dense regions)."""
     dim = len(embeddings.select(vec_col).first()[0])
-    bucketed = assign_buckets(embeddings, make_centroids(dim, nlist, seed), id_col, vec_col)
+    cents = (
+        train_centroids(embeddings, nlist, id_col, vec_col, seed)
+        if train and nlist > 1
+        else make_centroids(dim, nlist, seed)
+    )
+    bucketed = assign_buckets(embeddings, cents, id_col, vec_col)
     a = bucketed.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -568,14 +568,10 @@ def total_hits(index: BzzzIndex, query) -> int:
     return execute(index, query).count()
 
 
-def _sort_exprs(sort: list) -> list:
-    """Sort spec → orderBy columns (reference T3/T4: typed field sorts,
-    `_score`/`_doc` specials, reverse flag, expression sorts —
-    src/bzzz/expr.clj:12-59, index_search.clj:96-103).  Spec items:
-    "field" | ("field", "asc"|"desc") | {"expression": sql, "order": ...}.
-    A trailing docid tie-break keeps every ordering total and
-    deterministic (the north rule's rank stability)."""
-    cols = []
+def _sort_specs(sort: list) -> list[tuple[str, str, "F.Column"]]:
+    """Sort spec items → (name, order, Column).  Spec items:
+    "field" | ("field", "asc"|"desc") | {"expression": sql, "order": ...}."""
+    out = []
     for s in sort:
         order = "asc"
         if isinstance(s, tuple):
@@ -584,6 +580,7 @@ def _sort_exprs(sort: list) -> list:
                 F.col("docid") if name == "_doc" else F.col(name)
             )
         elif isinstance(s, dict):
+            name = s.get("name", s["expression"])
             c = F.expr(s["expression"])
             order = s.get("order", "asc")
         else:
@@ -591,7 +588,20 @@ def _sort_exprs(sort: list) -> list:
             c = F.col("_score") if name == "_score" else (
                 F.col("docid") if name == "_doc" else F.col(name)
             )
-        cols.append(c.desc_nulls_last() if order == "desc" else c.asc_nulls_last())
+        out.append((name, order, c))
+    return out
+
+
+def _sort_exprs(sort: list) -> list:
+    """Sort spec → orderBy columns (reference T3/T4: typed field sorts,
+    `_score`/`_doc` specials, reverse flag, expression sorts —
+    src/bzzz/expr.clj:12-59, index_search.clj:96-103).  A trailing docid
+    tie-break keeps every ordering total and deterministic (the north
+    rule's rank stability)."""
+    cols = [
+        c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
+        for _, order, c in _sort_specs(sort)
+    ]
     cols.append(F.col("docid").asc())
     return cols
 
@@ -603,11 +613,17 @@ def sorted_search(
     size: int = 20,
     page: int = 0,
     fields: list[str] | None = None,
+    with_sort_values: bool = False,
 ) -> DataFrame:
     """Top-k by arbitrary sort keys instead of score (reference T3/T4).
     The matched set is joined with stored doc columns so field and
     expression sorts can reference them; `_score` refers to the BM25
-    score of the match."""
+    score of the match.
+
+    with_sort_values adds the reference's per-hit `_sort` metadata (T6,
+    index_search.clj:246-250): array<struct<name, value, reverse>> with
+    one entry per sort key (values stringified — the reference returns
+    the typed sort values; a string is the portable common shape)."""
     matched = execute(index, query).withColumnRenamed("score", "_score")
     joined = matched.join(index.docs, "docid")
     exprs = _sort_exprs(sort)
@@ -621,6 +637,21 @@ def sorted_search(
             .drop("__rn")
         )
     keep = ["docid", "_score"] + (fields or [])
+    if with_sort_values:
+        top = top.withColumn(
+            "_sort",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("name"),
+                        c.cast("string").alias("value"),
+                        F.lit(order == "desc").alias("reverse"),
+                    )
+                    for name, order, c in _sort_specs(sort)
+                ]
+            ),
+        )
+        keep = keep + ["_sort"]
     return top.select(*keep).withColumnRenamed("_score", "score")
 
 

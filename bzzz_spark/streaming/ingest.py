@@ -10,7 +10,13 @@ DataFrames).
 
 Consistency design:
 - docids continue the dense sequence from the ingested max (stable
-  (conv_id, turn_idx) order within a batch);
+  (conv_id, turn_idx) order within a batch), assigned with the same
+  two-pass range-partition scheme as the batch build (build/ids.py) —
+  no single-partition coalesce anywhere, so a large micro-batch encodes
+  with full parallelism;
+- sequence continuations are recovered from STORAGE (max docid /
+  term_id already written), not a driver counter, so a restarted
+  streaming job resumes the dense sequences correctly;
 - term_ids come from a PERSISTENT term map (term → term_id) that grows
   monotonically across batches — batch-local dictionaries would collide;
 - delta postings use the SAME block codec/segment layout, so query
@@ -36,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bzzz_spark.analysis.tokenizer import standard_tokenize
+from bzzz_spark.build.ids import assign_sequential_ids
 from bzzz_spark.build.indexer import (
     BzzzIndex,
     IndexConfig,
@@ -53,24 +60,36 @@ class StreamingIndexer:
         self.spark = spark
         self.out = out_dir
         self.cfg = cfg or IndexConfig()
-        self._next_docid = 0
-        self._next_term_id = 0
 
     def _p(self, name: str) -> str:
         return f"{self.out}/{name}"
 
+    def _next_id(self, table: str, id_col: str) -> int:
+        """Sequence continuation from what storage has already committed
+        (max + 1) — survives driver restarts, unlike an in-memory
+        counter; the max() over a single id column is a cheap columnar
+        scan with parquet min/max pruning."""
+        if not os.path.exists(self._p(table)):
+            return 0
+        row = (
+            self.spark.read.parquet(self._p(table))
+            .agg(F.max(id_col).alias("m"))
+            .collect()[0]
+        )
+        return 0 if row["m"] is None else int(row["m"]) + 1
+
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: dense docids continuing the sequence,
-        tokenize, persistent term ids, append docs + delta postings."""
+        tokenize, persistent term ids, append docs + delta postings.
+        Every stage keeps the batch's full partitioning — the two-pass
+        offset scheme (build/ids.py) replaces the old coalesce(1), which
+        serialized each micro-batch through one task."""
         if batch.rdd.isEmpty():
             return
-        rows = (
-            batch.sort(*self.cfg.key_cols)
-            .coalesce(1)  # micro-batches are small; dense ids need an order
-            .withColumn("__i", F.monotonically_increasing_id())
-            .withColumn("docid", (F.col("__i") + F.lit(self._next_docid)).cast("long"))
-            .drop("__i")
-        )
+        next_docid = self._next_id("docs", "docid")
+        rows = assign_sequential_ids(
+            batch, list(self.cfg.key_cols), "docid"
+        ).withColumn("docid", (F.col("docid") + F.lit(next_docid)).cast("long"))
         docs = rows.withColumn(
             "tokens", standard_tokenize(F.col(self.cfg.text_col))
         ).withColumn("dl", F.size("tokens"))
@@ -79,7 +98,6 @@ class StreamingIndexer:
         if n_new == 0:
             return
         docs.write.mode("append").parquet(self._p("docs"))
-        self._next_docid += n_new
 
         tf = build_tf(docs)
         batch_terms = tf.select("term").distinct()
@@ -88,19 +106,14 @@ class StreamingIndexer:
             new_terms = batch_terms.join(known, "term", "left_anti")
         else:
             new_terms = batch_terms
-        new_map = (
-            new_terms.sort("term")
-            .coalesce(1)
-            .withColumn("__i", F.monotonically_increasing_id())
-            .withColumn(
-                "term_id", (F.col("__i") + F.lit(self._next_term_id)).cast("long")
-            )
-            .drop("__i")
+        next_term_id = self._next_id("termmap", "term_id")
+        new_map = assign_sequential_ids(
+            new_terms.select("term"), ["term"], "term_id"
+        ).withColumn(
+            "term_id", (F.col("term_id") + F.lit(next_term_id)).cast("long")
         )
-        n_new_terms = new_map.count()
-        if n_new_terms:
+        if new_map.limit(1).count():
             new_map.write.mode("append").parquet(self._p("termmap"))
-            self._next_term_id += n_new_terms
 
         termmap = self.spark.read.parquet(self._p("termmap"))
         all_docs = self.spark.read.parquet(self._p("docs"))

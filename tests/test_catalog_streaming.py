@@ -105,7 +105,12 @@ def test_streaming_incremental_index(spark, tmp_path, small_pdf):
     pdf = small_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     for i in range(3):
         chunk = pdf.iloc[i * len(pdf) // 3:(i + 1) * len(pdf) // 3]
-        ing.process_batch(to_spark(spark, chunk), epoch_id=i)
+        # batches arrive multi-partition: ingest must keep that
+        # parallelism (no coalesce(1) serialization point) while still
+        # assigning dense, ordered docids via the two-pass offset scheme
+        batch_df = to_spark(spark, chunk).repartition(4)
+        assert batch_df.rdd.getNumPartitions() > 1
+        ing.process_batch(batch_df, epoch_id=i)
     live = ing.live_index()
     assert not live.wand_safe
     node = ast.Bool(must=[ast.Term("the"), ast.Term("data")])

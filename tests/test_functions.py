@@ -207,3 +207,46 @@ def test_facet_counts_multi_and_tokens(small_index, small_oracle):
         occ.update(py_tokenize(small_oracle.docs[d]["text"]))
     wt = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert gt == wt
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained (sampled k-means) centroids must give >=0.9 recall@10 at
+    nprobe = nlist/4 on clustered embeddings — the configuration where
+    seeded-random centroids fall over."""
+    import numpy as np
+
+    from bzzz_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.15 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.cache().count()
+
+    qs = [(i, rows[i][1]) for i in range(5)]
+    bf = brute_force_topk(emb, qs, k=10).collect()
+    iv = ivf_topk(emb, qs, k=10, nlist=8, nprobe=2, train=True).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    iv_sets = {}
+    for r in iv:
+        iv_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(bf_sets[q] & iv_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # determinism: same table + seed -> identical centroids
+    c1 = train_centroids(emb, 8)
+    c2 = train_centroids(emb, 8)
+    assert np.allclose(c1, c2)

@@ -203,3 +203,23 @@ def test_sort_paging(small_index, small_oracle):
              sorted_search(small_index, node, sort=[("turn_idx", "desc")],
                            size=5, page=1).collect()]
     assert page1 == all10[5:]
+
+
+def test_sort_values_in_hits(small_index, small_oracle):
+    """T6: per-hit `_sort` array of {name, value, reverse} (reference
+    index_search.clj:246-250,316-318)."""
+    from bzzz_spark.query.executor import sorted_search
+
+    rows = sorted_search(
+        small_index, ast.Term("the"),
+        sort=[("turn_idx", "desc"), ("_score", "asc")],
+        size=5, with_sort_values=True,
+    ).collect()
+    assert rows
+    by_doc = {d["docid"]: d for d in small_oracle.docs}
+    for r in rows:
+        s = r["_sort"]
+        assert [e["name"] for e in s] == ["turn_idx", "_score"]
+        assert [e["reverse"] for e in s] == [True, False]
+        assert int(s[0]["value"]) == by_doc[r["docid"]]["turn_idx"]
+        assert abs(float(s[1]["value"]) - r["score"]) < 1e-9
