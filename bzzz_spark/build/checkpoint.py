@@ -48,13 +48,13 @@ from bzzz_spark.build.indexer import (
 )
 
 
-def _full_tf(docs, cfg: IndexConfig, avgdl: float):
+def _full_tf(docs, cfg: IndexConfig):
     """Text tf plus extra-field legs (shuffle mode — no segment
     stamping needed; the repartition in encode_postings owns layout)."""
     tf = build_tf(docs, with_positions=cfg.store_positions)
     if cfg.extra_fields:
         tf = tf.withColumn("dl", F.col("dl").cast("double"))
-        for leg in build_field_tf(docs, cfg, avgdl):
+        for leg in build_field_tf(docs, cfg):
             tf = tf.unionByName(leg)
     return tf
 
@@ -142,7 +142,7 @@ def build_and_write(
     if "dictionary" not in m["stages"]:
         t0 = time.perf_counter()
         docs = spark.read.parquet(docs_path)
-        dictionary = build_dictionary(_full_tf(docs, cfg, avgdl), cfg)
+        dictionary = build_dictionary(_full_tf(docs, cfg), cfg)
         dictionary.write.mode("overwrite").parquet(dict_path)
         m["stages"]["dictionary"] = {
             "n_terms": spark.read.parquet(dict_path).count(),
@@ -169,7 +169,7 @@ def build_and_write(
             (F.col("docid") >= doc_lo) & (F.col("docid") < doc_hi)
         )
         dictionary = spark.read.parquet(dict_path)
-        tf = _full_tf(docs, cfg, avgdl)
+        tf = _full_tf(docs, cfg)
         extra = ["positions"] if cfg.store_positions else []
         rows = (
             tf.join(dictionary.select("term", "term_id", "df"), "term")
@@ -187,9 +187,10 @@ def build_and_write(
             .agg(
                 F.count(F.lit(1)).alias("n_blocks"),
                 F.sum("count").alias("n_postings"),
-                F.sum(F.octet_length("doc_gaps") + F.octet_length("tfs")).alias(
-                    "payload_bytes"
-                ),
+                F.sum(
+                    F.octet_length("doc_gaps") + F.octet_length("tfs")
+                    + F.octet_length("dls")
+                ).alias("payload_bytes"),
                 F.countDistinct("term_id").alias("n_terms"),
             )
             .withColumn("chunk", F.lit(ci))

@@ -51,12 +51,19 @@ from bzzz_spark.query.scoring import score_np
 POSTINGS_SCHEMA = (
     "term_id long, segment int, block_id int, first_docid long, "
     "last_docid long, count int, doc_gaps binary, tfs binary, "
-    "block_max_tf int, block_max_score double"
+    "dls binary, block_max_tf int, block_max_score double"
 )
 
 
 def postings_schema(store_positions: bool) -> str:
-    """Block schema; with positions enabled each block carries a third
+    """Block schema.  `dls` is the inline norms stream (one varint
+    document length per posting; 0 = norms disabled → score with
+    avgdl): with dl carried in the block, scoring a term reads ONLY its
+    pruned posting blocks — no per-query join against a docs/norms
+    table, which at 10^12 docs would shuffle terabytes per query.
+    (Lucene reads norms from a per-segment sidecar file — node-local;
+    the Spark equivalent of "local" is "inside the block you already
+    decoded".)  With positions enabled each block carries a further
     varint stream (per-posting within-doc position deltas — the
     PhraseQuery substrate, mirroring Lucene's .pos file)."""
     return POSTINGS_SCHEMA + (", positions binary" if store_positions else "")
@@ -249,18 +256,18 @@ def field_tokens_col(fname: str, analyzer: str):
     return F.transform(toks, lambda t: F.concat(F.lit(fname + ":"), t))
 
 
-def build_field_tf(docs: DataFrame, cfg: IndexConfig, avgdl: float) -> list[DataFrame]:
+def build_field_tf(docs: DataFrame, cfg: IndexConfig) -> list[DataFrame]:
     """One tf leg per extra field: (term='<field>:<token>', docid, dl,
-    tf[, positions]).  dl is pinned to avgdl — norms disabled — so the
-    encoder's block-max bounds and the query-time score both see a BM25
-    length factor of exactly 1.  Each leg derives NARROWLY from docs
-    (partition ids preserved → aligned segment numbering stays valid
-    per leg)."""
+    tf[, positions]).  dl is the norms-disabled SENTINEL 0 (a real
+    posting always has dl ≥ 1): the encoder and the query-time scorer
+    both substitute avgdl, making the BM25 length factor exactly 1 —
+    Lucene's omit-norms.  Each leg derives NARROWLY from docs (partition
+    ids preserved → aligned segment numbering stays valid per leg)."""
     legs = []
     for fname, analyzer in cfg.extra_fields:
         leg_docs = docs.select(
             "docid",
-            F.lit(float(avgdl)).alias("dl"),
+            F.lit(0.0).alias("dl"),
             field_tokens_col(fname, analyzer).alias("tokens"),
         )
         legs.append(build_tf(leg_docs, with_positions=cfg.store_positions))
@@ -332,8 +339,12 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
         bends = np.append(bstarts[1:], n)
         counts = bends - bstarts
 
-        # per-posting BM25 scores (exact dl), block maxima via reduceat
-        scores = score_np(tf, dl, dfreq.astype(np.float64), n_docs, avgdl, k1, b)
+        # per-posting BM25 scores (exact dl; dl == 0 is the norms-
+        # disabled sentinel → length factor 1 via dl := avgdl), block
+        # maxima via reduceat
+        dl_int = dl.astype(np.int64)
+        dl_eff = np.where(dl_int == 0, avgdl, dl).astype(np.float64)
+        scores = score_np(tf, dl_eff, dfreq.astype(np.float64), n_docs, avgdl, k1, b)
         block_max_score = np.maximum.reduceat(scores, bstarts)
         block_max_tf = np.maximum.reduceat(tf, bstarts)
 
@@ -354,9 +365,15 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
         tf_lens = np.add.reduceat(_varint_lengths(tf_vals), bstarts)
         tf_offs = np.concatenate(([0], np.cumsum(tf_lens)))
 
+        # inline norms: one varint dl per posting (0 = norms disabled)
+        dl_buf = encode_varints(dl_int)
+        dl_lens = np.add.reduceat(_varint_lengths(dl_int), bstarts)
+        dl_offs = np.concatenate(([0], np.cumsum(dl_lens)))
+
         nb = bstarts.size
         gmv = memoryview(gap_buf)
         tmv = memoryview(tf_buf)
+        dmv = memoryview(dl_buf)
         out = {
             "term_id": t[bstarts],
             "segment": s[bstarts],
@@ -368,6 +385,7 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
                 bytes(gmv[gap_offs[i]:gap_offs[i + 1]]) for i in range(nb)
             ],
             "tfs": [bytes(tmv[tf_offs[i]:tf_offs[i + 1]]) for i in range(nb)],
+            "dls": [bytes(dmv[dl_offs[i]:dl_offs[i + 1]]) for i in range(nb)],
             "block_max_tf": block_max_tf.astype(np.int32),
             "block_max_score": block_max_score,
         }
@@ -574,7 +592,7 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     legs = [build_tf(docs, with_positions=cfg.store_positions)]
     if cfg.extra_fields:
         legs[0] = legs[0].withColumn("dl", F.col("dl").cast("double"))
-        legs.extend(build_field_tf(docs, cfg, avgdl))
+        legs.extend(build_field_tf(docs, cfg))
     parts = None
     if cfg.merge_mode == "aligned":
         parts = collect_doc_partitions(docs)

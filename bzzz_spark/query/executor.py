@@ -115,27 +115,34 @@ def expand_multiterm(
 
 
 def decode_postings(postings: DataFrame, term_ids: list[int]) -> DataFrame:
-    """Decode the blocks of the given terms → (term_id, docid, tf).
+    """Decode the blocks of the given terms → (term_id, docid, tf, dl).
 
     The isin filter reaches the parquet scan (row-group pruning via
     min/max stats — postings are written sorted by term_id within
     files).  Decoding loops over *blocks*, not postings: numpy does the
-    per-posting work.
+    per-posting work.  dl comes from the inline norms stream (0 = norms
+    disabled), so scoring needs NO join against a docs/norms table —
+    the whole query reads only the pruned posting blocks.
     """
+    from bzzz_spark.build.codec import decode_varints
+
     sub = postings.filter(F.col("term_id").isin([int(t) for t in term_ids]))
+    has_dls = "dls" in postings.columns  # legacy layouts lack the stream
 
     def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pieces = []
             for row in pdf.itertuples(index=False):
                 d, tf = decode_block(row.first_docid, row.count, row.doc_gaps, row.tfs)
-                pieces.append(
-                    pd.DataFrame({"term_id": row.term_id, "docid": d, "tf": tf})
-                )
+                cols = {"term_id": row.term_id, "docid": d, "tf": tf}
+                if has_dls:
+                    cols["dl"] = decode_varints(row.dls, row.count)
+                pieces.append(pd.DataFrame(cols))
             if pieces:
                 yield pd.concat(pieces, ignore_index=True)
 
-    return sub.mapInPandas(dec, "term_id long, docid long, tf long")
+    schema = "term_id long, docid long, tf long" + (", dl long" if has_dls else "")
+    return sub.mapInPandas(dec, schema)
 
 
 def decode_postings_pos(postings: DataFrame, term_ids: list[int]) -> DataFrame:
@@ -152,11 +159,14 @@ def decode_postings_pos(postings: DataFrame, term_ids: list[int]) -> DataFrame:
 
     sub = postings.filter(F.col("term_id").isin([int(t) for t in term_ids]))
 
+    from bzzz_spark.build.codec import decode_varints
+
     def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pieces = []
             for row in pdf.itertuples(index=False):
                 d, tf = decode_block(row.first_docid, row.count, row.doc_gaps, row.tfs)
+                dl = decode_varints(row.dls, row.count)
                 flat = decode_positions(row.positions, tf)
                 splits = np.split(flat, np.cumsum(tf)[:-1])
                 pieces.append(
@@ -165,6 +175,7 @@ def decode_postings_pos(postings: DataFrame, term_ids: list[int]) -> DataFrame:
                             "term_id": row.term_id,
                             "docid": d,
                             "tf": tf,
+                            "dl": dl,
                             "positions": [p.astype(np.int32) for p in splits],
                         }
                     )
@@ -173,7 +184,7 @@ def decode_postings_pos(postings: DataFrame, term_ids: list[int]) -> DataFrame:
                 yield pd.concat(pieces, ignore_index=True)
 
     return sub.mapInPandas(
-        dec, "term_id long, docid long, tf long, positions array<int>"
+        dec, "term_id long, docid long, tf long, dl long, positions array<int>"
     )
 
 
@@ -242,13 +253,20 @@ class _Ctx:
             decoded = decode_postings(
                 index.postings, [tid for tid, _ in self.term_meta.values()]
             )
+            if "dl" not in decoded.columns:
+                # legacy block layout without inline norms: join the
+                # docs projection (the old, shuffle-heavy path)
+                decoded = decoded.join(index.docs.select("docid", "dl"), "docid")
+            # dl == 0 is the norms-disabled sentinel (extra fields)
+            dl_eff = F.when(F.col("dl") == 0, F.lit(self.avgdl)).otherwise(
+                F.col("dl")
+            )
             self.scored = (
                 decoded.join(F.broadcast(meta_df), "term_id")
-                .join(index.docs.select("docid", "dl"), "docid")
                 .withColumn(
                     "score",
                     score_col(
-                        F.col("tf"), F.col("dl"), F.col("df"),
+                        F.col("tf"), dl_eff, F.col("df"),
                         float(self.n_docs), self.avgdl,
                     ),
                 )
@@ -350,7 +368,9 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
         pos = decode_postings_pos(ctx.index.postings, sorted(set(tids)))
         parts = [
             pos.filter(F.col("term_id") == tid).select(
-                "docid", F.col("positions").alias(f"p{i}")
+                "docid",
+                *(["dl"] if i == 0 else []),  # dl from the inline norms
+                F.col("positions").alias(f"p{i}"),
             )
             for i, tid in enumerate(tids)
         ]
@@ -373,11 +393,14 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
         # Lucene PhraseWeight: (Σ idf per term) × tfc(phrase_freq, dl)
         sum_idf = sum(idf_fn(ctx.n_docs, m[1]) for m in metas)
         nonorm = ctx.use_nonorm or node.field_name in extra_field_map(ctx.index)
-        dl_col = F.lit(ctx.avgdl) if nonorm else F.col("dl")
+        dl_col = (
+            F.lit(ctx.avgdl)
+            if nonorm
+            else F.when(F.col("dl") == 0, F.lit(ctx.avgdl)).otherwise(F.col("dl"))
+        )
         return (
             joined.withColumn("ptf", ptf)
             .filter(F.col("ptf") > 0)
-            .join(docs.select("docid", "dl"), "docid")
             .select(
                 "docid",
                 (F.lit(sum_idf * node.boost)

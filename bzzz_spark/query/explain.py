@@ -45,18 +45,22 @@ def explain_search(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
+    # dl comes from the blocks' inline norms stream (0 = norms disabled
+    # → avgdl), so no docs join is needed
+    dl_eff = F.when(F.col("dl") == 0, F.lit(avgdl)).otherwise(
+        F.col("dl").cast("double")
+    )
     tfc = (
         F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
         / (
             F.col("tf").cast("double")
             + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_eff / F.lit(avgdl))
         )
     )
     parts = (
         decoded.join(F.broadcast(meta), "term_id")
         .join(hits.select("docid"), "docid", "left_semi")
-        .join(index.docs.select("docid", "dl"), "docid")
         .withColumn("idf", idf)
         .withColumn("tf_component", tfc)
         .withColumn("term_score", F.col("idf") * F.col("tf_component"))

@@ -5,8 +5,13 @@ queue (Lucene; the leapfrog pattern is visible in
 reference src/java/bzzz/java/query/TermPayloadClojureScoreQuery.java:237-257).
 The Spark translation keeps the per-leaf structure: each docid-range
 *segment* is scored independently by a vectorized numpy kernel (one
-cogrouped-applyInPandas task per segment), emitting a per-segment
-top-k; Spark's TakeOrderedAndProject is the cross-segment PQ merge.
+applyInPandas task per segment), emitting a per-segment top-k; Spark's
+TakeOrderedAndProject is the cross-segment PQ merge.  Document lengths
+come from the blocks' INLINE norms stream (dls), so the only shuffle
+in a query is the (tiny) query-term block set grouping by segment —
+no norms table is ever shipped (the earlier design cogrouped a
+(docid, dl) projection per touched segment; at 10^12 docs that is a
+terabyte-class shuffle per query).
 θ cannot be shared across segments (they run in parallel), so pruning
 is per-segment — still exact, just conservative, and embarrassingly
 parallel at 1000-executor scale.
@@ -42,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bzzz_spark import BM25_B, BM25_K1
-from bzzz_spark.build.codec import decode_block
+from bzzz_spark.build.codec import decode_block, decode_varints
 from bzzz_spark.build.indexer import BzzzIndex
 from bzzz_spark.query import ast
 from bzzz_spark.query.scoring import idf as idf_fn
@@ -84,31 +89,35 @@ def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  segment_size: int):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
-    cogrouped kernel (blocks_pdf, norms_pdf) -> per-segment top-k pdf."""
+    per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
+    decoded from the blocks' inline dls stream (0 → avgdl, the
+    norms-disabled sentinel) — the kernel needs no side input."""
 
-    def kernel(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+    def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
-        if len(blocks) == 0 or len(norms) == 0:
+        if len(blocks) == 0:
             return empty
-        nd = norms["docid"].to_numpy()
-        order = np.argsort(nd)
-        nd = nd[order]
-        ndl = norms["dl"].to_numpy().astype(np.float64)[order]
 
-        def dl_of(docids: np.ndarray) -> np.ndarray:
-            return ndl[np.searchsorted(nd, docids)]
+        def decode_one(r):
+            d, t = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
+            dl = decode_varints(r.dls, r.count).astype(np.float64)
+            if dl.size and dl.min() == 0:
+                dl = np.where(dl == 0, avgdl, dl)
+            return d, t.astype(np.float64), dl
 
         def decode(rows: pd.DataFrame):
-            ds, ts = [], []
+            ds, ts, dls = [], [], []
             for r in rows.itertuples(index=False):
-                d, t = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
+                d, t, dl = decode_one(r)
                 ds.append(d)
                 ts.append(t)
+                dls.append(dl)
             d = np.concatenate(ds)
-            t = np.concatenate(ts).astype(np.float64)
+            t = np.concatenate(ts)
+            dl = np.concatenate(dls)
             o = np.argsort(d, kind="stable")
-            return d[o], t[o]
+            return d[o], t[o], dl[o]
 
         def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
             o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
@@ -131,8 +140,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             for r in sub.itertuples(index=False):
                 if seen >= k and boost * r.block_max_score <= theta:
                     break  # all remaining blocks are upper-bounded below θ
-                d, t = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
-                s = w * _tfc(t.astype(np.float64), dl_of(d), avgdl)
+                d, t, dl = decode_one(r)
+                s = w * _tfc(t, dl, avgdl)
                 out_d.append(d)
                 out_s.append(s)
                 seen += d.size
@@ -148,9 +157,9 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 return empty  # a must-term has no postings in this segment
             t_order = list(sizes.sort_values().index)
             rsub = blocks[blocks["term_id"] == t_order[0]]
-            cand_d, cand_t = decode(rsub)
+            cand_d, cand_t, cand_dl = decode(rsub)
             w, _ = qmeta[t_order[0]]
-            acc = w * _tfc(cand_t, dl_of(cand_d), avgdl)
+            acc = w * _tfc(cand_t, cand_dl, avgdl)
             for tid in t_order[1:]:
                 sub = blocks[blocks["term_id"] == tid]
                 # block-granular leapfrog: skip blocks whose
@@ -160,7 +169,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 sub = sub[hi > lo]
                 if len(sub) == 0:
                     return empty
-                d, t = decode(sub)
+                d, t, dl = decode(sub)
                 w, _ = qmeta[tid]
                 pos = np.searchsorted(d, cand_d)
                 pos = np.clip(pos, 0, d.size - 1)
@@ -168,24 +177,30 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 if not hit.any():
                     return empty
                 cand_d = cand_d[hit]
-                acc = acc[hit] + w * _tfc(t[pos[hit]], dl_of(cand_d), avgdl)
+                acc = acc[hit] + w * _tfc(t[pos[hit]], dl[pos[hit]], avgdl)
             return topk(cand_d, acc)
 
         # mode == "or": dense accumulator over the segment's docid range
         # (bounded by segment_size — a small flat array).  docids are
         # dense and a segment's docids are contiguous in BOTH numbering
-        # schemes (aligned and docid//segment_size), so the segment's
-        # min docid present in norms IS its base.
-        base = int(nd.min())
-        acc = np.zeros(segment_size, dtype=np.float64)
-        cnt = np.zeros(segment_size, dtype=np.int32)
-        for tid, (w, _boost) in qmeta.items():
+        # schemes, so the minimum decoded docid is the base offset.
+        decoded = {}
+        base = None
+        for tid in qmeta:
             sub = blocks[blocks["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            d, t = decode(sub)
+            decoded[tid] = decode(sub)
+            lo = int(decoded[tid][0].min())
+            base = lo if base is None else min(base, lo)
+        if not decoded:
+            return empty
+        acc = np.zeros(segment_size, dtype=np.float64)
+        cnt = np.zeros(segment_size, dtype=np.int32)
+        for tid, (d, t, dl) in decoded.items():
+            w, _boost = qmeta[tid]
             off = d - base
-            acc[off] += w * _tfc(t, dl_of(d), avgdl)
+            acc[off] += w * _tfc(t, dl, avgdl)
             cnt[off] += 1
         ok = np.flatnonzero(cnt >= max(msm, 1))
         if ok.size == 0:
@@ -234,27 +249,22 @@ def wand_candidates(
     if not qmeta:
         return spark.createDataFrame([], "docid long, score double")
 
+    if "dls" not in index.postings.columns:
+        # pre-inline-norms index layout: no dl stream in the blocks —
+        # fall back to the exhaustive executor (which would need the
+        # legacy docs join this engine no longer carries on the fast
+        # path)
+        return None
     blocks = index.postings.filter(
         F.col("term_id").isin([int(t) for t in qmeta])
     )
     seg_size = index.config.segment_size
-    if "segment" in index.docs.columns:
-        # build stamped each doc's segment (required under aligned
-        # segment numbering, where docid//segment_size does not hold)
-        norms = index.docs.select("docid", "dl", "segment")
-    else:
-        # checkpoint-loaded indexes (shuffle mode): formula segments
-        norms = index.docs.select(
-            "docid", "dl", (F.col("docid") / seg_size).cast("int").alias("segment")
-        )
-    # only ship norms for segments that actually hold query blocks
-    segs = blocks.select("segment").distinct()
-    norms = norms.join(F.broadcast(segs), "segment", "left_semi")
     kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size)
+    # the ONLY shuffle: the query terms' (small) block set, grouped by
+    # segment; dl travels inside the blocks
     return (
         blocks.groupby("segment")
-        .cogroup(norms.groupby("segment"))
-        .applyInPandas(lambda b, n: kernel(b, n), schema="docid long, score double")
+        .applyInPandas(lambda pdf: kernel(pdf), schema="docid long, score double")
     )
 
 
