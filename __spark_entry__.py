@@ -48,8 +48,20 @@ def _index(spark: SparkSession, sf_dir: str) -> BzzzIndex:
     documents table.  doc_id is dense and unique, so docid == doc_id."""
     key = (id(spark), sf_dir)
     if key not in _IDX_CACHE:
+        # deterministic synthetic coordinates (the corpus ships none):
+        # the spatial operators need a lat/lon pair per doc, derived
+        # identically here and in the DuckDB oracle
+        docs_in = (
+            _documents(spark, sf_dir)
+            .withColumn(
+                "lat", ((F.col("doc_id") * 7 % 160) - 80 + 0.25).cast("double")
+            )
+            .withColumn(
+                "lon", ((F.col("doc_id") * 13 % 340) - 170 + 0.25).cast("double")
+            )
+        )
         idx = build_index(
-            _documents(spark, sf_dir),
+            docs_in,
             IndexConfig(
                 key_cols=("doc_id",), text_col="text", ts_col=None,
                 block_size=128, segment_size=1024, store_positions=True,
@@ -297,6 +309,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hl.select(F.col("docid").alias("doc_id"), frag).select(
             "doc_id", "f.start", "f.end",
             F.col("f.score").cast("long").alias("n_matches"),
+        )
+
+    def q_spatial(spark, sf):
+        # Q18 circle filter + T5 distance sort over the synthetic
+        # lat/lon columns (reference index_spatial.clj:29-32,
+        # expr.clj:19-23)
+        from bzzz_spark.query.spatial import spatial_filter_search
+
+        sp = spatial_filter_search(
+            _index(spark, sf), ast.Term("merge"), center=(10.25, 20.25),
+            radius_m=3_000_000, size=10, sort_by_distance=True,
+        )
+        return sp.select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.round("distance_m", 3).alias("distance_m"),
         )
 
     def q_facet_multi(spark, sf):
@@ -573,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_explain=q_explain, q_highlight=q_highlight,
         q_facet_lang=q_facet_lang, q_facet_source=q_facet_source,
         q_facet_multi=q_facet_multi, q_facet_tokens=q_facet_tokens,
+        q_spatial=q_spatial,
         p_payload_state=p_payload_state, p_result_state=p_result_state,
         q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
         d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
@@ -855,6 +884,24 @@ FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id
 CROSS JOIN stats
 WHERE tf.term IN ('scan', 'agg') AND tf.doc_id IN (SELECT doc_id FROM top)"""
 
+    from bzzz_spark.query.spatial import haversine_sql
+
+    hav = haversine_sql("lat", "lon", 10.25, 20.25)
+    o["q_spatial"] = f"""{_BASE}, {_term_scores(['merge'])},
+loc AS (
+  SELECT doc_id,
+         ((doc_id * 7) % 160 - 80 + 0.25)::DOUBLE AS lat,
+         ((doc_id * 13) % 340 - 170 + 0.25)::DOUBLE AS lon
+  FROM documents
+),
+sp AS (
+  SELECT s.doc_id, s.score, {hav} AS d
+  FROM scores s JOIN loc ON loc.doc_id = s.doc_id
+)
+SELECT doc_id, round(score, 4) AS score, round(d, 3) AS distance_m FROM (
+  SELECT doc_id, score, d, row_number() OVER (ORDER BY d, doc_id) AS rn
+  FROM sp WHERE d <= 3000000
+) WHERE rn <= 10"""
     o["q_facet_multi"] = f"""{_BASE},
 matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
 melted AS (
