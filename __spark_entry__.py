@@ -221,6 +221,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fuzzy(spark, sf):
         return _hits(_index(spark, sf), ast.Fuzzy("scan", max_edits=1), size=10)
 
+    def q_batch(spark, sf):
+        # batched multi-query execution: 5 queries, ONE postings scan,
+        # ONE shuffle, ONE Spark job (bzzz_spark/query/batch.py) — the
+        # scale answer to Spark's fixed per-job overhead.  Each
+        # query_id's rows are exactly what search() returns for it;
+        # the oracle is the UNION ALL of the per-query oracles.
+        from bzzz_spark.query.batch import search_many
+
+        batch = {
+            "b_term": ast.Term("merge"),
+            "b_and2": ast.Bool(must=[ast.Term("scan"), ast.Term("filter")]),
+            "b_not": ast.Bool(
+                must=[ast.Term("merge")], must_not=[ast.Term("dup")]
+            ),
+            "b_msm": ast.Bool(
+                should=[ast.Term("dup"), ast.Term("window"), ast.Term("stream")],
+                minimum_should_match=2,
+            ),
+            "b_field": ast.Bool(
+                must=[ast.Term("merge"), ast.Term("en", field_name="lang")]
+            ),
+        }
+        return search_many(_index(spark, sf), batch, size=10).select(
+            "query_id",
+            F.col("docid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
     def q_custom_score(spark, sf):
         node = ast.CustomScore(ast.Term("merge"), expression="sqrt(n_chars)")
         return _hits(_index(spark, sf), node, size=10)
@@ -594,7 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_constant_score=q_constant_score, q_dismax=q_dismax,
         q_phrase=q_phrase,
         q_field_term=q_field_term, q_field_wildcard=q_field_wildcard,
-        q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_custom_score=q_custom_score,
+        q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_batch=q_batch,
+        q_custom_score=q_custom_score,
         q_no_norm=q_no_norm, q_expr_score=q_expr_score,
         q_random_score=q_random_score, q_no_zero=q_no_zero, q_parser=q_parser,
         q_sort_field=q_sort_field, q_sort_expr=q_sort_expr,
@@ -1176,4 +1205,18 @@ SELECT source,
        sum(len(regexp_extract_all(text, '{bpe_sql}')))::BIGINT AS n_bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source"""
+
+    # batched multi-query search: by construction the oracle is the
+    # UNION ALL of the member queries' own oracles (DuckDB allows a
+    # full WITH...SELECT inside each branch's subquery)
+    o["q_batch"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query_id, doc_id, score FROM ({o[member]})"
+        for name, member in [
+            ("b_term", "q_term_topk"),
+            ("b_and2", "q_and2"),
+            ("b_not", "q_must_not"),
+            ("b_msm", "q_should_msm2"),
+            ("b_field", "q_field_term"),
+        ]
+    )
     return o

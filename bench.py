@@ -49,6 +49,29 @@ DOC_QUERIES = {
     "q_wildcard": ast.Wildcard("s*"),
 }
 
+# batched-execution workload: a realistic evaluation-set shape — dozens
+# of term/bool queries over the same corpus, answered in ONE job.
+# Vocabulary = the synthetic transcripts' head terms (fixtures.HEAD_TERMS).
+def _batch_workload() -> dict:
+    from bzzz_spark.fixtures import HEAD_TERMS
+
+    qs: dict[str, object] = {}
+    for t in HEAD_TERMS[:12]:
+        qs[f"b_term_{t}"] = ast.Term(t)
+    for a, b in zip(HEAD_TERMS[:6], HEAD_TERMS[6:12]):
+        qs[f"b_and_{a}_{b}"] = ast.Bool(must=[ast.Term(a), ast.Term(b)])
+    for a, b in zip(HEAD_TERMS[12:16], HEAD_TERMS[16:20]):
+        qs[f"b_not_{a}_{b}"] = ast.Bool(
+            must=[ast.Term(a)], must_not=[ast.Term(b)]
+        )
+    qs["b_msm"] = ast.Bool(
+        should=[ast.Term(t) for t in HEAD_TERMS[20:24]],
+        minimum_should_match=2,
+    )
+    qs["b_rare"] = ast.Term("tok04321")
+    return qs
+
+
 TRANSCRIPT_QUERIES = {
     "t_term_head": ast.Term("the"),
     "t_term_mid": ast.Term("error"),
@@ -155,6 +178,26 @@ def main() -> None:
         for name, node in TRANSCRIPT_QUERIES.items()
     }
     timings.update(min_of_interleaved(t_jobs, N_QUERY_REPS))
+
+    # 3b. batched execution — the whole reference query set as ONE
+    # Spark job (shared postings scan, one shuffle): the per-query
+    # cost an analytics workload actually pays, vs the fixed ~1-2 s
+    # job overhead dominating the isolated timings above
+    from bzzz_spark.query.batch import search_many
+
+    workload = _batch_workload()
+    timings.update(
+        min_of_interleaved(
+            {
+                "batch_all": lambda: search_many(
+                    tidx, workload, size=10
+                ).collect()
+            },
+            N_QUERY_REPS,
+        )
+    )
+    batched_per_query = timings["batch_all"] / len(workload)
+
     lat = sorted(timings[name] for name in TRANSCRIPT_QUERIES)
     p50 = statistics.median(lat)
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
@@ -179,6 +222,8 @@ def main() -> None:
                 "n_posting_blocks": n_blocks,
                 "bm25_p50_sec": round(p50, 3),
                 "bm25_p99_sec": round(p99, 3),
+                "bm25_batched_per_query_sec": round(batched_per_query, 4),
+                "batch_n_queries": len(workload),
                 "cpus": cpus,
             }
         )

@@ -1,0 +1,119 @@
+"""search_many parity: the batched one-job executor must return, per
+query, exactly the rows search() returns (same docids, same scores,
+same order) for every query shape in the batch — shared-scan shapes
+and fallback shapes alike, mixed in one call."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bzzz_spark.query import ast
+from bzzz_spark.query.batch import search_many
+from bzzz_spark.query.executor import search
+
+
+BATCH = {
+    "term_head": ast.Term("the"),
+    "term_rare": ast.Term("zzz"),
+    "term_missing": ast.Term("nosuchterm"),
+    "term_boost": ast.Term("error", boost=2.5),
+    "and2": ast.Bool(must=[ast.Term("error"), ast.Term("query")]),
+    "and3": ast.Bool(must=[ast.Term("the"), ast.Term("and"), ast.Term("data")]),
+    "must_not": ast.Bool(must=[ast.Term("the")], must_not=[ast.Term("error")]),
+    "should_msm2": ast.Bool(
+        should=[ast.Term("error"), ast.Term("query"), ast.Term("data")],
+        minimum_should_match=2,
+    ),
+    "must_plus_should": ast.Bool(
+        must=[ast.Term("the")], should=[ast.Term("error")], boost=1.5
+    ),
+    "only_must_not": ast.Bool(must_not=[ast.Term("the")]),
+    "missing_must": ast.Bool(must=[ast.Term("the"), ast.Term("nosuchterm")]),
+}
+
+FALLBACK = {
+    "dismax": ast.DisMax(
+        queries=[ast.Term("error"), ast.Term("query")], tie_breaker=0.3
+    ),
+    "wildcard": ast.Wildcard("err*"),
+    "constant": ast.ConstantScore(ast.Term("the"), boost=2.0),
+    "range": ast.Bool(
+        must=[ast.Term("error"), ast.Range("turn_idx", min=1, max=5)]
+    ),
+}
+
+
+def _rows(df):
+    return [(r["docid"], r["score"]) for r in df.collect()]
+
+
+def _assert_batch_matches(index, queries, size=10, page=0):
+    got = search_many(index, queries, size=size, page=page).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["docid"], r["score"]))
+    for qid, node in queries.items():
+        want = _rows(search(index, node, size=size, page=page))
+        have = by_q.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], (
+            f"{qid}: rank mismatch\n got={have}\nwant={want}"
+        )
+        for (_, gs), (_, ws) in zip(have, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (
+                qid, have, want,
+            )
+
+
+def test_batch_shared_scan_parity(small_index):
+    _assert_batch_matches(small_index, BATCH)
+
+
+def test_batch_mixed_with_fallback_shapes(small_index):
+    _assert_batch_matches(small_index, {**BATCH, **FALLBACK})
+
+
+def test_batch_paging(small_index):
+    _assert_batch_matches(
+        small_index, {"head": ast.Term("the"), "and2": BATCH["and2"]},
+        size=5, page=1,
+    )
+
+
+def test_batch_field_terms(spark, small_transcripts):
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    extra_fields=(("role", "keyword"),)),
+    )
+    idx.postings.cache().count()
+    queries = {
+        "field_and": ast.Bool(
+            must=[ast.Term("error"), ast.Term("assistant", field_name="role")]
+        ),
+        "plain": ast.Term("error"),
+    }
+    _assert_batch_matches(idx, queries)
+    idx.postings.unpersist()
+
+
+def test_batch_is_one_job(small_index):
+    """The whole shared-scan batch must collapse into ONE Spark action —
+    that's the point.  Proxy check: the returned plan is a single
+    DataFrame and no per-query collect happens before the caller's
+    action (search_many itself never calls .collect on row data;
+    only the dictionary meta lookup collects, and that is bounded by
+    the query set's vocabulary, not the corpus)."""
+    df = search_many(small_index, BATCH, size=10)
+    # lazy: no action run yet; one explain, one schema
+    assert df.columns == ["query_id", "docid", "score"]
+    n = df.count()
+    assert n > 0
+    # every batchable query that matches produced at most `size` rows
+    per = {r["query_id"]: r["cnt"] for r in
+           df.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c <= 10 for c in per.values())
+    assert "term_missing" not in per
+    assert "only_must_not" not in per
+    assert "missing_must" not in per
