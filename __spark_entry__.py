@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "b_field": ast.Bool(
                 must=[ast.Term("merge"), ast.Term("en", field_name="lang")]
             ),
+            # Range leaf → the batch's shared docs scan (score := boost)
+            "b_range": ast.Bool(
+                must=[ast.Term("merge"), ast.Range("n_chars", min=200, max=400)]
+            ),
         }
         return search_many(_index(spark, sf), batch, size=10).select(
             "query_id",
@@ -1209,14 +1213,27 @@ FROM documents GROUP BY source"""
     # batched multi-query search: by construction the oracle is the
     # UNION ALL of the member queries' own oracles (DuckDB allows a
     # full WITH...SELECT inside each branch's subquery)
+    # b_range: Bool(must=[term, range]) sums child scores, and a Range
+    # child contributes its boost (1.0) — unlike q_filtered_range's
+    # Filtered node, whose filter arm is scoreless
+    b_range = (
+        f"{_BASE}, {_term_scores(['merge'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score + 1.0 AS score FROM scores s "
+            "JOIN documents d ON d.doc_id = s.doc_id "
+            "WHERE d.n_chars BETWEEN 200 AND 400",
+            10,
+        )
+    )
     o["q_batch"] = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS query_id, doc_id, score FROM ({o[member]})"
-        for name, member in [
-            ("b_term", "q_term_topk"),
-            ("b_and2", "q_and2"),
-            ("b_not", "q_must_not"),
-            ("b_msm", "q_should_msm2"),
-            ("b_field", "q_field_term"),
+        f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
+        for name, sql in [
+            ("b_term", o["q_term_topk"]),
+            ("b_and2", o["q_and2"]),
+            ("b_not", o["q_must_not"]),
+            ("b_msm", o["q_should_msm2"]),
+            ("b_field", o["q_field_term"]),
+            ("b_range", b_range),
         ]
     )
     return o

@@ -18,14 +18,16 @@ This module makes the query set *data*:
   combine   groupBy (query_id, docid) — the ONLY data shuffle
   top-k     row_number() over Window.partitionBy(query_id)
 
-so the whole batch costs one postings scan + one shuffle + one job,
+so the whole batch costs one postings scan + one docs scan (only if
+some query carries a Range/MatchAll leaf) + one shuffle + one job,
 independent of how many queries share it.  Per-query semantics are
 bit-identical to executor._execute (parity-tested in
-tests/test_batch.py): Term and Bool-of-Terms (must / should /
-must_not / minimum_should_match, per-term and per-query boosts,
-no-norm extra-field terms) run on the shared-scan path; any other AST
-shape falls back to the per-query executor plan and is unioned into
-the same single action, so callers get one DataFrame either way.
+tests/test_batch.py): Term / Range / MatchAll leaves under Bool
+(must / should / must_not / minimum_should_match, per-leaf and
+per-query boosts, no-norm extra-field terms) run on the shared-scan
+path; any other AST shape falls back to the per-query executor plan
+and is unioned into the same single action, so callers get one
+DataFrame either way.
 
 At 100 TB the shared scan is also the *correct* plan, not just the
 cheap one: the posting blocks for hot terms are read once per batch
@@ -50,15 +52,29 @@ from bzzz_spark.query.executor import (
 from bzzz_spark.query.scoring import score_col
 
 
+_LEAF = (ast.Term, ast.Range, ast.MatchAll)
+
+
 def _as_bool(node: ast.Query) -> ast.Bool | None:
-    """Normalize a batchable node to a Bool-of-Terms, else None."""
-    if isinstance(node, ast.Term):
+    """Normalize a batchable node to a Bool of Term/Range/MatchAll
+    leaves, else None."""
+    if isinstance(node, _LEAF):
         return ast.Bool(must=[node])
     if isinstance(node, ast.Bool):
         kids = list(node.must) + list(node.should) + list(node.must_not)
-        if kids and all(isinstance(k, ast.Term) for k in kids):
+        if kids and all(isinstance(k, _LEAF) for k in kids):
             return node
     return None
+
+
+def _range_cond(node: ast.Range):
+    c = F.col(node.field_name)
+    cond = F.lit(True)
+    if node.min is not None:
+        cond = cond & (c >= node.min if node.min_inclusive else c > node.min)
+    if node.max is not None:
+        cond = cond & (c <= node.max if node.max_inclusive else c < node.max)
+    return cond
 
 
 def search_many(
@@ -91,32 +107,44 @@ def search_many(
 
         # one spec row per (query, term, role); duplicates kept so a
         # doubled must-term needs the doc twice, matching the executor's
-        # tagged-union count semantics
+        # tagged-union count semantics.  Range/MatchAll leaves become
+        # doc-level contributions: score := boost, evaluated in ONE
+        # shared docs scan for the whole batch.
         spec_rows: list[tuple] = []
         consts_rows: list[tuple] = []
+        doc_leaves: list[tuple] = []  # (qid, role, leaf node)
         keys: set[str] = set()
         for qid, node in batchable.items():
             for role, kids in (
                 ("m", node.must), ("s", node.should), ("n", node.must_not)
             ):
                 for t in kids:
-                    key = term_key(index, t.field_name, t.value)
-                    keys.add(key)
-                    spec_rows.append(
-                        (qid, key, role, float(t.boost),
-                         t.field_name in efields)
-                    )
+                    if isinstance(t, ast.Term):
+                        key = term_key(index, t.field_name, t.value)
+                        keys.add(key)
+                        spec_rows.append(
+                            (qid, key, role, float(t.boost),
+                             t.field_name in efields)
+                        )
+                    else:  # Range / MatchAll
+                        doc_leaves.append((qid, role, t))
             consts_rows.append(
                 (qid, len(node.must), node.effective_msm(),
                  len(node.must) + len(node.should), float(node.boost))
             )
 
-        meta = {
-            r["term"]: (r["term_id"], r["df"])
-            for r in index.dictionary.filter(F.col("term").isin(list(keys)))
-            .select("term", "term_id", "df")
-            .collect()
-        }
+        meta = (
+            {
+                r["term"]: (r["term_id"], r["df"])
+                for r in index.dictionary.filter(F.col("term").isin(list(keys)))
+                .select("term", "term_id", "df")
+                .collect()
+            }
+            if keys
+            else {}
+        )
+        # per-(qid, docid, role) score contributions, from two shared scans
+        contribs: list[DataFrame] = []
         if meta:
             meta_df = spark.createDataFrame(
                 [(t, tid, df) for t, (tid, df) in meta.items()],
@@ -125,10 +153,6 @@ def search_many(
             spec_df = spark.createDataFrame(
                 spec_rows, "qid string, term string, role string, "
                            "tboost double, nonorm boolean",
-            )
-            consts_df = spark.createDataFrame(
-                consts_rows,
-                "qid string, n_must int, msm int, n_pos int, qboost double",
             )
 
             decoded = decode_postings(
@@ -147,12 +171,48 @@ def search_many(
                           float(n_docs), avgdl)
                 * F.col("tboost")
             )
-            role = F.col("role")
-            per_doc = (
+            contribs.append(
                 decoded.join(F.broadcast(meta_df), "term_id")
                 .join(F.broadcast(spec_df), "term")
-                .withColumn("tscore", tscore)
-                .groupBy("qid", "docid")
+                .select("qid", "docid", "role", tscore.alias("tscore"))
+            )
+        if doc_leaves:
+            # every Range/MatchAll leaf in the batch, one docs scan:
+            # each doc emits a struct per satisfied leaf
+            structs = [
+                F.when(
+                    _range_cond(leaf)
+                    if isinstance(leaf, ast.Range)
+                    else F.lit(True),
+                    F.struct(
+                        F.lit(qid).alias("qid"),
+                        F.lit(role).alias("role"),
+                        F.lit(float(leaf.boost)).alias("tscore"),
+                    ),
+                )
+                for qid, role, leaf in doc_leaves
+            ]
+            contribs.append(
+                index.docs.select(
+                    "docid",
+                    F.explode(
+                        F.filter(
+                            F.array(*structs), lambda x: x.isNotNull()
+                        )
+                    ).alias("c"),
+                ).select("c.qid", "docid", "c.role", "c.tscore")
+            )
+        if contribs:
+            allc = contribs[0]
+            for c in contribs[1:]:
+                allc = allc.unionByName(c)
+            consts_df = spark.createDataFrame(
+                consts_rows,
+                "qid string, n_must int, msm int, n_pos int, qboost double",
+            )
+            role = F.col("role")
+            per_doc = (
+                allc.groupBy("qid", "docid")
                 .agg(
                     F.sum(F.when(role != "n", F.col("tscore"))
                           .otherwise(F.lit(0.0))).alias("pscore"),

@@ -29,6 +29,18 @@ BATCH = {
     ),
     "only_must_not": ast.Bool(must_not=[ast.Term("the")]),
     "missing_must": ast.Bool(must=[ast.Term("the"), ast.Term("nosuchterm")]),
+    # doc-level leaves: shared docs scan, score := boost (executor parity)
+    "term_range": ast.Bool(
+        must=[ast.Term("error"), ast.Range("turn_idx", min=1, max=5)]
+    ),
+    "range_only": ast.Bool(
+        must=[ast.Range("turn_idx", min=2, max_inclusive=False, max=6)]
+    ),
+    "match_all": ast.MatchAll(boost=3.0),
+    "range_not": ast.Bool(
+        must=[ast.Term("error")],
+        must_not=[ast.Range("turn_idx", min=0, max=2)],
+    ),
 }
 
 FALLBACK = {
