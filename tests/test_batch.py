@@ -110,6 +110,34 @@ def test_batch_field_terms(spark, small_transcripts):
     idx.postings.unpersist()
 
 
+def test_batch_job_count_is_constant(small_index):
+    """The defining property: Spark job count is a function of the PLAN
+    SHAPE (AQE materializes each shuffle stage as a job), not of the
+    number of queries — a 15-query batch must not run more jobs than a
+    3-query batch.  O(K) execution (one action per query) would fail
+    this by construction."""
+    spark = small_index.docs.sparkSession
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(queries, group):
+        sc.setJobGroup(group, "probe", True)
+        try:
+            rows = search_many(small_index, queries, size=10).collect()
+        finally:
+            sc.setJobGroup(None, None, False)
+        assert len(rows) > 0
+        return len(tracker.getJobIdsForGroup(group))
+
+    small = {k: BATCH[k] for k in ["term_head", "and2", "must_not"]}
+    n_small = jobs_for(small, "batch-probe-small")
+    n_full = jobs_for(BATCH, "batch-probe-full")
+    assert n_full <= n_small + 2, (
+        f"job count grew with batch width: {n_small} jobs for "
+        f"{len(small)} queries but {n_full} for {len(BATCH)}"
+    )
+
+
 def test_batch_is_one_job(small_index):
     """The whole shared-scan batch must collapse into ONE Spark action —
     that's the point.  Proxy check: the returned plan is a single
