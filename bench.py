@@ -122,9 +122,11 @@ def main() -> None:
     def build_docs_once():
         nonlocal idx
         if idx is not None:
-            idx.postings.unpersist()
-        idx = build_index(docs, cfg)
-        idx.postings.cache()
+            idx.unpersist()
+        # serving mode: pin the whole index (dictionary/postings/docs/
+        # stats) like the reference's long-lived IndexSearcher; the
+        # timed region includes postings materialization
+        idx = build_index(docs, cfg).persist()
         idx.postings.count()
 
     timings["build_documents"] = min(
@@ -162,9 +164,8 @@ def main() -> None:
     def build_transcripts_once():
         nonlocal tidx, n_blocks
         if tidx is not None:
-            tidx.postings.unpersist()
-        tidx = build_index(tdf, tcfg)
-        tidx.postings.cache()
+            tidx.unpersist()
+        tidx = build_index(tdf, tcfg).persist()
         n_blocks = tidx.postings.count()
 
     timings["build_transcripts"] = min(

@@ -132,10 +132,39 @@ class BzzzIndex:
     # was written under older collection stats: stale bounds could prune
     # unsafely, so search() routes them through the exhaustive path.
     wand_safe: bool = True
+    # memoized (n_docs, avgdl) — immutable for a snapshot index; streaming
+    # deltas produce a NEW BzzzIndex, so the cache can never go stale.
+    _stats: tuple | None = field(default=None, repr=False, compare=False)
 
     def scalar_stats(self) -> tuple[int, float]:
-        row = self.stats.collect()[0]
-        return int(row["n_docs"]), float(row["avgdl"])
+        if self._stats is None:
+            row = self.stats.collect()[0]
+            object.__setattr__(
+                self, "_stats", (int(row["n_docs"]), float(row["avgdl"]))
+            )
+        return self._stats
+
+    def persist(self, level: str = "MEMORY_AND_DISK") -> "BzzzIndex":
+        """Pin the index frames in executor memory for serving.
+
+        The reference keeps a long-lived IndexSearcher per shard and
+        refreshes it every 5 s (src/bzzz/index_directory.clj:129-132);
+        our snapshot-isolated analog is persisting the dictionary /
+        postings / docs DataFrames so repeated queries skip the parquet
+        scan + decode.  Safe at any scale Spark itself is safe at:
+        MEMORY_AND_DISK spills partitions that don't fit.  Lazy — the
+        first query materializes each frame."""
+        from pyspark import StorageLevel
+
+        lvl = getattr(StorageLevel, level)
+        for df in (self.dictionary, self.postings, self.docs, self.stats):
+            df.persist(lvl)
+        return self
+
+    def unpersist(self) -> "BzzzIndex":
+        for df in (self.dictionary, self.postings, self.docs, self.stats):
+            df.unpersist()
+        return self
 
 
 def dedup_upserts(

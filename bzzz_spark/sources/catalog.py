@@ -168,3 +168,82 @@ class Catalog:
         if os.path.exists(manifest):
             os.remove(manifest)
         return build_and_write(self.read(table), index_dir, cfg)
+
+
+class KVStore:
+    """S11 — the reference's file-backed KV maps, deterministic subset.
+
+    The reference's /_kv endpoints (src/bzzz/kv.clj:25-51) expose MapDB
+    files holding NAMED HASHMAPS; reads without `clj-eval` return a
+    whole named map (kv.clj:38 `.getHashMap db obj-name`), and all
+    writes go through arbitrary Clojure closures — an intentional RCE
+    surface (example/app.rb:274) we do not reproduce.  This class keeps
+    the data model (store file → named map → key/value) and replaces
+    closure writes with explicit CRUD, the same deterministic-subset
+    treatment Q17 scoring got.
+
+    Storage: one parquet table per store file with rows
+    (obj_name, key, value), string-typed like MapDB's default
+    serializer view; mutations rewrite via the catalog's
+    staging-dir + atomic-rename commit.  Small by contract (config /
+    bookkeeping state), so mutations broadcast-join the delta.
+    """
+
+    def __init__(self, catalog: Catalog, file_name: str):
+        self.catalog = catalog
+        self.name = f"_kv_{file_name}"
+        self._schema = "obj_name string, key string, value string"
+
+    def _read(self) -> DataFrame:
+        if not self.catalog.exists(self.name):
+            return self.catalog.spark.createDataFrame([], self._schema)
+        return self.catalog.read(self.name)
+
+    def get_map(self, obj_name: str) -> dict:
+        """kv/search with obj-name: the whole named hashmap."""
+        return {
+            r["key"]: r["value"]
+            for r in self._read().filter(F.col("obj_name") == obj_name).collect()
+        }
+
+    def get(self, obj_name: str, key: str, default=None):
+        rows = (
+            self._read()
+            .filter((F.col("obj_name") == obj_name) & (F.col("key") == key))
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["value"] if rows else default
+
+    def put_all(self, obj_name: str, items: dict) -> None:
+        """Upsert key→value pairs into a named map (last write wins,
+        like MapDB's HashMap.put under the reference's lock)."""
+        spark = self.catalog.spark
+        delta = spark.createDataFrame(
+            [(obj_name, str(k), str(v)) for k, v in items.items()],
+            self._schema,
+        )
+        current = self._read()
+        merged = current.join(
+            F.broadcast(delta.select("obj_name", "key")),
+            ["obj_name", "key"],
+            "left_anti",
+        ).unionByName(delta)
+        self.catalog._rewrite(self.catalog._path(self.name), merged)
+
+    def delete(self, obj_name: str, keys: list | None = None) -> None:
+        """Drop whole map (keys=None) or specific keys."""
+        current = self._read()
+        if keys is None:
+            keep = current.filter(F.col("obj_name") != obj_name)
+        else:
+            keep = current.filter(
+                (F.col("obj_name") != obj_name) | ~F.col("key").isin(keys)
+            )
+        self.catalog._rewrite(self.catalog._path(self.name), keep)
+
+    def object_names(self) -> list:
+        return sorted(
+            r["obj_name"]
+            for r in self._read().select("obj_name").distinct().collect()
+        )

@@ -119,3 +119,39 @@ def test_partitioning_invariance(spark, small_pdf, small_oracle):
         got = _decode_all_postings(idx)
         want = {t: dict(p) for t, p in small_oracle.postings.items()}
         assert got == want, f"postings differ at num_partitions={n_part}"
+
+
+def test_persist_and_stats_memoized(spark, small_transcripts, small_oracle):
+    """BzzzIndex.persist pins the frames; scalar_stats collects once.
+
+    Serving-mode analog of the reference's long-lived IndexSearcher
+    (src/bzzz/index_directory.clj:129-132): a persisted snapshot must
+    answer identically to a cold one."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.query import ast
+    from bzzz_spark.query.executor import search
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=2),
+    )
+    cold = [
+        (r["docid"], round(r["score"], 6))
+        for r in search(idx, ast.Term("the"), size=10).collect()
+    ]
+    idx.persist()
+    try:
+        n1 = idx.scalar_stats()
+        # memoized: second call must not re-collect (same tuple object)
+        assert idx.scalar_stats() is idx._stats
+        assert n1[0] == small_oracle.n_docs
+        assert idx.dictionary.storageLevel.useMemory
+        assert idx.postings.storageLevel.useMemory
+        hot = [
+            (r["docid"], round(r["score"], 6))
+            for r in search(idx, ast.Term("the"), size=10).collect()
+        ]
+        assert hot == cold
+    finally:
+        idx.unpersist()
+    assert not idx.postings.storageLevel.useMemory

@@ -127,3 +127,25 @@ def test_streaming_incremental_index(spark, tmp_path, small_pdf):
     got2 = [(r["docid"], round(r["score"], 9))
             for r in search(compacted, node, size=10).collect()]
     assert got2 == want
+
+
+def test_kv_store_crud(spark, catalog):
+    """S11 deterministic subset: named maps, get/put/delete semantics of
+    the reference's /_kv MapDB files (kv.clj:25-51) minus closure eval."""
+    from bzzz_spark.sources.catalog import KVStore
+
+    kv = KVStore(catalog, "state")
+    assert kv.get_map("counters") == {}
+    kv.put_all("counters", {"a": 1, "b": 2})
+    kv.put_all("flags", {"on": "true"})
+    assert kv.get_map("counters") == {"a": "1", "b": "2"}
+    assert kv.get("counters", "a") == "1"
+    assert kv.get("counters", "zzz", default="miss") == "miss"
+    # upsert: last write wins (MapDB HashMap.put under lock)
+    kv.put_all("counters", {"a": 10})
+    assert kv.get("counters", "a") == "10"
+    assert kv.object_names() == ["counters", "flags"]
+    kv.delete("counters", keys=["b"])
+    assert kv.get_map("counters") == {"a": "10"}
+    kv.delete("flags")
+    assert kv.object_names() == ["counters"]

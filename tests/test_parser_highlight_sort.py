@@ -223,3 +223,50 @@ def test_sort_values_in_hits(small_index, small_oracle):
         assert [e["reverse"] for e in s] == [True, False]
         assert int(s[0]["value"]) == by_doc[r["docid"]]["turn_idx"]
         assert abs(float(s[1]["value"]) - r["score"]) < 1e-9
+
+
+# ------------------------- parser robustness (hypothesis, no Spark) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_parser_total_on_arbitrary_input(s):
+    """The parser is TOTAL: any input either yields an AST or raises
+    ValueError with a 'query-parser:' message — never an arbitrary
+    exception (the reference leans on Lucene's parser for the same
+    guarantee, queries/query_parser.clj:6-17)."""
+    from bzzz_spark.query.parser import parse_query_string
+
+    try:
+        node = parse_query_string(s, default_field="text")
+    except ValueError as e:
+        assert "query-parser" in str(e)
+    else:
+        assert node is None or isinstance(node, ast.Query)
+
+
+_simple_term = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=127),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_simple_term, min_size=1, max_size=4),
+    st.sampled_from(["AND", "OR"]),
+)
+def test_parser_wellformed_boolean_roundtrip(terms, op):
+    """Well-formed boolean strings always parse, and every input term
+    survives into the AST (modulo analyzer, identity for [a-z]+)."""
+    from bzzz_spark.query import ast as qast
+    from bzzz_spark.query.parser import parse_query_string
+
+    node = parse_query_string(f" {op} ".join(terms), default_field="text")
+    got = sorted(
+        n.value for n in qast.iter_nodes(node) if isinstance(n, qast.Term)
+    )
+    assert got == sorted(set(terms)) or got == sorted(terms)
