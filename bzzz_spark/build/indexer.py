@@ -135,6 +135,11 @@ class BzzzIndex:
     # memoized (n_docs, avgdl) — immutable for a snapshot index; streaming
     # deltas produce a NEW BzzzIndex, so the cache can never go stale.
     _stats: tuple | None = field(default=None, repr=False, compare=False)
+    # memoized dictionary lookups: term key → (term_id, df) or None for
+    # terms proven absent.  Same snapshot-immutability argument; grows
+    # only with DISTINCT queried terms (a few bytes each), the serving
+    # analog of Lucene's term-dictionary block cache.
+    _term_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     def scalar_stats(self) -> tuple[int, float]:
         if self._stats is None:
@@ -143,6 +148,26 @@ class BzzzIndex:
                 self, "_stats", (int(row["n_docs"]), float(row["avgdl"]))
             )
         return self._stats
+
+    def lookup_terms(self, keys) -> dict:
+        """term keys → {key: (term_id, df)} for the PRESENT subset.
+
+        One dictionary job for the not-yet-seen keys only; repeat
+        queries over a hot index cost zero dictionary jobs.  Negative
+        results are cached too (a missing must-term is the common
+        early-exit)."""
+        keys = list(keys)
+        missing = [k for k in keys if k not in self._term_cache]
+        if missing:
+            rows = (
+                self.dictionary.filter(F.col("term").isin(missing))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
+            for k in missing:
+                self._term_cache[k] = found.get(k)
+        return {k: v for k in keys if (v := self._term_cache[k]) is not None}
 
     def persist(self, level: str = "MEMORY_AND_DISK") -> "BzzzIndex":
         """Pin the index frames in executor memory for serving.

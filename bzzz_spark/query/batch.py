@@ -133,16 +133,7 @@ def search_many(
                  len(node.must) + len(node.should), float(node.boost))
             )
 
-        meta = (
-            {
-                r["term"]: (r["term_id"], r["df"])
-                for r in index.dictionary.filter(F.col("term").isin(list(keys)))
-                .select("term", "term_id", "df")
-                .collect()
-            }
-            if keys
-            else {}
-        )
+        meta = index.lookup_terms(keys) if keys else {}
         # per-(qid, docid, role) score contributions, from two shared scans
         contribs: list[DataFrame] = []
         if meta:

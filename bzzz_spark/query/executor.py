@@ -236,14 +236,7 @@ class _Ctx:
                 self.expansions[_mt_key(p)] = exp
                 terms.update(exp)
 
-        rows = (
-            index.dictionary.filter(F.col("term").isin(list(terms)))
-            .select("term", "term_id", "df")
-            .collect()
-            if terms
-            else []
-        )
-        self.term_meta = {r["term"]: (r["term_id"], r["df"]) for r in rows}
+        self.term_meta = index.lookup_terms(terms) if terms else {}
         spark = index.docs.sparkSession
         if self.term_meta:
             meta_df = spark.createDataFrame(

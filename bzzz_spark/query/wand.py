@@ -235,10 +235,7 @@ def wand_candidates(
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
         return spark.createDataFrame([], "docid long, score double")
-    rows = index.dictionary.filter(F.col("term").isin(vals)).select(
-        "term", "term_id", "df"
-    ).collect()
-    meta = {r["term"]: (r["term_id"], r["df"]) for r in rows}
+    meta = index.lookup_terms(vals)
     if mode == "and" and len(meta) < len(terms):
         return spark.createDataFrame([], "docid long, score double")
     qmeta = {}

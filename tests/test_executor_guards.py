@@ -65,3 +65,29 @@ def test_unknown_field_raises(small_index):
     # the default alias and the configured text column are both fine
     validate_fields(small_index, ast.Term("the"))
     validate_fields(small_index, ast.Term("the", field_name="text"))
+
+
+def test_term_lookup_memoized(spark, small_transcripts):
+    """lookup_terms caches present AND absent keys: the second identical
+    query runs zero dictionary jobs (serving-mode latency lever)."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.query import ast
+    from bzzz_spark.query.executor import search
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=2),
+    )
+    q = ast.Bool(must=[ast.Term("the")], must_not=[ast.Term("zzz_missing")])
+    first = [(r["docid"], round(r["score"], 6)) for r in search(idx, q, size=5).collect()]
+    assert idx._term_cache.get("the") is not None
+    assert "zzz_missing" in idx._term_cache and idx._term_cache["zzz_missing"] is None
+    # poison the dictionary reference: a cached re-query must not touch it
+    real_dict = idx.dictionary
+    class _Boom:
+        def filter(self, *_a, **_k):
+            raise AssertionError("dictionary job ran on a fully-cached query")
+    idx.dictionary = _Boom()
+    second = [(r["docid"], round(r["score"], 6)) for r in search(idx, q, size=5).collect()]
+    idx.dictionary = real_dict
+    assert second == first
