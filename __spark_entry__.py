@@ -202,6 +202,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Σ idf) × tfc(phrase_freq, dl) — Lucene's PhraseWeight model
         return _hits(_index(spark, sf), ast.Phrase(["filter", "merge"]), size=10)
 
+    def q_phrase_slop(spark, sf):
+        # sloppy phrase "filter merge"~2 — ordered-window proximity
+        # (ast.Phrase docstring: chain q_i ≤ q_0 + i + slop, no
+        # reordering); phrase_freq counts start positions with a match
+        return _hits(
+            _index(spark, sf), ast.Phrase(["filter", "merge"], slop=2), size=10
+        )
+
     def q_wildcard(spark, sf):
         return _hits(_index(spark, sf), ast.Wildcard("s*"), size=10)
 
@@ -624,7 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_should_msm2=q_should_msm2, q_filtered_range=q_filtered_range,
         q_match_all=q_match_all, q_paging=q_paging,
         q_constant_score=q_constant_score, q_dismax=q_dismax,
-        q_phrase=q_phrase,
+        q_phrase=q_phrase, q_phrase_slop=q_phrase_slop,
         q_field_term=q_field_term, q_field_wildcard=q_field_wildcard,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_batch=q_batch,
         q_custom_score=q_custom_score,
@@ -796,6 +804,34 @@ tok_pos AS (
 pf AS (
   SELECT a.doc_id, count(*) AS ptf
   FROM tok_pos a JOIN tok_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'filter' AND b.term = 'merge'
+  GROUP BY a.doc_id
+),
+widf AS (
+  SELECT sum(ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS w
+  FROM dfx CROSS JOIN stats WHERE dfx.term IN ('filter', 'merge')
+),
+scores AS (
+  SELECT pf.doc_id,
+         widf.w * (pf.ptf * {K1P1} / (pf.ptf + {BM25_K1} *
+           (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS score
+  FROM pf
+  JOIN dl ON dl.doc_id = pf.doc_id
+  CROSS JOIN stats CROSS JOIN widf
+)
+{_topk('SELECT doc_id, score FROM scores', 10)}"""
+    # sloppy phrase "filter merge"~2: ordered window — merge strictly
+    # after filter, at most slop(2) past the adjacent slot (pos+1+2);
+    # ptf counts DISTINCT start positions with at least one valid chain
+    o["q_phrase_slop"] = f"""{_BASE},
+tok_pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents)
+),
+pf AS (
+  SELECT a.doc_id, count(DISTINCT a.pos) AS ptf
+  FROM tok_pos a JOIN tok_pos b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
   WHERE a.term = 'filter' AND b.term = 'merge'
   GROUP BY a.doc_id
 ),

@@ -126,14 +126,26 @@ class PyIndex:
             for m in maps[1:]:
                 cand &= set(m)
             w = sum(idf(self.n_docs, len(self.postings[t])) for t in node.terms)
+            slop = getattr(node, "slop", 0)
             out = {}
             for docid in cand:
-                rest = [set(m[docid]) for m in maps[1:]]
-                ptf = sum(
-                    1
-                    for p in maps[0][docid]
-                    if all((p + i + 1) in s for i, s in enumerate(rest))
-                )
+                rest = [sorted(m[docid]) for m in maps[1:]]
+
+                def _chain(p):
+                    # ordered-window match: increasing q_i ≤ p + i + slop;
+                    # greedy-min per step is complete (smallest valid q_i
+                    # leaves maximal room for the next)
+                    prev = p
+                    for i, qs in enumerate(rest, start=1):
+                        nxt = next(
+                            (q for q in qs if prev < q <= p + i + slop), None
+                        )
+                        if nxt is None:
+                            return False
+                        prev = nxt
+                    return True
+
+                ptf = sum(1 for p in maps[0][docid] if _chain(p))
                 if ptf:
                     dl = self.docs[docid]["dl"]
                     out[docid] = (

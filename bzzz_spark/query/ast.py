@@ -101,13 +101,20 @@ class Phrase(Query):
     PhraseQuery, produced by the classic parser's quoted strings —
     reference src/bzzz/queries/query_parser.clj:6-17).  Scoring pinned
     to Lucene's PhraseWeight model: score = (Σ idf(term_i)) ×
-    tfc(phrase_freq, dl) × boost, where phrase_freq counts the exact
-    occurrences.  Requires an index built with store_positions=True;
-    slop is not supported (exact adjacency only, pinned deviation)."""
+    tfc(phrase_freq, dl) × boost, where phrase_freq counts the
+    occurrences.  Requires an index built with store_positions=True.
+
+    slop: ORDERED-window proximity — terms must appear in order, each
+    at most `slop` positions later than its exact-phrase slot (an
+    increasing chain q_i with q_i ≤ q_0 + i + slop).  Pinned deviation
+    from Lucene's SloppyPhraseScorer: no term reordering (Lucene's
+    edit-distance slop permits it at slop ≥ 2) and phrase_freq counts
+    matches unweighted (Lucene weights each by 1/(1+slop_used))."""
 
     terms: list[str]
     field_name: str = "text"
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass
@@ -235,6 +242,7 @@ def parse_query(spec) -> Query:
             terms=terms,
             field_name=body.get("field", "text"),
             boost=body.get("boost", 1.0),
+            slop=int(body.get("slop", 0)),
         )
     if kind == "wildcard":
         return Wildcard(

@@ -373,7 +373,22 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
         # phrase_freq: positions p of term 0 with p+i present in term i's
         # positions for every i — JVM higher-order functions, no Python
         p0 = F.col("p0")
-        if len(tids) > 1:
+        if len(tids) > 1 and node.slop > 0:
+            # ordered-window slop (ast.Phrase docstring): an increasing
+            # chain q_i ≤ p + i + slop, as nested EXISTS over the
+            # position arrays — still whole-stage JVM expressions
+            s = node.slop
+
+            def chain(p, i, prev):
+                if i == len(tids):
+                    return F.lit(True)
+                return F.exists(
+                    F.col(f"p{i}"),
+                    lambda q: (q > prev) & (q <= p + i + s) & chain(p, i + 1, q),
+                )
+
+            ptf = F.size(F.filter(p0, lambda p: chain(p, 1, p)))
+        elif len(tids) > 1:
             def adjacent(p):
                 cond = F.array_contains(F.col("p1"), p + 1)
                 for i in range(2, len(tids)):

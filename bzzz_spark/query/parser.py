@@ -11,8 +11,10 @@ Supported subset, pinned here:
                               but the executor rejects them loudly)
   "a b c"                   → Phrase: terms at consecutive positions
                               (Lucene PhraseQuery; needs an index built
-                              with store_positions=True — slop "~N" is
-                              not supported, pinned deviation)
+                              with store_positions=True)
+  "a b"~2                   → sloppy phrase: ordered window (pinned
+                              deviation — no reordering, unweighted
+                              phrase_freq; see ast.Phrase docstring)
   +term / -term / NOT term  → must / must_not
   a AND b, a && b           → conjunction
   a OR b, a || b            → disjunction
@@ -42,7 +44,7 @@ _TOKEN_RE = re.compile(
     (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!) |
     (?P<plus>\+) | (?P<minus>-) |
     (?P<range>(?:[\w.]+):(?:\[|\{)[^\]\}]+(?:\]|\})) |
-    (?P<phrase>(?:[\w.]+:)?"[^"]*"(?:\^\d+(?:\.\d+)?)?) |
+    (?P<phrase>(?:[\w.]+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?) |
     (?P<term>[^\s()"+\-!][^\s()"]*) |
     (?P<ws>\s+)
     """,
@@ -188,6 +190,11 @@ class _Parser:
             if mb:
                 boost = float(mb.group(1))
                 text = text[: mb.start()]
+            slop = 0
+            ms = re.search(r"~(\d+)$", text)
+            if ms:  # Lucene proximity: "a b"~2 (slop before boost)
+                slop = int(ms.group(1))
+                text = text[: ms.start()]
             if not text.startswith('"'):
                 field, text = text.split(":", 1)
             terms = py_tokenize(text.strip('"'))
@@ -195,7 +202,7 @@ class _Parser:
                 return ast.MatchAll(boost=0.0)
             if len(terms) == 1:
                 return ast.Term(terms[0], field, boost)
-            return ast.Phrase(terms, field, boost)
+            return ast.Phrase(terms, field, boost, slop=slop)
         if kind == "term":
             return _leaf(text, self.field)
         raise ValueError(f"query-parser: unexpected {text!r}")

@@ -204,3 +204,98 @@ def test_html_strip_escaped_tags(spark):
     assert "<" not in out["all"]
     assert "<b>bold</b>" in out["wl"] and "<i>ital</i>" in out["wl"]
     assert "<div>" not in out["wl"] and "<span>" not in out["wl"]
+
+
+# ----------------------------------------------------------------- slop
+
+
+def test_sloppy_phrase_matches_oracle(pos_index, small_oracle):
+    """Ordered-window slop parity vs the oracle's greedy chain, and
+    monotonicity: widening slop can only grow the match set."""
+    a, b = _bigram(small_oracle)
+    prev_docs: set = set()
+    for s in (0, 1, 2, 4):
+        node = ast.Phrase([a, b], slop=s)
+        got = _assert_phrase_parity(pos_index, small_oracle, node, size=1000)
+        docs = {d for d, _ in got}
+        assert prev_docs <= docs, f"slop={s} lost matches vs smaller slop"
+        prev_docs = docs
+
+
+def test_sloppy_phrase_gap_document(spark):
+    """Hand-built corpus: 'alpha X beta' matches "alpha beta"~1 but not
+    slop 0; reversed order never matches (pinned: no reordering)."""
+    import pandas as pd
+    from bzzz_spark.fixtures import to_spark
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1"],
+            "turn_idx": [0, 1, 2],
+            "role": ["user"] * 3,
+            "text": [
+                "alpha filler beta",     # gap 1
+                "alpha beta",            # adjacent
+                "beta alpha",            # reversed
+            ],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(num_partitions=1, store_positions=True),
+    )
+    def docs_for(slop):
+        return {
+            r["turn_idx"]
+            for r in search(
+                idx, ast.Phrase(["alpha", "beta"], slop=slop), size=10,
+                fields=["turn_idx"],
+            ).collect()
+        }
+    assert docs_for(0) == {1}
+    assert docs_for(1) == {0, 1}
+    assert docs_for(5) == {0, 1}  # reversed doc 2 never matches
+
+
+def test_trigram_slop_chain(spark):
+    """3-term chain: each term may lag ≤ slop behind its slot."""
+    import pandas as pd
+    from bzzz_spark.fixtures import to_spark
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user"] * 3,
+            "text": [
+                "one two three",
+                "one x two y three",   # each gap 1 → total lag 2 at term 3
+                "one x x two three",
+            ],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(num_partitions=1, store_positions=True),
+    )
+    node = lambda s: ast.Phrase(["one", "two", "three"], slop=s)  # noqa: E731
+    hits = lambda s: {  # noqa: E731
+        r["turn_idx"]
+        for r in search(idx, node(s), size=10, fields=["turn_idx"]).collect()
+    }
+    assert hits(0) == {0}
+    # doc1 "one x two y three": two lags 1 (ok at s=1) but three lags 2;
+    # doc2 "one x x two three": two lags 2 — both need s ≥ 2
+    assert hits(1) == {0}
+    assert hits(2) == {0, 1, 2}
+
+
+def test_parser_slop_syntax():
+    node = parse_query_string('"alpha beta"~2^3', default_field="text")
+    assert node == ast.Phrase(["alpha", "beta"], "text", 3.0, slop=2)
+    node = parse_query_string('"alpha beta"~1', default_field="text")
+    assert node == ast.Phrase(["alpha", "beta"], "text", 1.0, slop=1)

@@ -33,8 +33,9 @@ def main() -> None:
     from bzzz_spark.fixtures import synth_transcripts_spark
     from bzzz_spark.session import get_spark
 
+    n_parts = int(os.environ.get("BZZZ_PROFILE_PARTS", str(cpus)))
     spark = get_spark(f"profile-{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    cfg = IndexConfig(segment_size=1 << 15, num_partitions=cpus)
+    cfg = IndexConfig(segment_size=1 << 15, num_partitions=n_parts)
     t: dict[str, float] = {}
 
     def phase(name, fn):
@@ -49,7 +50,7 @@ def main() -> None:
 
     ids = phase(
         "assign_ids",
-        lambda: assign_sequential_ids(raw, list(cfg.key_cols), "docid", cpus),
+        lambda: assign_sequential_ids(raw, list(cfg.key_cols), "docid", n_parts),
     )
     docs = ids.withColumn("tokens", standard_tokenize(F.col(cfg.text_col))) \
               .withColumn("dl", F.size("tokens")) \
