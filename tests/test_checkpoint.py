@@ -134,3 +134,27 @@ def test_per_segment_metrics(spark, small_pdf, tmp_path):
     assert sum(r["n_postings"] for r in rows.values()) == sum(
         r["count"] for r in idx.postings.select("count").collect()
     )
+
+
+def test_postings_scan_pushes_term_filter_to_parquet(spark, small_pdf, tmp_path):
+    """Plan-shape regression: a query against an ON-DISK index must
+    reach the parquet scan with a term_id pushdown (PushedFilters) —
+    at 10^12-turn scale this is what turns a query into a
+    few-row-groups read instead of a full postings sweep."""
+    df = to_spark(spark, small_pdf)
+    out = str(tmp_path / "idx_plan")
+    build_and_write(df, out, IndexConfig(**CFG), n_chunks=2)
+    idx = read_index(spark, out)
+    meta = idx.lookup_terms(["the"])
+    tid = meta["the"][0]
+    from pyspark.sql import functions as F
+
+    scan = idx.postings.filter(F.col("term_id").isin([tid]))
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    ) if hasattr(scan._sc._jvm, "PythonSQLUtils") else scan._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "term_id" in plan, plan[:2000]
+    # and the pushed filter is not an empty list
+    import re as _re
+    m = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "term_id" in m.group(1), m.group(0) if m else plan[:500]
