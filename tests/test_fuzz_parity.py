@@ -1,0 +1,77 @@
+"""Randomized query parity fuzz: hypothesis-generated ASTs run through
+the BATCHED engine path (search_many — one Spark action per example
+batch) and compared rank- and score-exactly against the pure-Python
+oracle.  Covers the batch fast path (flat Term/Range/MatchAll bools),
+its executor fallback (nested bools, dis-max, phrases), and the
+combinators' interaction with boosts and minimum_should_match — the
+shapes a hand-written test matrix under-samples.
+
+Reference semantics being fuzzed: bool combination queries/bool.clj:4-17,
+paging/tie-break index_search.clj:272,306."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bzzz_spark.query import ast
+from bzzz_spark.query.batch import search_many
+
+# head + mid + guaranteed-absent terms: hits, partial hits, and misses
+VOCAB = ["the", "a", "to", "error", "data", "query", "merge", "scan",
+         "filter", "zz_never_a_term"]
+
+_term = st.builds(
+    ast.Term,
+    st.sampled_from(VOCAB),
+    st.just("text"),
+    st.sampled_from([1.0, 2.0, 0.5]),
+)
+_range = st.builds(
+    lambda lo, hi, inc: ast.Range("turn_idx", min=lo, max=max(lo, hi),
+                                  min_inclusive=inc, max_inclusive=True),
+    st.integers(0, 6), st.integers(0, 12), st.booleans(),
+)
+_leaf = st.one_of(_term, _range, st.just(ast.MatchAll()))
+
+_flat_bool = st.builds(
+    lambda must, should, must_not, msm, boost: ast.Bool(
+        must=must, should=should, must_not=must_not,
+        minimum_should_match=min(msm, len(should)) if should else 0,
+        boost=boost,
+    ),
+    st.lists(_leaf, max_size=3),
+    st.lists(_term, max_size=3),
+    st.lists(_term, max_size=2),
+    st.integers(0, 2),
+    st.sampled_from([1.0, 3.0]),
+)
+# nested shapes exercise the batch module's executor fallback
+_nested = st.builds(
+    lambda inner, extra: ast.Bool(must=[inner] + extra),
+    _flat_bool, st.lists(_term, min_size=1, max_size=2),
+)
+_query = st.one_of(_term, _flat_bool, _nested,
+                   st.builds(lambda qs: ast.DisMax(queries=qs, tie_breaker=0.3),
+                             st.lists(_term, min_size=2, max_size=3)))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_query, min_size=4, max_size=10))
+def test_random_query_batch_matches_oracle(small_index, small_oracle, queries):
+    qs = {f"q{i}": node for i, node in enumerate(queries)}
+    rows = search_many(small_index, qs, size=10).collect()
+    got: dict[str, list] = {qid: [] for qid in qs}
+    for r in rows:
+        got[r["query_id"]].append((r["docid"], r["score"]))
+    for qid, node in qs.items():
+        want = small_oracle.search(node, size=10)
+        g = got[qid]
+        assert [d for d, _ in g] == [d for d, _ in want], (
+            f"{qid}: rank mismatch for {node}"
+        )
+        for (_, gs), (_, ws) in zip(g, want):
+            assert math.isclose(gs, ws, rel_tol=1e-6), (
+                f"{qid}: score mismatch for {node}: {gs} vs {ws}"
+            )
