@@ -299,3 +299,36 @@ def test_parser_slop_syntax():
     assert node == ast.Phrase(["alpha", "beta"], "text", 3.0, slop=2)
     node = parse_query_string('"alpha beta"~1', default_field="text")
     assert node == ast.Phrase(["alpha", "beta"], "text", 1.0, slop=1)
+
+
+# ------------------------------------------------------- randomized fuzz
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(0, 10 ** 6), st.integers(2, 3), st.integers(0, 3),
+       st.booleans())
+def test_random_corpus_phrases_match_oracle(
+    pos_index, small_oracle, seed, n_terms, slop, shuffle
+):
+    """Random corpus n-grams (and their shuffled variants) as phrases at
+    random slop: rank + score parity vs the oracle's greedy-chain
+    scorer.  Shuffled n-grams probe the no-reordering pin; corpus
+    n-grams guarantee the positive-match path is exercised."""
+    from bzzz_spark.analysis.tokenizer import py_tokenize
+
+    docs = [d for d in small_oracle.docs if d["dl"] >= n_terms + 2]
+    d = docs[seed % len(docs)]
+    toks = py_tokenize(d["text"])
+    start = seed % (len(toks) - n_terms)
+    terms = toks[start : start + n_terms]
+    if shuffle:
+        terms = terms[::-1]
+    if len(set(terms)) < len(terms):
+        return  # repeated term in the window: oracle handles it, but
+                # keep the fuzz on the common distinct-terms shape
+    node = ast.Phrase(terms, slop=slop)
+    _assert_phrase_parity(pos_index, small_oracle, node, size=50)
