@@ -24,10 +24,11 @@ independent of how many queries share it.  Per-query semantics are
 bit-identical to executor._execute (parity-tested in
 tests/test_batch.py): Term / Range / MatchAll leaves under Bool
 (must / should / must_not / minimum_should_match, per-leaf and
-per-query boosts, no-norm extra-field terms) run on the shared-scan
-path; any other AST shape falls back to the per-query executor plan
-and is unioned into the same single action, so callers get one
-DataFrame either way.
+per-query boosts, no-norm extra-field terms) and dis-max over terms
+(score = max + tie*(sum - max), executor parity) run on the
+shared-scan path; any other AST shape falls back to the per-query
+executor plan and is unioned into the same single action, so callers
+get one DataFrame either way.
 
 At 100 TB the shared scan is also the *correct* plan, not just the
 cheap one: the posting blocks for hot terms are read once per batch
@@ -95,13 +96,30 @@ def search_many(
         validate_fields(index, node)
         nodes[qid] = node
 
-    batchable = {qid: b for qid, n in nodes.items() if (b := _as_bool(n))}
-    rest = {qid: n for qid, n in nodes.items() if qid not in batchable}
+    # dis-max of plain terms rides the shared scan too: role "d"
+    # contributions, score = max + tie*(sum - max) (executor parity)
+    dismaxable = {
+        qid: n
+        for qid, n in nodes.items()
+        if isinstance(n, ast.DisMax)
+        and n.queries
+        and all(isinstance(q, ast.Term) for q in n.queries)
+    }
+    batchable = {
+        qid: b
+        for qid, n in nodes.items()
+        if qid not in dismaxable and (b := _as_bool(n))
+    }
+    rest = {
+        qid: n
+        for qid, n in nodes.items()
+        if qid not in batchable and qid not in dismaxable
+    }
 
     spark = index.docs.sparkSession
     parts: list[DataFrame] = []
 
-    if batchable:
+    if batchable or dismaxable:
         n_docs, avgdl = index.scalar_stats()
         efields = extra_field_map(index)
 
@@ -130,7 +148,18 @@ def search_many(
                         doc_leaves.append((qid, role, t))
             consts_rows.append(
                 (qid, len(node.must), node.effective_msm(),
-                 len(node.must) + len(node.should), float(node.boost))
+                 len(node.must) + len(node.should), float(node.boost), None)
+            )
+        for qid, node in dismaxable.items():
+            for t in node.queries:
+                key = term_key(index, t.field_name, t.value)
+                keys.add(key)
+                spec_rows.append(
+                    (qid, key, "d", float(t.boost), t.field_name in efields)
+                )
+            consts_rows.append(
+                (qid, 0, 0, len(node.queries), float(node.boost),
+                 float(node.tie_breaker))
             )
 
         meta = index.lookup_terms(keys) if keys else {}
@@ -199,7 +228,8 @@ def search_many(
                 allc = allc.unionByName(c)
             consts_df = spark.createDataFrame(
                 consts_rows,
-                "qid string, n_must int, msm int, n_pos int, qboost double",
+                "qid string, n_must int, msm int, n_pos int, qboost double, "
+                "tie double",
             )
             role = F.col("role")
             per_doc = (
@@ -207,6 +237,7 @@ def search_many(
                 .agg(
                     F.sum(F.when(role != "n", F.col("tscore"))
                           .otherwise(F.lit(0.0))).alias("pscore"),
+                    F.max(F.when(role == "d", F.col("tscore"))).alias("d_max"),
                     F.sum(F.when(role == "m", 1).otherwise(0)).alias("m_cnt"),
                     F.sum(F.when(role == "s", 1).otherwise(0)).alias("s_cnt"),
                     F.sum(F.when(role == "n", 1).otherwise(0)).alias("n_cnt"),
@@ -221,7 +252,15 @@ def search_many(
                 .select(
                     F.col("qid").alias("query_id"),
                     "docid",
-                    (F.col("pscore") * F.col("qboost")).alias("score"),
+                    (
+                        F.when(
+                            F.col("tie").isNotNull(),
+                            # executor DisMax: max + tie*(sum - max)
+                            F.col("d_max")
+                            + F.col("tie") * (F.col("pscore") - F.col("d_max")),
+                        ).otherwise(F.col("pscore"))
+                        * F.col("qboost")
+                    ).alias("score"),
                 )
             )
             parts.append(per_doc)

@@ -157,3 +157,43 @@ def test_batch_is_one_job(small_index):
     assert "term_missing" not in per
     assert "only_must_not" not in per
     assert "missing_must" not in per
+
+
+def test_batch_dismax_fast_path_parity(small_index, small_oracle):
+    """DisMax-of-terms rides the shared scan (not the fallback) and
+    matches both the per-query executor and the oracle."""
+    from bzzz_spark.query.batch import search_many
+    from bzzz_spark.query.executor import search
+
+    qs = {
+        "dm1": ast.DisMax(
+            queries=[ast.Term("the"), ast.Term("error", boost=2.0)],
+            tie_breaker=0.3,
+        ),
+        "dm0": ast.DisMax(  # tie 0: pure max
+            queries=[ast.Term("data"), ast.Term("query")], tie_breaker=0.0
+        ),
+        "dm_missing": ast.DisMax(
+            queries=[ast.Term("zz_nope"), ast.Term("error")], tie_breaker=0.5
+        ),
+        "plain": ast.Term("the"),
+    }
+    rows = search_many(small_index, qs, size=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["docid"], r["score"]))
+    import math
+
+    for qid, node in qs.items():
+        single = [
+            (r["docid"], r["score"])
+            for r in search(small_index, node, size=10).collect()
+        ]
+        oracle = small_oracle.search(node, size=10)
+        g = got.get(qid, [])
+        assert [d for d, _ in g] == [d for d, _ in single] == [
+            d for d, _ in oracle
+        ], qid
+        for (_, a), (_, b), (_, c) in zip(g, single, oracle):
+            assert math.isclose(a, b, rel_tol=1e-9)
+            assert math.isclose(a, c, rel_tol=1e-6)
