@@ -134,12 +134,14 @@ class BzzzIndex:
     wand_safe: bool = True
     # memoized (n_docs, avgdl) — immutable for a snapshot index; streaming
     # deltas produce a NEW BzzzIndex, so the cache can never go stale.
-    _stats: tuple | None = field(default=None, repr=False, compare=False)
+    _stats: tuple | None = field(default=None, repr=False, compare=False,
+                                 init=False)
     # memoized dictionary lookups: term key → (term_id, df) or None for
     # terms proven absent.  Same snapshot-immutability argument; grows
     # only with DISTINCT queried terms (a few bytes each), the serving
     # analog of Lucene's term-dictionary block cache.
-    _term_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    _term_cache: dict = field(default_factory=dict, repr=False, compare=False,
+                              init=False)
 
     def scalar_stats(self) -> tuple[int, float]:
         if self._stats is None:

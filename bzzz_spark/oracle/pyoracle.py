@@ -21,6 +21,50 @@ from bzzz_spark.query.scoring import idf
 from bzzz_spark import BM25_B, BM25_K1
 
 
+def _sloppy_phrase_freq(adj_lists: list[list[int]], slop: int) -> float:
+    """Direct heapq port of Lucene SloppyPhraseScorer.phraseFreq for
+    distinct terms: ``adj_lists[i]`` holds term i's positions already
+    adjusted by the phrase offset (pos - i), sorted ascending.  Each
+    recorded match contributes sloppyFreq = 1/(1 + matchLength); ties
+    in the PQ break by phrase offset.  Kept INDEPENDENT of the engine's
+    vectorized implementation (bzzz_spark.query.phrase) on purpose —
+    the randomized fuzz in tests/test_phrase.py cross-checks the two."""
+    import heapq
+
+    heap: list[tuple[int, int, int]] = []  # (position, offset, next_idx)
+    end = None
+    for off, lst in enumerate(adj_lists):
+        if not lst:
+            return 0.0
+        heap.append((lst[0], off, 1))
+        end = lst[0] if end is None else max(end, lst[0])
+    heapq.heapify(heap)
+    freq = 0.0
+    pos, off, nxt_i = heapq.heappop(heap)
+    match_length = end - pos
+    next_pos = heap[0][0]
+    while True:
+        lst = adj_lists[off]
+        if nxt_i >= len(lst):
+            break  # this term is exhausted — score the pending match
+        pos = lst[nxt_i]
+        nxt_i += 1
+        if pos > end:
+            end = pos
+        if pos > next_pos:  # done minimizing the current match length
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos, off, nxt_i))
+            pos, off, nxt_i = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos
+        else:
+            match_length = min(match_length, end - pos)
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 def levenshtein(a: str, b: str) -> int:
     if a == b:
         return 0
@@ -118,7 +162,11 @@ class PyIndex:
             )
             return {d: s * node.boost for d, s in self._bm25(key).items()}
         if isinstance(node, ast.Phrase):
-            # Lucene PhraseWeight: (Σ idf(term_i)) × tfc(phrase_freq, dl)
+            # Lucene PhraseWeight: (Σ idf(term_i)) × tfc(phrase_freq, dl).
+            # slop == 0: ExactPhraseScorer (start-position count);
+            # slop  > 0: SloppyPhraseScorer greedy PQ walk (see
+            # _sloppy_phrase_freq) — unordered, 1/(1+matchLength) per
+            # match, distinct terms only (pinned subset).
             maps = [self.positions.get(t) for t in node.terms]
             if not maps or any(m is None for m in maps):
                 return {}
@@ -127,25 +175,23 @@ class PyIndex:
                 cand &= set(m)
             w = sum(idf(self.n_docs, len(self.postings[t])) for t in node.terms)
             slop = getattr(node, "slop", 0)
+            if slop > 0 and len(set(node.terms)) != len(node.terms):
+                raise ValueError(
+                    "sloppy phrases with repeated terms are not supported"
+                )
             out = {}
             for docid in cand:
-                rest = [sorted(m[docid]) for m in maps[1:]]
-
-                def _chain(p):
-                    # ordered-window match: increasing q_i ≤ p + i + slop;
-                    # greedy-min per step is complete (smallest valid q_i
-                    # leaves maximal room for the next)
-                    prev = p
-                    for i, qs in enumerate(rest, start=1):
-                        nxt = next(
-                            (q for q in qs if prev < q <= p + i + slop), None
-                        )
-                        if nxt is None:
-                            return False
-                        prev = nxt
-                    return True
-
-                ptf = sum(1 for p in maps[0][docid] if _chain(p))
+                lists = [sorted(m[docid]) for m in maps]
+                if slop == 0:
+                    starts = set(lists[0])
+                    for i, qs in enumerate(lists[1:], start=1):
+                        starts &= {q - i for q in qs}
+                    ptf = float(len(starts))
+                else:
+                    ptf = _sloppy_phrase_freq(
+                        [[p - i for p in qs] for i, qs in enumerate(lists)],
+                        slop,
+                    )
                 if ptf:
                     dl = self.docs[docid]["dl"]
                     out[docid] = (

@@ -104,12 +104,17 @@ class Phrase(Query):
     tfc(phrase_freq, dl) × boost, where phrase_freq counts the
     occurrences.  Requires an index built with store_positions=True.
 
-    slop: ORDERED-window proximity — terms must appear in order, each
-    at most `slop` positions later than its exact-phrase slot (an
-    increasing chain q_i with q_i ≤ q_0 + i + slop).  Pinned deviation
-    from Lucene's SloppyPhraseScorer: no term reordering (Lucene's
-    edit-distance slop permits it at slop ≥ 2) and phrase_freq counts
-    matches unweighted (Lucene weights each by 1/(1+slop_used))."""
+    slop > 0: Lucene SloppyPhraseScorer semantics (unordered) — terms
+    may appear in any order; a match exists when the adjusted positions
+    (pos - phrase_offset) can be brought within `slop` of each other,
+    and each match is weighted sloppyFreq = 1/(1 + matchLength)
+    (Lucene 4.10 Similarity.sloppyFreq — reversed "b a" matches
+    "a b"~2 with matchLength 2).  phrase_freq is the sum of those
+    weights from the greedy PQ walk of SloppyPhraseScorer.phraseFreq,
+    reimplemented vectorized in bzzz_spark.query.phrase and
+    independently in the pure-Python oracle.  Pinned subset: sloppy
+    phrases require DISTINCT terms (Lucene's repeating-terms sloppy
+    machinery is excluded; exact phrases support repeats)."""
 
     terms: list[str]
     field_name: str = "text"

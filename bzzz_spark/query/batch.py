@@ -21,8 +21,10 @@ This module makes the query set *data*:
 so the whole batch costs one postings scan + one docs scan (only if
 some query carries a Range/MatchAll leaf) + one shuffle + one job,
 independent of how many queries share it.  Per-query semantics are
-bit-identical to executor._execute (parity-tested in
-tests/test_batch.py): Term / Range / MatchAll leaves under Bool
+rank-identical to executor._execute with scores equal within FP
+tolerance (the batched path sums score contributions in one groupBy
+while the executor sums must/should stages separately, so float
+addition order differs; parity-tested in tests/test_batch.py): Term / Range / MatchAll leaves under Bool
 (must / should / must_not / minimum_should_match, per-leaf and
 per-query boosts, no-norm extra-field terms) and dis-max over terms
 (score = max + tie*(sum - max), executor parity) run on the

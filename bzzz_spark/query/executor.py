@@ -353,51 +353,18 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
             "docid", (F.col(sc) * node.boost).alias("score")
         )
     if isinstance(node, ast.Phrase):
+        from bzzz_spark.query.phrase import phrase_matches
+
         keys = [term_key(ctx.index, node.field_name, t) for t in node.terms]
         metas = [ctx.term_meta.get(k) for k in keys]
         if not metas or any(m is None for m in metas):
             return ctx.empty()  # a missing term → phrase cannot occur
         tids = [m[0] for m in metas]
-        pos = decode_postings_pos(ctx.index.postings, sorted(set(tids)))
-        parts = [
-            pos.filter(F.col("term_id") == tid).select(
-                "docid",
-                *(["dl"] if i == 0 else []),  # dl from the inline norms
-                F.col("positions").alias(f"p{i}"),
-            )
-            for i, tid in enumerate(tids)
-        ]
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.join(p, "docid")
-        # phrase_freq: positions p of term 0 with p+i present in term i's
-        # positions for every i — JVM higher-order functions, no Python
-        p0 = F.col("p0")
-        if len(tids) > 1 and node.slop > 0:
-            # ordered-window slop (ast.Phrase docstring): an increasing
-            # chain q_i ≤ p + i + slop, as nested EXISTS over the
-            # position arrays — still whole-stage JVM expressions
-            s = node.slop
-
-            def chain(p, i, prev):
-                if i == len(tids):
-                    return F.lit(True)
-                return F.exists(
-                    F.col(f"p{i}"),
-                    lambda q: (q > prev) & (q <= p + i + s) & chain(p, i + 1, q),
-                )
-
-            ptf = F.size(F.filter(p0, lambda p: chain(p, 1, p)))
-        elif len(tids) > 1:
-            def adjacent(p):
-                cond = F.array_contains(F.col("p1"), p + 1)
-                for i in range(2, len(tids)):
-                    cond = cond & F.array_contains(F.col(f"p{i}"), p + i)
-                return cond
-
-            ptf = F.size(F.filter(p0, adjacent))
-        else:
-            ptf = F.size(p0)
+        # block-pruned per-segment kernel: positions are decoded only
+        # for blocks that can hold a candidate from the rarest term
+        # (bzzz_spark.query.phrase — the leapfrog discipline of ref
+        # TermPayloadClojureScoreQuery.java:237-257, block-granular)
+        pm = phrase_matches(ctx.index, tids, node.slop)
         # Lucene PhraseWeight: (Σ idf per term) × tfc(phrase_freq, dl)
         sum_idf = sum(idf_fn(ctx.n_docs, m[1]) for m in metas)
         nonorm = ctx.use_nonorm or node.field_name in extra_field_map(ctx.index)
@@ -406,14 +373,10 @@ def _execute(node: ast.Query, ctx: _Ctx) -> DataFrame:
             if nonorm
             else F.when(F.col("dl") == 0, F.lit(ctx.avgdl)).otherwise(F.col("dl"))
         )
-        return (
-            joined.withColumn("ptf", ptf)
-            .filter(F.col("ptf") > 0)
-            .select(
-                "docid",
-                (F.lit(sum_idf * node.boost)
-                 * tfc_col(F.col("ptf"), dl_col, ctx.avgdl)).alias("score"),
-            )
+        return pm.select(
+            "docid",
+            (F.lit(sum_idf * node.boost)
+             * tfc_col(F.col("ptf"), dl_col, ctx.avgdl)).alias("score"),
         )
     if isinstance(node, ast.MatchAll):
         return docs.select("docid", F.lit(float(node.boost)).alias("score"))

@@ -1,0 +1,343 @@
+"""Phrase execution: block-pruned positional decode + Lucene-parity
+matching.
+
+Semantics (pinned in :class:`bzzz_spark.query.ast.Phrase`):
+
+- slop == 0 — Lucene ExactPhraseScorer: phrase_freq = number of start
+  positions p with term_i at p + i for every i.
+- slop > 0 — Lucene SloppyPhraseScorer (distinct terms): terms may
+  appear in ANY order; each match is weighted 1/(1 + matchLength) where
+  matchLength is the span slack in adjusted-position space (position -
+  phrase_offset), exactly the greedy PQ walk of Lucene's
+  SloppyPhraseScorer.phraseFreq (the reference serves this through the
+  classic parser's `"a b"~N` syntax — src/bzzz/queries/query_parser.clj:6-17
+  delegates to Lucene's PhraseQuery with setSlop).
+
+Scale shape (the point of this module): the reference leapfrogs from the
+rarest term's postings (TermPayloadClojureScoreQuery.java:237-257 shows
+the per-segment leapfrog discipline); naively decoding every phrase
+term's full position lists re-reads all of "the"'s positions for the
+phrase "the merge".  Here each segment task:
+
+  1. sorts the phrase's terms by their postings count in this segment;
+  2. decodes the rarest term's blocks fully;
+  3. for every other term keeps ONLY the blocks whose
+     [first_docid, last_docid] range intersects the surviving candidate
+     docids (np.searchsorted over block metadata — blocks that cannot
+     contain a candidate are never decoded, positions included);
+  4. intersects candidates term by term (docids only);
+  5. verifies positions just for the final intersection, vectorized.
+
+The per-term decoded-block count is therefore bounded by the rare
+term's candidate ranges, not the head term's posting count —
+tests/test_phrase.py asserts this with the kernel's stats output.
+
+The matching kernels are numpy-vectorized across documents:
+- exact: a (doc, start_position) group-count — a start matches iff all
+  k legs contain it, so the composite key appears exactly k times;
+- sloppy k == 2: a vectorized "crossing walk" over the two merged
+  adjusted-position lists.  Derivation: Lucene's PQ walk records one
+  match per role swap, pairing each crossing point y with the opposite
+  list's largest value x <= y (matchLength = y - x); crossing points
+  are y0 = max of the two heads, then alternately the opposite list's
+  smallest value > y.  Each iteration advances ALL documents one
+  crossing (global searchsorted), so the Python-loop count is the max
+  crossings per doc (~2*min(tf)+1), not the doc count.
+- sloppy k >= 3: per-candidate-doc greedy walk (array-based min scan) —
+  candidates at this point are docs containing ALL phrase terms.
+
+The pure-Python oracle (bzzz_spark.oracle.pyoracle) carries an
+INDEPENDENT heapq port of the same Lucene algorithm; the two are
+cross-checked by randomized fuzz in tests/test_phrase.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bzzz_spark.build.codec import decode_block, decode_positions, decode_varints
+
+PHRASE_SCHEMA = "docid long, ptf double, dl long"
+
+_EMPTY = pd.DataFrame(
+    {
+        "docid": pd.Series(dtype="int64"),
+        "ptf": pd.Series(dtype="float64"),
+        "dl": pd.Series(dtype="int64"),
+    }
+)
+
+
+def _decode_blocks_pos(rows: pd.DataFrame):
+    """Blocks (sorted by first_docid) → (docids, tfs, dls, flat_positions).
+    docids ascending across the concatenation (blocks of one term in one
+    segment have disjoint increasing ranges)."""
+    ds, ts, dls, ps = [], [], [], []
+    for r in rows.itertuples(index=False):
+        d, tf = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
+        ds.append(d)
+        ts.append(tf)
+        dls.append(decode_varints(r.dls, r.count))
+        ps.append(decode_positions(r.positions, tf))
+    return (
+        np.concatenate(ds),
+        np.concatenate(ts),
+        np.concatenate(dls),
+        np.concatenate(ps),
+    )
+
+
+def _exact_freqs(legs, n_cand: int):
+    """legs: [(doc_rank, adjusted_pos)] per phrase offset, each sorted by
+    (doc_rank, adj).  Returns (doc_rank, ptf) for docs with >=1 match."""
+    k = len(legs)
+    shift = 1
+    for _, adj in legs:
+        if adj.size:
+            shift = max(shift, int(adj.max()) + 2)
+    keys = []
+    for doc_rank, adj in legs:
+        m = adj >= 0  # a phrase cannot start before token 0
+        # np.unique: stacked same-position tokens (position-filter
+        # increment 0) must not double-count a single start position
+        keys.append(np.unique(doc_rank[m].astype(np.int64) * shift + adj[m]))
+    allk = np.concatenate(keys)
+    u, c = np.unique(allk, return_counts=True)
+    match = u[c == k]
+    if match.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ur, cnt = np.unique(match // shift, return_counts=True)
+    return ur, cnt.astype(np.float64)
+
+
+def _sloppy_freqs_2(leg_a, leg_b, slop: int, n_cand: int):
+    """Vectorized Lucene sloppy freq for 2 distinct terms — the crossing
+    walk (see module docstring).  Every candidate doc has occurrences in
+    both legs (guaranteed by the docid intersection)."""
+    da, pa = leg_a
+    db, pb = leg_b
+    off = 4  # adjusted positions are >= -(k-1) = -1; keep keys positive
+    hi = 1
+    if pa.size:
+        hi = max(hi, int(pa.max()))
+    if pb.size:
+        hi = max(hi, int(pb.max()))
+    m = hi + off + 2
+    ga = da.astype(np.int64) * m + pa + off
+    gb = db.astype(np.int64) * m + pb + off
+    docs = np.arange(n_cand, dtype=np.int64)
+    a_hi = np.searchsorted(ga, (docs + 1) * m, "left")
+    b_hi = np.searchsorted(gb, (docs + 1) * m, "left")
+    a_lo = np.searchsorted(ga, docs * m, "left")
+    b_lo = np.searchsorted(gb, docs * m, "left")
+    ha, hb = ga[a_lo], gb[b_lo]
+    # y = larger head; on ties the lower phrase offset (leg a) advances
+    # first (Lucene PQ tie-break), so y stays with leg b
+    side_a = ha > hb
+    y = np.maximum(ha, hb)
+    freq = np.zeros(n_cand)
+    active = np.ones(n_cand, dtype=bool)
+    while active.any():
+        idx = np.flatnonzero(active)
+        yi = y[idx]
+        sa = side_a[idx]
+        ib = np.searchsorted(gb, yi, "right") - 1  # largest b <= y
+        ia = np.searchsorted(ga, yi, "right") - 1  # largest a <= y
+        x = np.where(sa, gb[np.clip(ib, 0, gb.size - 1)],
+                     ga[np.clip(ia, 0, ga.size - 1)])
+        ml = yi - x
+        ok = ml <= slop
+        np.add.at(freq, idx[ok], 1.0 / (1.0 + ml[ok]))
+        # next crossing: opposite list's smallest value > y (same doc)
+        nxt = np.where(sa, ib + 1, ia + 1)
+        lim = np.where(sa, b_hi[idx], a_hi[idx])
+        has = nxt < lim
+        nv = np.where(
+            sa, gb[np.clip(nxt, 0, gb.size - 1)],
+            ga[np.clip(nxt, 0, ga.size - 1)],
+        )
+        active[idx[~has]] = False
+        goes = idx[has]
+        y[goes] = nv[has]
+        side_a[goes] = ~sa[has]  # the crossing value is from the opposite list
+    got = freq > 0
+    return np.flatnonzero(got), freq[got]
+
+
+def _sloppy_freq_one(lists: list[np.ndarray], slop: int) -> float:
+    """Array-based greedy walk for one doc, k >= 3 distinct terms —
+    Lucene SloppyPhraseScorer.phraseFreq with an argmin scan instead of
+    a heap (k is tiny).  Ties break by phrase offset, like Lucene's
+    PhrasePositions PQ."""
+    k = len(lists)
+    ptr = [0] * k
+    pos = [int(l[0]) for l in lists]
+    end = max(pos)
+
+    def argmin_leg():
+        best = 0
+        for i in range(1, k):
+            if (pos[i], i) < (pos[best], best):
+                best = i
+        return best
+
+    cur = argmin_leg()
+    nxt = min(pos[i] for i in range(k) if i != cur)
+    ml = end - pos[cur]
+    freq = 0.0
+    while True:
+        ptr[cur] += 1
+        if ptr[cur] >= len(lists[cur]):
+            break
+        p = int(lists[cur][ptr[cur]])
+        pos[cur] = p
+        if p > end:
+            end = p
+        if p > nxt:
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+            cur = argmin_leg()
+            nxt = min(pos[i] for i in range(k) if i != cur)
+            ml = end - pos[cur]
+        else:
+            ml = min(ml, end - p)
+    if ml <= slop:
+        freq += 1.0 / (1.0 + ml)
+    return freq
+
+
+def _sloppy_freqs_k(legs, slop: int, n_cand: int):
+    """Per-doc greedy for k >= 3 terms.  legs are flat (doc_rank, adj)
+    arrays sorted by (doc_rank, adj); per-doc slices via searchsorted."""
+    bounds = []
+    docs = np.arange(n_cand + 1, dtype=np.int64)
+    for doc_rank, adj in legs:
+        bounds.append(np.searchsorted(doc_rank, docs, "left"))
+    out_doc, out_f = [], []
+    for d in range(n_cand):
+        lists = []
+        ok = True
+        for (doc_rank, adj), b in zip(legs, bounds):
+            lo, hi = b[d], b[d + 1]
+            if hi <= lo:
+                ok = False
+                break
+            lists.append(adj[lo:hi])
+        if not ok:
+            continue
+        f = _sloppy_freq_one(lists, slop)
+        if f > 0:
+            out_doc.append(d)
+            out_f.append(f)
+    return np.asarray(out_doc, dtype=np.int64), np.asarray(out_f)
+
+
+def phrase_segment_kernel(
+    blocks: pd.DataFrame, tid_order: list[int], slop: int,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """One segment's phrase evaluation → (docid, ptf, dl).
+
+    ``stats`` (tests/plan audits) accumulates
+    {"total_blocks": {tid: n}, "decoded_blocks": {tid: n}} — the pruning
+    guarantee is decoded_blocks[head] << total_blocks[head] when a rare
+    term anchors the phrase."""
+    uniq = list(dict.fromkeys(int(t) for t in tid_order))
+    per = {}
+    for tid in uniq:
+        sub = blocks[blocks["term_id"] == tid]
+        if len(sub) == 0:
+            return _EMPTY  # a missing must-term: no phrase in this segment
+        per[tid] = sub.sort_values("first_docid")
+        if stats is not None:
+            tb = stats.setdefault("total_blocks", {})
+            tb[tid] = tb.get(tid, 0) + len(sub)
+    order = sorted(uniq, key=lambda t: int(per[t]["count"].sum()))
+    decoded = {}
+    cand = cand_dl = None
+    for i, tid in enumerate(order):
+        sub = per[tid]
+        if i > 0:
+            # block-range pruning: decode only blocks that can hold a
+            # surviving candidate
+            lo = np.searchsorted(cand, sub["first_docid"].to_numpy(), "left")
+            hi = np.searchsorted(cand, sub["last_docid"].to_numpy(), "right")
+            sub = sub[hi > lo]
+            if len(sub) == 0:
+                return _EMPTY
+        if stats is not None:
+            db = stats.setdefault("decoded_blocks", {})
+            db[tid] = db.get(tid, 0) + len(sub)
+        d, tf, dl, flat_pos = _decode_blocks_pos(sub)
+        decoded[tid] = (d, tf, flat_pos)
+        if i == 0:
+            cand, cand_dl = d, dl
+        else:
+            idx = np.clip(np.searchsorted(d, cand), 0, d.size - 1)
+            hit = d[idx] == cand
+            cand, cand_dl = cand[hit], cand_dl[hit]
+            if cand.size == 0:
+                return _EMPTY
+    legs = []
+    for off, tid in enumerate(int(t) for t in tid_order):
+        d, tf, flat_pos = decoded[tid]
+        occ_doc = np.repeat(d, tf)
+        idx = np.clip(np.searchsorted(cand, occ_doc), 0, max(cand.size - 1, 0))
+        keep = cand[idx] == occ_doc
+        legs.append((idx[keep], flat_pos[keep] - off))
+    if slop == 0:
+        doc_rank, ptf = _exact_freqs(legs, cand.size)
+    elif len(tid_order) == 2:
+        doc_rank, ptf = _sloppy_freqs_2(legs[0], legs[1], slop, cand.size)
+    else:
+        doc_rank, ptf = _sloppy_freqs_k(legs, slop, cand.size)
+    if doc_rank.size == 0:
+        return _EMPTY
+    return pd.DataFrame(
+        {"docid": cand[doc_rank], "ptf": ptf, "dl": cand_dl[doc_rank]}
+    )
+
+
+def phrase_matches(index, tid_order: list[int], slop: int) -> DataFrame:
+    """Distributed phrase match → DataFrame(docid, ptf, dl).
+
+    One task per touched segment; within a task the kernel decodes
+    positions only for block ranges that can still hold a candidate.
+    On a segment-aligned serving index (BzzzIndex.persist(
+    layout="segment")) this runs as a NARROW mapInPandas — no shuffle;
+    otherwise the blocks are grouped by segment first (small shuffle:
+    only the phrase terms' blocks move)."""
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "this index stores no positions — build it with "
+            "IndexConfig(store_positions=True) to answer phrase queries"
+        )
+    if slop > 0 and len(set(tid_order)) != len(tid_order):
+        raise ValueError(
+            "sloppy phrases with repeated terms are not supported "
+            "(pinned subset — Lucene's repeating-terms SloppyPhraseScorer "
+            "is excluded); use slop=0 or distinct terms"
+        )
+    uniq = sorted(set(int(t) for t in tid_order))
+    blocks = index.postings.filter(F.col("term_id").isin(uniq))
+    if getattr(index, "segment_aligned", False):
+
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [p for p in it if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for _, g in pdf.groupby("segment", sort=False):
+                out = phrase_segment_kernel(g, tid_order, slop)
+                if len(out):
+                    yield out
+
+        return blocks.mapInPandas(run, PHRASE_SCHEMA)
+    return blocks.groupby("segment").applyInPandas(
+        lambda pdf: phrase_segment_kernel(pdf, tid_order, slop), PHRASE_SCHEMA
+    )

@@ -210,7 +210,7 @@ def test_html_strip_escaped_tags(spark):
 
 
 def test_sloppy_phrase_matches_oracle(pos_index, small_oracle):
-    """Ordered-window slop parity vs the oracle's greedy chain, and
+    """Lucene sloppy-phrase parity vs the oracle's heapq PQ walk, and
     monotonicity: widening slop can only grow the match set."""
     a, b = _bigram(small_oracle)
     prev_docs: set = set()
@@ -224,7 +224,8 @@ def test_sloppy_phrase_matches_oracle(pos_index, small_oracle):
 
 def test_sloppy_phrase_gap_document(spark):
     """Hand-built corpus: 'alpha X beta' matches "alpha beta"~1 but not
-    slop 0; reversed order never matches (pinned: no reordering)."""
+    slop 0; reversed 'beta alpha' needs slop >= 2 (Lucene's unordered
+    slop: adjusted positions 1 and -1, matchLength 2)."""
     import pandas as pd
     from bzzz_spark.fixtures import to_spark
 
@@ -256,7 +257,8 @@ def test_sloppy_phrase_gap_document(spark):
         }
     assert docs_for(0) == {1}
     assert docs_for(1) == {0, 1}
-    assert docs_for(5) == {0, 1}  # reversed doc 2 never matches
+    assert docs_for(2) == {0, 1, 2}  # reversed matches at slop >= 2
+    assert docs_for(5) == {0, 1, 2}
 
 
 def test_trigram_slop_chain(spark):
@@ -301,6 +303,103 @@ def test_parser_slop_syntax():
     assert node == ast.Phrase(["alpha", "beta"], "text", 1.0, slop=1)
 
 
+# -------------------------------------------- kernel-level block pruning
+
+
+def test_phrase_kernel_prunes_head_term_blocks(spark):
+    """The scale guarantee (VERDICT r2 #2): a phrase anchored by a rare
+    term must NOT decode the head term's full position lists — decoded
+    block count for the head term is bounded by the rare term's
+    candidate ranges, mirroring the leapfrog of ref
+    TermPayloadClojureScoreQuery.java:237-257 at block granularity."""
+    import pandas as pd
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.phrase import phrase_segment_kernel
+
+    # 200 docs all containing 'head'; 'rare head' occurs in exactly 2
+    texts = []
+    for i in range(200):
+        base = f"head filler{i % 7} head word{i % 13} head"
+        if i in (60, 140):
+            base = "rare head " + base
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(200)],
+            "turn_idx": [0] * 200,
+            "role": ["user"] * 200,
+            "text": texts,
+            "tool": [""] * 200,
+            "ts": pd.to_datetime(["2026-01-01"] * 200),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1,
+                    store_positions=True),
+    )
+    tid_of = {r["term"]: r["term_id"] for r in idx.dictionary.collect()}
+    tids = [tid_of["rare"], tid_of["head"]]
+    blocks = idx.postings.filter(
+        F_col("term_id").isin([int(t) for t in tids])
+    ).toPandas()
+    stats: dict = {}
+    out = phrase_segment_kernel(blocks, tids, slop=0, stats=stats)
+    assert sorted(out["docid"].tolist()) == sorted(
+        r["docid"] for r in search(
+            idx, ast.Phrase(["rare", "head"]), size=100
+        ).collect()
+    )
+    head_tid = tid_of["head"]
+    assert stats["total_blocks"][head_tid] >= 25  # 200 docs / 8 per block
+    # 2 candidate docs -> at most 2 head blocks decoded
+    assert stats["decoded_blocks"][head_tid] <= 2, stats
+    assert stats["decoded_blocks"][tid_of["rare"]] == stats["total_blocks"][
+        tid_of["rare"]
+    ]
+
+
+def test_sloppy_kernels_cross_check_pure():
+    """Engine vectorized sloppy kernels vs the oracle's independent
+    heapq port of SloppyPhraseScorer — dense randomized sweep, no
+    Spark."""
+    import math
+    import random
+
+    from bzzz_spark.oracle.pyoracle import _sloppy_phrase_freq
+    from bzzz_spark.query.phrase import _sloppy_freq_one, _sloppy_freqs_2
+
+    rng = random.Random(7)
+    for _ in range(500):
+        na, nb = rng.randint(1, 6), rng.randint(1, 6)
+        adj_a = sorted(rng.sample(range(0, 20), na))
+        adj_b = [p - 1 for p in sorted(rng.sample(range(0, 20), nb))]
+        slop = rng.randint(1, 6)
+        want = _sloppy_phrase_freq([adj_a, adj_b], slop)
+        la = (np.zeros(na, dtype=np.int64), np.array(adj_a, dtype=np.int64))
+        lb = (np.zeros(nb, dtype=np.int64), np.array(adj_b, dtype=np.int64))
+        dr, f = _sloppy_freqs_2(la, lb, slop, 1)
+        got = float(f[0]) if dr.size else 0.0
+        assert math.isclose(got, want, abs_tol=1e-12), (adj_a, adj_b, slop)
+    for _ in range(500):
+        k = rng.randint(3, 4)
+        adj = [
+            [p - i for p in sorted(rng.sample(range(0, 25), rng.randint(1, 5)))]
+            for i in range(k)
+        ]
+        slop = rng.randint(1, 8)
+        want = _sloppy_phrase_freq(adj, slop)
+        got = _sloppy_freq_one(
+            [np.array(l, dtype=np.int64) for l in adj], slop
+        )
+        assert math.isclose(got, want, abs_tol=1e-12), (adj, slop)
+
+
+def test_sloppy_repeated_terms_raise(pos_index):
+    with pytest.raises(ValueError, match="repeated terms"):
+        search(pos_index, ast.Phrase(["the", "the"], slop=2), size=5).collect()
+
+
 # ------------------------------------------------------- randomized fuzz
 
 from hypothesis import HealthCheck, given, settings
@@ -315,8 +414,9 @@ def test_random_corpus_phrases_match_oracle(
     pos_index, small_oracle, seed, n_terms, slop, shuffle
 ):
     """Random corpus n-grams (and their shuffled variants) as phrases at
-    random slop: rank + score parity vs the oracle's greedy-chain
-    scorer.  Shuffled n-grams probe the no-reordering pin; corpus
+    random slop: rank + score parity between the engine's vectorized
+    kernels and the oracle's independent heapq PQ walk.  Shuffled
+    n-grams probe the unordered-slop reordering semantics; corpus
     n-grams guarantee the positive-match path is exercised."""
     from bzzz_spark.analysis.tokenizer import py_tokenize
 

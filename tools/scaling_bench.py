@@ -177,7 +177,7 @@ def main() -> None:
         mem_speedup = max(mceil[n_big]) / max(mceil[n_small])
         eff_vs_ceiling = (
             (big["turns_per_sec"] / small["turns_per_sec"]) / ceil_speedup
-            if ceil_speedup > 0 else None
+            if ceil_speedup > 0 else 0.0
         )
         result = {
             "metric": "index-build scaling efficiency N->4N (local mode)",
@@ -198,7 +198,15 @@ def main() -> None:
             },
             "efficiency_vs_hw_ceiling": round(eff_vs_ceiling, 3),
             "target": 0.8,
-            "pass": eff >= 0.8 or eff_vs_ceiling >= 0.8,
+            # "pass" keeps the raw north-rule criterion; ceiling-relative
+            # efficiency is reported separately so downstream readers see
+            # exactly which bar was met on this shared box
+            "pass": eff >= 0.8,
+            "pass_vs_cpu_ceiling": eff_vs_ceiling >= 0.8,
+            "pass_vs_membw_ceiling": (
+                (big["turns_per_sec"] / small["turns_per_sec"]) / mem_speedup
+                >= 0.8 if mem_speedup > 0 else False
+            ),
         }
         print(json.dumps(result))
     finally:
