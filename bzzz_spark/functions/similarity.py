@@ -1,13 +1,21 @@
 """Embedding similarity search over array<float> columns.
 
 - brute_force_topk: exact cosine top-k — the correctness baseline.
-  Query vectors are broadcast; the dot product is a JVM-side
-  F.aggregate/F.zip_with fold (no Python in the scan).
-- ivf_topk: the scale path — IVF-style bucketing.  Deterministic
-  centroids (seeded numpy, no wall clock), assignment + probing as
-  Arrow-batched numpy matmuls.  At 100 TB the brute-force scan reads
-  everything per query; IVF prunes to nprobe/nlist of the corpus, and
-  the centroid assignment is a one-off narrow pass.
+  QUERIES ARE DATA: the whole query set is broadcast as one matrix and
+  every Arrow batch answers every query with a single numpy matmul, so
+  the corpus is scanned ONCE regardless of query-set size (the same
+  move bzzz_spark.query.batch makes for text queries — a per-query
+  plan-branch union would re-scan the corpus per query and explode the
+  plan at realistic eval-set sizes).
+- ivf_topk: the scale path — IVF bucketing.  Deterministic trained
+  centroids, assignment + probing as Arrow-batched numpy matmuls, one
+  scan of the UNION of all queries' probe buckets with a per-(row,
+  query) probe mask.  At 100 TB the brute-force scan reads everything;
+  IVF prunes to ~nprobe/nlist of the corpus.
+- write_bucketed / read_bucketed / ivf_topk_bucketed: the persisted
+  form — vectors written partitioned by bucket with centroids stored
+  alongside, so the probe filter becomes PARTITION PRUNING (unprobed
+  buckets are zero I/O) and centroids never retrain per query.
 - cosine_near_dup_pairs: embedding near-duplicate detection (cos ≥ τ)
   via the same IVF buckets (candidate pairs only within a bucket).
 """
@@ -18,29 +26,75 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+TOPK_SCHEMA = "query_id long, vec_id long, cos double"
 
-def _cos_col(vec_col, qlit) -> "F.Column":
-    """Cosine similarity between an array<float> column and a literal
-    query array, entirely JVM-side."""
-    dot = F.aggregate(
-        F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batched_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str | None = None,
+    allowed: np.ndarray | None = None,
+) -> DataFrame:
+    """One-scan top-k for the whole query set.
+
+    Each Arrow batch computes the full (batch × queries) cosine matrix
+    with one matmul, keeps only each query's batch-local top-k (exact:
+    the global top-k is a subset of the per-batch top-k's), and the
+    final cross-batch merge is a tiny (≤ k·queries·batches rows)
+    window.  ``allowed`` is an optional (nlist, nq) bool matrix gating
+    which buckets serve which query (IVF probe mask)."""
+    spark = embeddings.sparkSession
+    qids = np.asarray([int(q) for q, _ in queries], dtype=np.int64)
+    qm = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for _, v in queries]))
+    bc = spark.sparkContext.broadcast((qids, qm, allowed))
+
+    def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qm, allowed = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = np.round(m @ qm.T, 6)  # (nb, nq)
+            vid = pdf[id_col].to_numpy()
+            if allowed is not None:
+                mask = allowed[pdf[bucket_col].to_numpy()]  # (nb, nq)
+                sims = np.where(mask, sims, -2.0)
+            outs = []
+            for j in range(qids.size):
+                order = np.lexsort((vid, -sims[:, j]))[:k]
+                sel = order[sims[order, j] > -1.5]
+                if sel.size:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[j],
+                                "vec_id": vid[sel],
+                                "cos": sims[sel, j],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    part = embeddings.mapInPandas(kern, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
     )
-    n1 = F.sqrt(
-        F.aggregate(
-            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
-    n2 = F.sqrt(
-        F.aggregate(
-            qlit, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
-    return dot / (n1 * n2)
 
 
 def brute_force_topk(
@@ -53,24 +107,10 @@ def brute_force_topk(
     """Exact cosine top-k per query vector.
 
     Returns (query_id, vec_id, cos) with rank ≤ k per query, ties broken
-    by vec_id — deterministic, oracle-comparable.  One scan of the
-    corpus serves ALL queries (the per-query cosine columns are computed
-    in the same codegen stage)."""
-    scored = None
-    for qid, qv in queries:
-        qlit = F.array(*[F.lit(float(x)) for x in qv])
-        part = embeddings.select(
-            F.lit(qid).alias("query_id"),
-            F.col(id_col).alias("vec_id"),
-            F.round(_cos_col(F.col(vec_col), qlit), 6).alias("cos"),
-        )
-        scored = part if scored is None else scored.unionByName(part)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
-    )
+    by vec_id — deterministic, oracle-comparable.  ONE scan of the
+    corpus serves ALL queries (tests/test_functions.py asserts the job
+    count is independent of query-set width)."""
+    return _batched_topk(embeddings, queries, k, id_col, vec_col)
 
 
 def make_centroids(dim: int, nlist: int, seed: int = 42) -> np.ndarray:
@@ -189,27 +229,94 @@ def ivf_topk(
         else make_centroids(dim, nlist, seed)
     )
     bucketed = assign_buckets(embeddings, cents, id_col, vec_col)
-    out = None
-    for qid, qv in queries:
+    return _probe_topk(bucketed, cents, queries, k, nprobe, id_col, vec_col)
+
+
+def _probe_set(cents: np.ndarray, queries, nprobe: int):
+    """Per-query probe buckets + the (nlist, nq) probe mask + the union."""
+    nlist = cents.shape[0]
+    allowed = np.zeros((nlist, len(queries)), dtype=bool)
+    union: set[int] = set()
+    for j, (_, qv) in enumerate(queries):
         q = np.asarray(qv, dtype=np.float64)
         qn = q / (np.linalg.norm(q) or 1.0)
-        probes = np.argsort(-(cents @ qn))[:nprobe].tolist()
-        qlit = F.array(*[F.lit(float(x)) for x in qv])
-        part = (
-            bucketed.filter(F.col("bucket").isin(probes))
-            .select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col).alias("vec_id"),
-                F.round(_cos_col(F.col(vec_col), qlit), 6).alias("cos"),
-            )
-        )
-        out = part if out is None else out.unionByName(part)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+        probes = np.argsort(-(cents @ qn))[:nprobe]
+        allowed[probes, j] = True
+        union.update(int(b) for b in probes)
+    return allowed, sorted(union)
+
+
+def _probe_topk(
+    bucketed: DataFrame, cents: np.ndarray, queries, k: int, nprobe: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Scan the union of all queries' probe buckets ONCE; each row is
+    scored only for the queries actually probing its bucket (mask in
+    the Arrow kernel).  On a bucket-partitioned table the isin filter
+    is partition pruning — unprobed buckets cost zero I/O."""
+    allowed, union = _probe_set(cents, queries, nprobe)
+    pruned = bucketed.filter(F.col("bucket").isin([int(b) for b in union]))
+    return _batched_topk(
+        pruned, queries, k, id_col, vec_col, bucket_col="bucket",
+        allowed=allowed,
     )
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train: bool = True,
+) -> np.ndarray:
+    """Persist the IVF form: vectors partitioned by bucket + centroids
+    alongside.  The one-off wide pass at build time buys partition-
+    pruned probes forever after — the production shape for repeated
+    ANN serving (train once, assign once, probe many)."""
+    spark = embeddings.sparkSession
+    if train:
+        cents = train_centroids(embeddings, nlist, id_col, vec_col, seed)
+    else:
+        dim = len(embeddings.select(vec_col).first()[0])
+        cents = make_centroids(dim, nlist, seed)
+    bucketed = assign_buckets(embeddings, cents, id_col, vec_col)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(cents.shape[0])],
+        "bucket int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def read_bucketed(spark: SparkSession, path: str):
+    """(bucketed vectors DataFrame, centroids ndarray) from
+    :func:`write_bucketed` output."""
+    df = spark.read.parquet(f"{path}/vectors")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        cents[int(r["bucket"])] = np.asarray(r["centroid"], dtype=np.float64)
+    return df, cents
+
+
+def ivf_topk_bucketed(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted bucketed table: the probe filter is
+    parquet PARTITION pruning (tests assert only probed buckets' files
+    are read), centroids come from disk — no per-query retraining."""
+    df, cents = read_bucketed(spark, path)
+    return _probe_topk(df, cents, queries, k, nprobe, id_col, vec_col)
 
 
 def cosine_near_dup_pairs(
