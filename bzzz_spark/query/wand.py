@@ -257,6 +257,22 @@ def wand_candidates(
     )
     seg_size = index.config.segment_size
     kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size)
+    if getattr(index, "segment_aligned", False):
+        # serving layout: postings are already hash-partitioned by
+        # segment (BzzzIndex.persist(layout="segment")), so the kernel
+        # runs as a NARROW mapInPandas — zero per-query shuffle, the
+        # single biggest chunk of Spark's fixed query latency
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [p for p in it if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for _, g in pdf.groupby("segment", sort=False):
+                out = kernel(g)
+                if len(out):
+                    yield out
+
+        return blocks.mapInPandas(run, "docid long, score double")
     # the ONLY shuffle: the query terms' (small) block set, grouped by
     # segment; dl travels inside the blocks
     return (

@@ -75,3 +75,51 @@ def test_search_uses_wand_transparently(small_index, small_oracle):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_segment_aligned_serving_is_narrow_and_identical(
+    spark, small_transcripts, small_oracle
+):
+    """persist(layout=\"segment\") pays one repartition at pin time and
+    buys shuffle-free queries: the WAND/phrase kernels become narrow
+    mapInPandas (NO Exchange in the executed plan), with results
+    identical to the default grouped path."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    ).persist(layout="segment")
+    assert idx.segment_aligned
+    nodes = [
+        ast.Term("the"),
+        ast.Bool(must=[ast.Term("error"), ast.Term("query")]),
+        ast.Bool(should=[ast.Term("error"), ast.Term("query")],
+                 minimum_should_match=1),
+    ]
+    for node in nodes:
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(idx, node, size=10).collect()]
+        want = [(d, round(s, 9)) for d, s in small_oracle.search(node, size=10)]
+        assert got == want, node
+    # plan shape: no Exchange on the QUERY side of the plan (above the
+    # InMemoryTableScan of the pinned postings; the cached relation's
+    # child text still shows the build's own exchanges, which ran once
+    # at pin time)
+    idx.postings.count()  # materialize the pinned layout
+
+    def query_side(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("InMemoryTableScan")[0]
+
+    top = search(idx, ast.Term("the"), size=10)
+    assert "Exchange" not in query_side(top), query_side(top)
+    # phrase path rides the same layout
+    ph = search(idx, ast.Phrase(["error", "query"]), size=10)
+    phs = [(r["docid"], round(r["score"], 9)) for r in ph.collect()]
+    want = [(d, round(s, 9))
+            for d, s in small_oracle.search(ast.Phrase(["error", "query"]), 10)]
+    assert phs == want
+    assert "Exchange" not in query_side(ph), query_side(ph)
+    idx.unpersist()
