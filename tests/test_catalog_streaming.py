@@ -149,3 +149,49 @@ def test_kv_store_crud(spark, catalog):
     assert kv.get_map("counters") == {"a": "10"}
     kv.delete("flags")
     assert kv.object_names() == ["counters"]
+
+
+def test_kv_reference_roundtrip_shapes(spark, catalog):
+    """The reference's kv_test.clj round trips (test/bzzz/kv_test.clj:5-39),
+    re-expressed without closure eval (S11 pinned subset):
+    - store: remove+put 'hello'->'world' in map 'hello' of file
+      'test-db', then search with obj-name returns the whole map and
+      (get v "hello") == "world";
+    - store with args: a value carrying the request args ([1,2,3])
+      round-trips through a named map;
+    - named-map and store-file isolation (MapDB named hashmaps are
+      independent; distinct file-names are distinct stores)."""
+    import json
+
+    from bzzz_spark.sources.catalog import KVStore
+
+    kv = KVStore(catalog, "test-db")
+    # store: (.remove m "hello") (.put m "hello" "world") == upsert
+    kv.put_all("hello", {"hello": "stale"})
+    kv.put_all("hello", {"hello": "world"})
+    # search {:file-name "test-db" :obj-name "hello"} -> whole map
+    v = kv.get_map("hello")
+    assert v.get("hello") == "world"
+    # store-eval args round trip: hello-args = [1,2,3]
+    kv.put_all("hello", {"hello-args": json.dumps([1, 2, 3])})
+    assert json.loads(kv.get("hello", "hello-args")) == [1, 2, 3]
+    assert kv.get_map("hello") == {
+        "hello": "world", "hello-args": "[1, 2, 3]"
+    }
+    # named-map isolation within one store file
+    kv.put_all("other", {"hello": "elsewhere"})
+    assert kv.get_map("hello")["hello"] == "world"
+    kv.delete("other", keys=["hello"])
+    assert kv.get_map("hello")["hello"] == "world"
+    # store-file isolation: a different file-name is a different store
+    kv2 = KVStore(catalog, "test-db-2")
+    assert kv2.get_map("hello") == {}
+    kv2.put_all("hello", {"hello": "second"})
+    assert kv.get_map("hello")["hello"] == "world"
+    assert kv2.get_map("hello")["hello"] == "second"
+    # delete-object vs delete-keys
+    kv.delete("hello", keys=["hello-args"])
+    assert kv.get_map("hello") == {"hello": "world"}
+    kv.delete("hello")
+    assert kv.get_map("hello") == {}
+    assert kv2.get_map("hello")["hello"] == "second"
