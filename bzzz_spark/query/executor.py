@@ -74,7 +74,19 @@ def _multiterm_cond(p, prefix: str = ""):
     reaches the driver.  ``prefix`` scopes the pattern to an extra
     field's key space ('<field>:')."""
     if isinstance(p, ast.Wildcard):
-        return F.col("term").rlike(glob_to_regex(prefix + p.value))
+        cond = F.col("term").rlike(glob_to_regex(prefix + p.value))
+        # leading-literal globs ("src1*", "err?r") get a cheap
+        # startswith pre-filter ahead of the regex — Lucene's
+        # PrefixQuery-style term-dictionary range pruning; the regex
+        # stays authoritative for correctness
+        lit_prefix = ""
+        for ch in p.value:
+            if ch in "*?":
+                break
+            lit_prefix += ch
+        if lit_prefix:
+            cond = F.col("term").startswith(prefix + lit_prefix) & cond
+        return cond
     # Fuzzy: cheap codegen'd pre-filters (length band + prefix) ahead of
     # the levenshtein, mirroring Lucene's prefix_len discipline.  The
     # edit distance is measured on the bare token (field prefix
