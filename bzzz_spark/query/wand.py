@@ -32,9 +32,14 @@ tests cross-check against the exhaustive executor and the oracle):
   accumulator (segments are bounded by segment_size, so the
   accumulator is a small flat array), msm enforced by a match counter.
 
-Anything deeper (nesting, filters, boosts per clause, must_not) falls
-back to the exhaustive DataFrame executor in
-bzzz_spark.query.executor — same results, more I/O.
+- must_not of terms (Lucene ReqExclScorer): exclusion terms ride the
+  same block scan; their blocks are decoded only where the block range
+  intersects a surviving positive candidate, so "x AND NOT the"
+  decodes just the slice of "the" overlapping x's matches.
+
+Anything deeper (nesting, filters, boosts per clause) falls back to
+the exhaustive DataFrame executor in bzzz_spark.query.executor — same
+results, more I/O.
 """
 
 from __future__ import annotations
@@ -54,11 +59,16 @@ from bzzz_spark.query.scoring import idf as idf_fn
 
 
 def classify(node: ast.Query):
-    """('term'|'and'|'or', [(value, boost)], msm, boost) for flat shapes,
-    else None (executor fallback)."""
+    """('term'|'and'|'or', [(value, boost)], msm, boost, [neg_values])
+    for flat shapes — Term, or Bool over Terms incl. must_not Terms —
+    else None (executor fallback).  Exclusions ride the kernel: Lucene's
+    ReqExclScorer is the same per-leaf advance-and-skip."""
     if isinstance(node, ast.Term):
-        return ("term", [(node.value, node.boost)], 1, 1.0)
-    if isinstance(node, ast.Bool) and not node.must_not and node.boost == 1.0:
+        return ("term", [(node.value, node.boost)], 1, 1.0, [])
+    if isinstance(node, ast.Bool) and node.boost == 1.0:
+        if not all(isinstance(q, ast.Term) for q in node.must_not):
+            return None
+        neg = [q.value for q in node.must_not]
         if node.must and not node.should:
             if all(isinstance(q, ast.Term) for q in node.must):
                 return (
@@ -66,6 +76,7 @@ def classify(node: ast.Query):
                     [(q.value, q.boost) for q in node.must],
                     len(node.must),
                     node.boost,
+                    neg,
                 )
         if node.should and not node.must:
             if all(isinstance(q, ast.Term) for q in node.should):
@@ -74,6 +85,7 @@ def classify(node: ast.Query):
                     [(q.value, q.boost) for q in node.should],
                     node.effective_msm(),
                     node.boost,
+                    neg,
                 )
     return None
 
@@ -87,13 +99,44 @@ def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
-                 segment_size: int):
+                 segment_size: int, neg_tids: list[int] | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
-    norms-disabled sentinel) — the kernel needs no side input."""
+    norms-disabled sentinel) — the kernel needs no side input.
+
+    neg_tids: must_not terms (Lucene ReqExclScorer): their blocks ride
+    the same scan but are decoded ONLY where their [first_docid,
+    last_docid] range intersects a surviving candidate — an excluded
+    head term ("NOT the") decodes just the blocks overlapping the
+    positive candidates."""
+    neg_tids = list(neg_tids or [])
 
     def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
+        def keep_mask(cand_d: np.ndarray) -> np.ndarray:
+            """True for candidates NOT matched by any must_not term."""
+            if not neg_tids or cand_d.size == 0:
+                return np.ones(cand_d.size, dtype=bool)
+            sub = blocks[blocks["term_id"].isin(neg_tids)]
+            if len(sub):
+                lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(),
+                                     "left")
+                hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(),
+                                     "right")
+                sub = sub[hi > lo]  # block-range pruning vs candidates
+            if len(sub) == 0:
+                return np.ones(cand_d.size, dtype=bool)
+            e = np.unique(
+                np.concatenate(
+                    [
+                        decode_block(r.first_docid, r.count, r.doc_gaps,
+                                     r.tfs)[0]
+                        for r in sub.itertuples(index=False)
+                    ]
+                )
+            )
+            idx = np.clip(np.searchsorted(e, cand_d), 0, e.size - 1)
+            return e[idx] != cand_d
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if len(blocks) == 0:
@@ -151,8 +194,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             return topk(np.concatenate(out_d), np.concatenate(out_s))
 
         if mode == "and":
-            # rarest term first (fewest postings in this segment)
+            # rarest term first (fewest postings in this segment);
+            # exclusion terms are not conjuncts — drop them from sizes
             sizes = blocks.groupby("term_id")["count"].sum()
+            sizes = sizes[sizes.index.isin(list(qmeta))]
             if len(sizes) < len(qmeta):
                 return empty  # a must-term has no postings in this segment
             t_order = list(sizes.sort_values().index)
@@ -178,7 +223,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     return empty
                 cand_d = cand_d[hit]
                 acc = acc[hit] + w * _tfc(t[pos[hit]], dl[pos[hit]], avgdl)
-            return topk(cand_d, acc)
+            km = keep_mask(cand_d)
+            if not km.any():
+                return empty
+            return topk(cand_d[km], acc[km])
 
         # mode == "or": dense accumulator over the segment's docid range
         # (bounded by segment_size — a small flat array).  docids are
@@ -205,7 +253,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         ok = np.flatnonzero(cnt >= max(msm, 1))
         if ok.size == 0:
             return empty
-        return topk(ok + base, acc[ok])
+        docids = ok + base
+        km = keep_mask(docids)
+        if not km.any():
+            return empty
+        return topk(docids[km], acc[ok][km])
 
     return kernel
 
@@ -227,7 +279,7 @@ def wand_candidates(
         for n in ast.iter_nodes(node)
     ):
         return None
-    mode, terms, msm, _boost = shape
+    mode, terms, msm, _boost, neg_vals = shape
     vals = [v for v, _ in terms]
     if len(set(vals)) != len(vals):
         return None  # repeated terms would collapse in qmeta — fall back
@@ -235,8 +287,8 @@ def wand_candidates(
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
         return spark.createDataFrame([], "docid long, score double")
-    meta = index.lookup_terms(vals)
-    if mode == "and" and len(meta) < len(terms):
+    meta = index.lookup_terms(vals + neg_vals)
+    if mode == "and" and any(v not in meta for v in vals):
         return spark.createDataFrame([], "docid long, score double")
     qmeta = {}
     for v, boost in terms:
@@ -245,6 +297,10 @@ def wand_candidates(
             qmeta[tid] = (idf_fn(n_docs, df) * boost, boost)
     if not qmeta:
         return spark.createDataFrame([], "docid long, score double")
+    # must_not terms absent from the dictionary exclude nothing; a term
+    # that is both required and excluded stays in BOTH sets (the kernel
+    # then scores and excludes it — "a AND NOT a" is naturally empty)
+    neg_tids = sorted({int(meta[v][0]) for v in set(neg_vals) if v in meta})
 
     if "dls" not in index.postings.columns:
         # pre-inline-norms index layout: no dl stream in the blocks —
@@ -253,10 +309,10 @@ def wand_candidates(
         # path)
         return None
     blocks = index.postings.filter(
-        F.col("term_id").isin([int(t) for t in qmeta])
+        F.col("term_id").isin(sorted({int(t) for t in qmeta} | set(neg_tids)))
     )
     seg_size = index.config.segment_size
-    kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size)
+    kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size, neg_tids)
     if getattr(index, "segment_aligned", False):
         # serving layout: postings are already hash-partitioned by
         # segment (BzzzIndex.persist(layout="segment")), so the kernel

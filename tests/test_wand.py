@@ -23,6 +23,14 @@ FLAT_QUERIES = [
     ),
     ast.Bool(must=[ast.Term("the"), ast.Term("nosuchterm")]),
     ast.Term("nosuchterm"),
+    # must_not rides the kernel (ReqExclScorer analog)
+    ast.Bool(must=[ast.Term("error")], must_not=[ast.Term("query")]),
+    ast.Bool(must=[ast.Term("error"), ast.Term("the")],
+             must_not=[ast.Term("data"), ast.Term("nosuchterm")]),
+    ast.Bool(should=[ast.Term("error"), ast.Term("query")],
+             must_not=[ast.Term("data")]),
+    ast.Bool(must=[ast.Term("error")], must_not=[ast.Term("the")]),
+    ast.Bool(must=[ast.Term("error")], must_not=[ast.Term("error")]),
 ]
 
 
@@ -56,8 +64,15 @@ def test_wand_paging(small_index, small_oracle):
 
 def test_unsupported_shapes_fall_back(small_index):
     assert classify(ast.Filtered(ast.Term("a"), ast.Term("b"))) is None
-    assert classify(ast.Bool(must=[ast.Term("a")], must_not=[ast.Term("b")])) is None
     assert classify(ast.Bool(must=[ast.Bool(must=[ast.Term("a")])])) is None
+    # nested/non-term must_not still falls back
+    assert classify(
+        ast.Bool(must=[ast.Term("a")], must_not=[ast.Wildcard("b*")])
+    ) is None
+    # flat must_not of terms is now kernel-handled
+    assert classify(
+        ast.Bool(must=[ast.Term("a")], must_not=[ast.Term("b")])
+    ) is not None
     assert (
         wand_search(small_index, ast.Filtered(ast.Term("a"), ast.Term("b"))) is None
     )
