@@ -175,7 +175,10 @@ def main() -> None:
             ).parquet(corpus_dir)
             tdf = spark.read.parquet(corpus_dir)
             tdf.count()  # warm file listing/footers, untimed
-            tcfg = IndexConfig(segment_size=1 << 15)
+            # turn_idx rides the blocks as an inline doc-value, so the
+            # t_range query stays on the narrow WAND kernel path
+            tcfg = IndexConfig(segment_size=1 << 15,
+                               docvalue_cols=("turn_idx",))
             tidx = None
             n_blocks = 0
             tm: dict[str, float] = {}

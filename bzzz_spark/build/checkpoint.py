@@ -51,7 +51,8 @@ from bzzz_spark.build.indexer import (
 def _full_tf(docs, cfg: IndexConfig):
     """Text tf plus extra-field legs (shuffle mode — no segment
     stamping needed; the repartition in encode_postings owns layout)."""
-    tf = build_tf(docs, with_positions=cfg.store_positions)
+    tf = build_tf(docs, with_positions=cfg.store_positions,
+                  dv_cols=cfg.docvalue_cols)
     if cfg.extra_fields:
         tf = tf.withColumn("dl", F.col("dl").cast("double"))
         for leg in build_field_tf(docs, cfg):
@@ -229,6 +230,7 @@ def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
     cfg_d["extra_fields"] = tuple(
         tuple(x) for x in cfg_d.get("extra_fields", [])
     )
+    cfg_d["docvalue_cols"] = tuple(cfg_d.get("docvalue_cols", []))
     cfg = IndexConfig(**cfg_d)
     return BzzzIndex(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")).drop("tokens"),

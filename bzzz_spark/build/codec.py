@@ -77,6 +77,15 @@ def decode_varints(data: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def decode_zigzag(data: bytes, count: int | None = None) -> np.ndarray:
+    """Decode a zigzag-varint stream (signed ints — the doc-values
+    encoding; encoder in indexer._make_block_encoder)."""
+    v = decode_varints(data, count).astype(np.uint64)
+    return ((v >> np.uint64(1)) ^ (np.uint64(0) - (v & np.uint64(1)))).astype(
+        np.int64
+    )
+
+
 def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
     """Encode the positions stream of one block.
 

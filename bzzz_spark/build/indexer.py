@@ -55,7 +55,7 @@ POSTINGS_SCHEMA = (
 )
 
 
-def postings_schema(store_positions: bool) -> str:
+def postings_schema(store_positions: bool, docvalue_cols: tuple = ()) -> str:
     """Block schema.  `dls` is the inline norms stream (one varint
     document length per posting; 0 = norms disabled → score with
     avgdl): with dl carried in the block, scoring a term reads ONLY its
@@ -65,8 +65,15 @@ def postings_schema(store_positions: bool) -> str:
     the Spark equivalent of "local" is "inside the block you already
     decoded".)  With positions enabled each block carries a further
     varint stream (per-posting within-doc position deltas — the
-    PhraseQuery substrate, mirroring Lucene's .pos file)."""
-    return POSTINGS_SCHEMA + (", positions binary" if store_positions else "")
+    PhraseQuery substrate, mirroring Lucene's .pos file).  Each
+    docvalue col adds a further zigzag-varint stream (one value per
+    posting — Lucene's per-segment NumericDocValues sidecar, inlined
+    the same way as norms so range predicates evaluate inside the
+    scoring kernel with zero extra I/O)."""
+    s = POSTINGS_SCHEMA + (", positions binary" if store_positions else "")
+    for c in docvalue_cols:
+        s += f", dv_{c} binary"
+    return s
 
 
 @dataclass
@@ -109,6 +116,14 @@ class IndexConfig:
     # norms DISABLED (reference `_no_norms` convention, util.clj:74-124):
     # their BM25 length factor is pinned to 1 (dl := avgdl).
     extra_fields: tuple = ()
+    # numeric doc-values inlined per posting (Lucene NumericDocValues):
+    # integer-typed doc columns whose values are zigzag-varint encoded
+    # into each block alongside the norms stream.  Range predicates on
+    # these columns then evaluate INSIDE the WAND kernel — a
+    # `term AND range` query stays on the narrow block-pruned top-k
+    # path instead of joining the docs table.  Costs ~1 varint per
+    # posting per column.
+    docvalue_cols: tuple = ()
 
     def to_dict(self) -> dict:
         return {
@@ -118,6 +133,7 @@ class IndexConfig:
             "ts_col": self.ts_col, "merge_mode": self.merge_mode,
             "store_positions": self.store_positions,
             "extra_fields": [list(x) for x in self.extra_fields],
+            "docvalue_cols": list(self.docvalue_cols),
         }
 
 
@@ -275,7 +291,8 @@ def build_docs(table: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def build_tf(
-    docs: DataFrame, mode: str = "arrayagg", with_positions: bool = False
+    docs: DataFrame, mode: str = "arrayagg", with_positions: bool = False,
+    dv_cols: tuple = (),
 ) -> DataFrame:
     """(term, docid, dl, tf[, positions]) — the SPIMI local-combining step.
 
@@ -294,20 +311,22 @@ def build_tf(
     0-based token offsets of the term within the doc; size == tf) —
     still entirely JVM-side in both modes.
     """
+    dv = list(dv_cols)
     if mode == "shuffle":
         if with_positions:
             return (
                 docs.select(
-                    "docid", "dl", F.posexplode("tokens").alias("pos", "term")
+                    "docid", "dl", *dv,
+                    F.posexplode("tokens").alias("pos", "term"),
                 )
-                .groupBy("term", "docid", "dl")
+                .groupBy("term", "docid", "dl", *dv)
                 .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
                 .withColumn("tf", F.size("positions").cast("long"))
-                .select("term", "docid", "dl", "tf", "positions")
+                .select("term", "docid", "dl", "tf", "positions", *dv)
             )
         return (
-            docs.select("docid", "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", "docid", "dl")
+            docs.select("docid", "dl", *dv, F.explode("tokens").alias("term"))
+            .groupBy("term", "docid", "dl", *dv)
             .agg(F.count(F.lit(1)).alias("tf"))
         )
     toks = F.col("tokens")
@@ -324,11 +343,11 @@ def build_tf(
         )
         return (
             docs.filter(F.size(toks) > 0)  # sequence(0,-1) is invalid
-            .select("docid", "dl", F.explode(pairs).alias("p"))
+            .select("docid", "dl", *dv, F.explode(pairs).alias("p"))
             .select(
                 F.col("p.term").alias("term"), "docid", "dl",
                 F.size("p.positions").cast("long").alias("tf"),
-                F.col("p.positions").alias("positions"),
+                F.col("p.positions").alias("positions"), *dv,
             )
         )
     pairs = F.transform(
@@ -339,8 +358,11 @@ def build_tf(
         ),
     )
     return docs.select(
-        "docid", "dl", F.explode(pairs).alias("p")
-    ).select(F.col("p.term").alias("term"), "docid", "dl", F.col("p.tf").alias("tf"))
+        "docid", "dl", *dv, F.explode(pairs).alias("p")
+    ).select(
+        F.col("p.term").alias("term"), "docid", "dl",
+        F.col("p.tf").alias("tf"), *dv,
+    )
 
 
 def field_tokens_col(fname: str, analyzer: str):
@@ -372,9 +394,15 @@ def build_field_tf(docs: DataFrame, cfg: IndexConfig) -> list[DataFrame]:
         leg_docs = docs.select(
             "docid",
             F.lit(0.0).alias("dl"),
+            *cfg.docvalue_cols,
             field_tokens_col(fname, analyzer).alias("tokens"),
         )
-        legs.append(build_tf(leg_docs, with_positions=cfg.store_positions))
+        legs.append(
+            build_tf(
+                leg_docs, with_positions=cfg.store_positions,
+                dv_cols=cfg.docvalue_cols,
+            )
+        )
     return legs
 
 
@@ -416,6 +444,7 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
     block_size = cfg.block_size
     k1, b = cfg.k1, cfg.b
     store_pos = cfg.store_positions
+    dv_cols = list(cfg.docvalue_cols)
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         """Encode a whole partition's groups in vectorized passes: one
@@ -514,6 +543,18 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
             out["positions"] = [
                 bytes(pmv[pos_offs[i]:pos_offs[i + 1]]) for i in range(nb)
             ]
+        for col in dv_cols:
+            # inline numeric doc-values (Lucene NumericDocValues): one
+            # zigzag varint per posting, same vectorized discipline
+            x = pdf[col].to_numpy().astype(np.int64)
+            z = (x << np.int64(1)) ^ (x >> np.int64(63))  # zigzag
+            dv_buf = encode_varints(z)
+            dv_lens = np.add.reduceat(_varint_lengths(z), bstarts)
+            dv_offs = np.concatenate(([0], np.cumsum(dv_lens)))
+            vmv = memoryview(dv_buf)
+            out[f"dv_{col}"] = [
+                bytes(vmv[dv_offs[i]:dv_offs[i + 1]]) for i in range(nb)
+            ]
         return pd.DataFrame(out)
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -544,6 +585,7 @@ def build_posting_rows(
     """(term_id, segment, docid, tf, dl, df[, positions]) — segment is
     the skew salt."""
     extra = ["positions"] if "positions" in tf.columns else []
+    extra += list(cfg.docvalue_cols)
     return (
         tf.join(dictionary.select("term", "term_id", "df"), "term")
         .withColumn(
@@ -568,7 +610,7 @@ def encode_postings(
     ).sortWithinPartitions("term_id", "segment", "docid")
     return arranged.mapInPandas(
         _make_block_encoder(n_docs, avgdl, cfg),
-        schema=postings_schema(cfg.store_positions),
+        schema=postings_schema(cfg.store_positions, cfg.docvalue_cols),
     )
 
 
@@ -651,6 +693,7 @@ def encode_postings_aligned(
     on it — blocks carry their own first/last docid bounds.
     """
     extra = ["positions"] if "positions" in tf.columns else []
+    extra += list(cfg.docvalue_cols)
     if "segment" in tf.columns:
         # multi-field builds stamp the segment per tf LEG before the
         # union (spark_partition_id is only meaningful per leg — after a
@@ -668,7 +711,7 @@ def encode_postings_aligned(
     arranged = rows.sortWithinPartitions("term_id", "segment", "docid")
     return arranged.mapInPandas(
         _make_block_encoder(n_docs, avgdl, cfg),
-        schema=postings_schema(cfg.store_positions),
+        schema=postings_schema(cfg.store_positions, cfg.docvalue_cols),
     )
 
 
@@ -680,6 +723,20 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     """
     cfg = cfg or IndexConfig()
     docs = build_docs(transcripts, cfg)
+    if cfg.docvalue_cols:
+        dtypes = dict(docs.dtypes)
+        ok = {"tinyint", "smallint", "int", "bigint"}
+        bad = [
+            c for c in cfg.docvalue_cols
+            if dtypes.get(c) not in ok
+        ]
+        if bad:
+            raise ValueError(
+                f"docvalue_cols must be integer-typed doc columns; got "
+                f"{ {c: dtypes.get(c) for c in bad} } — floats would "
+                "truncate in the zigzag-varint stream and disagree with "
+                "the executor's docs-table range semantics"
+            )
     # no extra cache here: assign_sequential_ids already persisted the
     # arranged rows; docs (tokenize + dl) derives narrowly from that.
     # Re-running the tokenizer per consumer is cheaper than doubling the
@@ -688,7 +745,8 @@ def build_index(transcripts: DataFrame, cfg: IndexConfig | None = None) -> BzzzI
     # the tokenize + in-array tf pass runs once (measured ~40% of the
     # encode phase when recomputed).  Extra-field legs are unioned in
     # with the norms-disabled dl sentinel 0.
-    legs = [build_tf(docs, with_positions=cfg.store_positions)]
+    legs = [build_tf(docs, with_positions=cfg.store_positions,
+                     dv_cols=cfg.docvalue_cols)]
     if cfg.extra_fields:
         legs[0] = legs[0].withColumn("dl", F.col("dl").cast("double"))
         legs.extend(build_field_tf(docs, cfg))

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bzzz_spark import BM25_B, BM25_K1
-from bzzz_spark.build.codec import decode_block, decode_varints
+from bzzz_spark.build.codec import decode_block, decode_varints, decode_zigzag
 from bzzz_spark.build.indexer import BzzzIndex
 from bzzz_spark.query import ast
 from bzzz_spark.query.scoring import idf as idf_fn
@@ -64,19 +64,22 @@ def classify(node: ast.Query):
     else None (executor fallback).  Exclusions ride the kernel: Lucene's
     ReqExclScorer is the same per-leaf advance-and-skip."""
     if isinstance(node, ast.Term):
-        return ("term", [(node.value, node.boost)], 1, 1.0, [])
+        return ("term", [(node.value, node.boost)], 1, 1.0, [], [])
     if isinstance(node, ast.Bool) and node.boost == 1.0:
         if not all(isinstance(q, ast.Term) for q in node.must_not):
             return None
         neg = [q.value for q in node.must_not]
         if node.must and not node.should:
-            if all(isinstance(q, ast.Term) for q in node.must):
+            terms = [q for q in node.must if isinstance(q, ast.Term)]
+            ranges = [q for q in node.must if isinstance(q, ast.Range)]
+            if terms and len(terms) + len(ranges) == len(node.must):
                 return (
                     "and",
-                    [(q.value, q.boost) for q in node.must],
-                    len(node.must),
+                    [(q.value, q.boost) for q in terms],
+                    len(terms),
                     node.boost,
                     neg,
+                    ranges,
                 )
         if node.should and not node.must:
             if all(isinstance(q, ast.Term) for q in node.should):
@@ -86,6 +89,7 @@ def classify(node: ast.Query):
                     node.effective_msm(),
                     node.boost,
                     neg,
+                    [],
                 )
     return None
 
@@ -99,7 +103,8 @@ def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
-                 segment_size: int, neg_tids: list[int] | None = None):
+                 segment_size: int, neg_tids: list[int] | None = None,
+                 ranges: list | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -109,8 +114,18 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     the same scan but are decoded ONLY where their [first_docid,
     last_docid] range intersects a surviving candidate — an excluded
     head term ("NOT the") decodes just the blocks overlapping the
-    positive candidates."""
+    positive candidates.
+
+    ranges (and-mode only): ast.Range predicates over columns the index
+    inlines as doc-values — evaluated against the rarest term's decoded
+    dv stream, so `term AND range` prunes candidates at first decode
+    and never touches the docs table (Lucene NumericDocValues filter).
+    Each matching Range contributes its boost to the score, matching
+    the executor's Bool(must) sum semantics."""
     neg_tids = list(neg_tids or [])
+    ranges = list(ranges or [])
+    range_boost = float(sum(r.boost for r in ranges))
+    dv_want = tuple(dict.fromkeys(r.field_name for r in ranges))
 
     def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
         def keep_mask(cand_d: np.ndarray) -> np.ndarray:
@@ -149,18 +164,24 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 dl = np.where(dl == 0, avgdl, dl)
             return d, t.astype(np.float64), dl
 
-        def decode(rows: pd.DataFrame):
+        def decode(rows: pd.DataFrame, want_dv: tuple = ()):
             ds, ts, dls = [], [], []
+            dvs: dict[str, list] = {c: [] for c in want_dv}
             for r in rows.itertuples(index=False):
                 d, t, dl = decode_one(r)
                 ds.append(d)
                 ts.append(t)
                 dls.append(dl)
+                for c in want_dv:
+                    dvs[c].append(
+                        decode_zigzag(getattr(r, f"dv_{c}"), r.count)
+                    )
             d = np.concatenate(ds)
             t = np.concatenate(ts)
             dl = np.concatenate(dls)
             o = np.argsort(d, kind="stable")
-            return d[o], t[o], dl[o]
+            out_dv = {c: np.concatenate(dvs[c])[o] for c in want_dv}
+            return d[o], t[o], dl[o], out_dv
 
         def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
             o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
@@ -202,9 +223,22 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 return empty  # a must-term has no postings in this segment
             t_order = list(sizes.sort_values().index)
             rsub = blocks[blocks["term_id"] == t_order[0]]
-            cand_d, cand_t, cand_dl = decode(rsub)
+            cand_d, cand_t, cand_dl, dvv = decode(rsub, dv_want)
+            if ranges:
+                # doc-value range predicates prune at FIRST decode —
+                # every later term's block set shrinks accordingly
+                m = np.ones(cand_d.size, dtype=bool)
+                for rg in ranges:
+                    v = dvv[rg.field_name]
+                    if rg.min is not None:
+                        m &= (v >= rg.min) if rg.min_inclusive else (v > rg.min)
+                    if rg.max is not None:
+                        m &= (v <= rg.max) if rg.max_inclusive else (v < rg.max)
+                cand_d, cand_t, cand_dl = cand_d[m], cand_t[m], cand_dl[m]
+                if cand_d.size == 0:
+                    return empty
             w, _ = qmeta[t_order[0]]
-            acc = w * _tfc(cand_t, cand_dl, avgdl)
+            acc = w * _tfc(cand_t, cand_dl, avgdl) + range_boost
             for tid in t_order[1:]:
                 sub = blocks[blocks["term_id"] == tid]
                 # block-granular leapfrog: skip blocks whose
@@ -214,7 +248,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 sub = sub[hi > lo]
                 if len(sub) == 0:
                     return empty
-                d, t, dl = decode(sub)
+                d, t, dl, _ = decode(sub)
                 w, _ = qmeta[tid]
                 pos = np.searchsorted(d, cand_d)
                 pos = np.clip(pos, 0, d.size - 1)
@@ -238,7 +272,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             sub = blocks[blocks["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            decoded[tid] = decode(sub)
+            decoded[tid] = decode(sub)[:3]
             lo = int(decoded[tid][0].min())
             base = lo if base is None else min(base, lo)
         if not decoded:
@@ -279,7 +313,18 @@ def wand_candidates(
         for n in ast.iter_nodes(node)
     ):
         return None
-    mode, terms, msm, _boost, neg_vals = shape
+    mode, terms, msm, _boost, neg_vals, ranges = shape
+    if ranges:
+        # range predicates ride the kernel only when the index inlines
+        # the fields as doc-values; otherwise the executor's docs-table
+        # plan answers them
+        dvc = set(getattr(index.config, "docvalue_cols", ()) or ())
+        if not all(r.field_name in dvc for r in ranges):
+            return None
+        if any(
+            f"dv_{r.field_name}" not in index.postings.columns for r in ranges
+        ):
+            return None
     vals = [v for v, _ in terms]
     if len(set(vals)) != len(vals):
         return None  # repeated terms would collapse in qmeta — fall back
@@ -312,7 +357,8 @@ def wand_candidates(
         F.col("term_id").isin(sorted({int(t) for t in qmeta} | set(neg_tids)))
     )
     seg_size = index.config.segment_size
-    kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size, neg_tids)
+    kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size, neg_tids,
+                          ranges)
     if getattr(index, "segment_aligned", False):
         # serving layout: postings are already hash-partitioned by
         # segment (BzzzIndex.persist(layout="segment")), so the kernel

@@ -60,6 +60,14 @@ class StreamingIndexer:
         self.spark = spark
         self.out = out_dir
         self.cfg = cfg or IndexConfig()
+        if self.cfg.docvalue_cols:
+            # live deltas route through the exhaustive executor anyway
+            # (wand_safe=False), where ranges read the docs table — the
+            # inline doc-value stream would be dead weight per delta
+            raise ValueError(
+                "docvalue_cols are not supported on the streaming ingest "
+                "path; build the serving index with them instead"
+            )
 
     def _p(self, name: str) -> str:
         return f"{self.out}/{name}"

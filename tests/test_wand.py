@@ -138,3 +138,79 @@ def test_segment_aligned_serving_is_narrow_and_identical(
     assert phs == want
     assert "Exchange" not in query_side(ph), query_side(ph)
     idx.unpersist()
+
+
+def test_docvalue_range_rides_kernel(spark, small_transcripts, small_oracle):
+    """IndexConfig(docvalue_cols): Range predicates over inlined
+    doc-values evaluate inside the WAND kernel (Lucene NumericDocValues)
+    — `term AND range` stays on the narrow top-k path, candidates prune
+    at the rarest term's first decode, and results stay rank+score
+    identical to the oracle and the exhaustive executor."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.query.wand import wand_candidates
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    docvalue_cols=("turn_idx",)),
+    )
+    idx.postings.cache().count()
+    shapes = [
+        ast.Bool(must=[ast.Term("error"),
+                       ast.Range("turn_idx", min=1, max=5)]),
+        ast.Bool(must=[ast.Term("the"),
+                       ast.Range("turn_idx", min=2, min_inclusive=False)]),
+        ast.Bool(must=[ast.Term("error"), ast.Term("the"),
+                       ast.Range("turn_idx", max=4, max_inclusive=False)]),
+        ast.Bool(
+            must=[ast.Term("error"),
+                  ast.Range("turn_idx", min=0, max=100),
+                  ast.Range("turn_idx", min=2, max=3, boost=2.0)],
+            must_not=[ast.Term("data")],
+        ),
+        ast.Bool(must=[ast.Term("error"), ast.Range("turn_idx", min=99)]),
+    ]
+    for node in shapes:
+        assert wand_candidates(idx, node, 10) is not None, node
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(idx, node, size=10).collect()]
+        want = [(d, round(s, 9)) for d, s in small_oracle.search(node, 10)]
+        assert got == want, node
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(idx, node, size=10, use_wand=False).collect()]
+        assert got == slow, node
+    # an index WITHOUT the doc-value falls back to the executor plan
+    assert wand_candidates(small_index_noop(spark, small_transcripts),
+                           shapes[0], 10) is None
+
+
+def small_index_noop(spark, small_transcripts):
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    return build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4),
+    )
+
+
+def test_docvalue_rejects_non_integer_columns(spark, small_transcripts):
+    import pytest as _pytest
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    with _pytest.raises(ValueError, match="integer-typed"):
+        build_index(
+            small_transcripts,
+            IndexConfig(num_partitions=2, docvalue_cols=("role",)),
+        )
+
+
+def test_zigzag_roundtrip():
+    import numpy as np
+
+    from bzzz_spark.build.codec import decode_zigzag, encode_varints
+
+    x = np.array([0, -1, 1, -2, 2, 12345, -98765, 2**40, -(2**40)],
+                 dtype=np.int64)
+    z = (x << np.int64(1)) ^ (x >> np.int64(63))
+    assert decode_zigzag(encode_varints(z), x.size).tolist() == x.tolist()
