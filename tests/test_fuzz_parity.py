@@ -75,3 +75,52 @@ def test_random_query_batch_matches_oracle(small_index, small_oracle, queries):
             assert math.isclose(gs, ws, rel_tol=1e-6), (
                 f"{qid}: score mismatch for {node}: {gs} vs {ws}"
             )
+
+
+# ---- WAND-kernel fuzz: the single-query fast path with doc-value
+# ranges + must_not exclusions (round-3 kernel extensions), checked
+# against BOTH the oracle and the exhaustive executor plan.
+
+import pytest
+
+from bzzz_spark.query.executor import search
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, small_transcripts):
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    docvalue_cols=("turn_idx",)),
+    )
+    idx.postings.cache().count()
+    return idx
+
+
+_wand_bool = st.builds(
+    lambda must_terms, ranges, neg: ast.Bool(
+        must=list(must_terms) + list(ranges), must_not=list(neg)
+    ),
+    st.lists(_term, min_size=1, max_size=3),
+    st.lists(_range, max_size=2),
+    st.lists(_term, max_size=2),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_bool)
+def test_random_wand_range_exclusion_matches_oracle(
+    dv_index, small_oracle, node
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=10).collect()]
+    want = small_oracle.search(node, size=10)
+    assert [d for d, _ in got] == [d for d, _ in want], node
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+    slow = [(r["docid"], round(r["score"], 9)) for r in
+            search(dv_index, node, size=10, use_wand=False).collect()]
+    assert [(d, round(s, 9)) for d, s in got] == slow, node
