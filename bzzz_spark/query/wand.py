@@ -28,9 +28,19 @@ tests cross-check against the exhaustive executor and the oracle):
   unless their [first_docid, last_docid] range intersects a candidate,
   plus a block-max bound: a block is skipped when its max score + the
   other terms' remaining max < the current kth best of full matches.
-- disjunction (OR/minimum-should-match): dense per-segment score
-  accumulator (segments are bounded by segment_size, so the
-  accumulator is a small flat array), msm enforced by a match counter.
+- disjunction (OR/minimum-should-match): MaxScore (Turtle & Flood) at
+  block granularity — terms processed in descending upper-bound order
+  (UB_t = boost · max block_max_score) into a dense per-segment
+  accumulator; once the unprocessed terms' combined UB falls below the
+  kth-best score among msm-qualifying candidates, no NEW doc can reach
+  the top-k, so the remaining (lower-impact, usually head) terms stop
+  admitting candidates and their blocks are decoded only where the
+  [first_docid, last_docid] range overlaps a surviving candidate.
+  Candidates whose score + remaining UB can no longer reach θ are
+  retired, shrinking later terms' block sets further.  For
+  "rare OR the"-shaped queries the head term decodes only the slice
+  overlapping the rare term's candidates — Lucene's MaxScore discipline
+  (Lucene 8+ WANDScorer / MaxScoreBulkScorer).
 
 - must_not of terms (Lucene ReqExclScorer): exclusion terms ride the
   same block scan; their blocks are decoded only where the block range
@@ -104,7 +114,7 @@ def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  segment_size: int, neg_tids: list[int] | None = None,
-                 ranges: list | None = None):
+                 ranges: list | None = None, stats: dict | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -262,36 +272,133 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 return empty
             return topk(cand_d[km], acc[km])
 
-        # mode == "or": dense accumulator over the segment's docid range
-        # (bounded by segment_size — a small flat array).  docids are
-        # dense and a segment's docids are contiguous in BOTH numbering
-        # schemes, so the minimum decoded docid is the base offset.
-        decoded = {}
-        base = None
+        # mode == "or": MaxScore (Turtle & Flood) over a dense
+        # accumulator.  A doc first seen at term i (descending-UB
+        # order) can score at most suffix_ub[i] = Σ UB of terms i..end;
+        # once suffix_ub[i] < θ (the kth best score among candidates
+        # already satisfying msm and exclusions), remaining terms stop
+        # admitting NEW docs and decode only blocks overlapping
+        # surviving candidates — "rare OR the" decodes just the slice
+        # of "the" overlapping rare's candidate docids.  Exact: θ only
+        # ever underestimates the final kth-best (scores grow
+        # monotonically; msm-qualification and exclusion are decided
+        # eagerly before a candidate can contribute to θ).
+        per_term = []
         for tid in qmeta:
             sub = blocks[blocks["term_id"] == tid]
             if len(sub) == 0:
                 continue
-            decoded[tid] = decode(sub)[:3]
-            lo = int(decoded[tid][0].min())
-            base = lo if base is None else min(base, lo)
-        if not decoded:
+            ub = qmeta[tid][1] * float(sub["block_max_score"].max())
+            per_term.append((tid, ub, sub))
+            if stats is not None:
+                stats.setdefault("total_blocks", {})[tid] = len(sub)
+        if not per_term:
             return empty
-        acc = np.zeros(segment_size, dtype=np.float64)
-        cnt = np.zeros(segment_size, dtype=np.int32)
-        for tid, (d, t, dl) in decoded.items():
+        per_term.sort(key=lambda x: -x[1])
+        suffix_ub = np.cumsum([ub for _, ub, _ in per_term][::-1])[::-1]
+        pos_mask = blocks["term_id"].isin(list(qmeta))
+        base = int(blocks.loc[pos_mask, "first_docid"].min())
+        span = int(blocks.loc[pos_mask, "last_docid"].max()) - base + 1
+        acc = np.zeros(span, dtype=np.float64)
+        cnt = np.zeros(span, dtype=np.int32)
+        excl = np.zeros(span, dtype=bool)
+        dead = np.zeros(span, dtype=bool)
+        msm_eff = max(msm, 1)
+        theta = -np.inf
+
+        # incremental must_not (ReqExclScorer): neg blocks are decoded
+        # only when their docid range first overlaps admitted
+        # candidates; every decoded exclusion docid is remembered so
+        # later admissions check the full decoded set
+        if neg_tids:
+            neg_all = blocks[blocks["term_id"].isin(neg_tids)].reset_index(
+                drop=True
+            )
+            neg_done = np.zeros(len(neg_all), dtype=bool)
+            neg_first = neg_all["first_docid"].to_numpy()
+            neg_last = neg_all["last_docid"].to_numpy()
+        neg_docs = np.empty(0, dtype=np.int64)
+
+        def exclude_new(new_d: np.ndarray) -> None:
+            """Mark admitted docids matched by any must_not term."""
+            nonlocal neg_docs
+            if not neg_tids or new_d.size == 0:
+                return
+            lo = np.searchsorted(new_d, neg_first, "left")
+            hi = np.searchsorted(new_d, neg_last, "right")
+            need = (hi > lo) & ~neg_done
+            if need.any():
+                rows = neg_all[need]
+                neg_done[need] = True
+                neg_docs = np.union1d(
+                    neg_docs,
+                    np.concatenate(
+                        [
+                            decode_block(r.first_docid, r.count, r.doc_gaps,
+                                         r.tfs)[0]
+                            for r in rows.itertuples(index=False)
+                        ]
+                    ),
+                )
+            if neg_docs.size:
+                idx = np.clip(np.searchsorted(neg_docs, new_d), 0,
+                              neg_docs.size - 1)
+                bad = new_d[neg_docs[idx] == new_d]
+                excl[bad - base] = True
+
+        def update_theta() -> None:
+            nonlocal theta
+            qual = acc[(cnt >= msm_eff) & ~excl & ~dead]
+            if qual.size >= k:
+                theta = max(
+                    theta, np.partition(qual, qual.size - k)[qual.size - k]
+                )
+
+        closed = False
+        for i, (tid, _ub, sub) in enumerate(per_term):
             w, _boost = qmeta[tid]
-            off = d - base
-            acc[off] += w * _tfc(t, dl, avgdl)
-            cnt[off] += 1
-        ok = np.flatnonzero(cnt >= max(msm, 1))
+            if not closed and suffix_ub[i] < theta:
+                closed = True  # no NEW doc can reach the top-k
+            if closed:
+                cand_off = np.flatnonzero((cnt > 0) & ~excl & ~dead)
+                if cand_off.size == 0:
+                    break
+                cand_d = cand_off + base  # ascending — flatnonzero order
+                lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(),
+                                     "left")
+                hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(),
+                                     "right")
+                sub = sub[hi > lo]
+                if len(sub) == 0:
+                    continue
+                d, t, dl, _ = decode(sub)
+                idx = np.clip(np.searchsorted(cand_d, d), 0,
+                              cand_d.size - 1)
+                hit = cand_d[idx] == d
+                off = d[hit] - base
+                acc[off] += w * _tfc(t[hit], dl[hit], avgdl)
+                cnt[off] += 1
+            else:
+                d, t, dl, _ = decode(sub)
+                off = d - base
+                new_d = d[cnt[off] == 0]
+                acc[off] += w * _tfc(t, dl, avgdl)
+                cnt[off] += 1
+                exclude_new(new_d)
+            if stats is not None:
+                stats.setdefault("decoded_blocks", {})[tid] = (
+                    stats.get("decoded_blocks", {}).get(tid, 0) + len(sub)
+                )
+            update_theta()
+            if theta > -np.inf and i + 1 < len(per_term):
+                # retire candidates that cannot reach θ with the
+                # remaining terms' upper bounds — later terms' block
+                # sets shrink accordingly
+                dead |= (cnt > 0) & (acc + suffix_ub[i + 1] < theta)
+        ok = np.flatnonzero((cnt >= msm_eff) & ~excl & ~dead)
         if ok.size == 0:
             return empty
-        docids = ok + base
-        km = keep_mask(docids)
-        if not km.any():
-            return empty
-        return topk(docids[km], acc[ok][km])
+        return topk(ok + base, acc[ok])
 
     return kernel
 

@@ -109,6 +109,34 @@ _wand_bool = st.builds(
 )
 
 
+# should-only bools with msm + exclusions at varying k: the MaxScore
+# disjunction path (round-3) — θ-pruning must never change results
+_wand_or = st.builds(
+    lambda should, msm, neg: ast.Bool(
+        should=should,
+        minimum_should_match=min(msm, len(should)),
+        must_not=list(neg),
+    ),
+    st.lists(_term, min_size=1, max_size=4, unique_by=lambda t: t.value),
+    st.integers(0, 2),
+    st.lists(_term, max_size=2),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_or, st.sampled_from([1, 3, 10, 40]))
+def test_random_wand_or_maxscore_matches_oracle(
+    dv_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_wand_bool)

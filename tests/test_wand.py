@@ -205,6 +205,99 @@ def test_docvalue_rejects_non_integer_columns(spark, small_transcripts):
         )
 
 
+def test_or_kernel_maxscore_prunes_head_blocks(spark):
+    """MaxScore for disjunctions: 'rare OR head' with small k must NOT
+    decode the head term's full postings.  Once the rare term's
+    candidates establish θ above the head term's upper bound, the head
+    term stops admitting new docs and decodes only blocks overlapping
+    the surviving candidates (Lucene 8+ MaxScoreBulkScorer discipline)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    texts = []
+    for i in range(400):
+        base = f"head filler{i % 7} head word{i % 13}"
+        if i in (60, 140):
+            base = "rare " + base
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["rare", "head"])
+    qmeta = {
+        int(meta[t][0]): (idf_fn(n_docs, meta[t][1]), 1.0)
+        for t in ("rare", "head")
+    }
+    blocks = idx.postings.filter(
+        F.col("term_id").isin(sorted(qmeta))
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "or", 1, 2, avgdl, 1 << 14, stats=stats)
+    out = kernel(blocks).sort_values(
+        ["score", "docid"], ascending=[False, True]
+    ).head(2)
+    want = [
+        (r["docid"], round(r["score"], 9))
+        for r in search(
+            idx,
+            ast.Bool(should=[ast.Term("rare"), ast.Term("head")]),
+            size=2,
+            use_wand=False,
+        ).collect()
+    ]
+    got = [(int(d), round(float(s), 9)) for d, s in
+           zip(out["docid"], out["score"])]
+    assert got == want
+    head_tid = int(meta["head"][0])
+    rare_tid = int(meta["rare"][0])
+    assert stats["total_blocks"][head_tid] >= 40  # 400 docs / 8 per block
+    # 2 candidate docs -> at most 2 head blocks decoded
+    assert stats["decoded_blocks"][head_tid] <= 2, stats
+    assert stats["decoded_blocks"][rare_tid] == stats["total_blocks"][rare_tid]
+
+
+def test_or_kernel_maxscore_with_exclusion_and_msm(spark, small_index,
+                                                   small_oracle):
+    """The MaxScore path keeps exact results under msm and must_not at
+    every k (θ is built only from msm-qualifying, non-excluded
+    candidates — an excluded doc must never inflate θ)."""
+    nodes = [
+        ast.Bool(should=[ast.Term("error"), ast.Term("query"),
+                         ast.Term("the")]),
+        ast.Bool(should=[ast.Term("error"), ast.Term("the")],
+                 must_not=[ast.Term("query")]),
+        ast.Bool(should=[ast.Term("error"), ast.Term("query"),
+                         ast.Term("the")], minimum_should_match=2),
+        ast.Bool(should=[ast.Term("error"), ast.Term("the"),
+                         ast.Term("data")],
+                 minimum_should_match=2, must_not=[ast.Term("merge")]),
+    ]
+    for node in nodes:
+        for size in (1, 3, 10, 50):
+            got = [(r["docid"], round(r["score"], 9)) for r in
+                   wand_search(small_index, node, size=size).collect()]
+            want = [(d, round(s, 9))
+                    for d, s in small_oracle.search(node, size=size)]
+            assert got == want, (node, size)
+
+
 def test_zigzag_roundtrip():
     import numpy as np
 
