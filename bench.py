@@ -86,6 +86,9 @@ TRANSCRIPT_QUERIES = {
     "t_range": ast.Bool(
         must=[ast.Term("error"), ast.Range("turn_idx", min=1, max=5)]
     ),
+    # disjunction over a mid + head term: the MaxScore path — the head
+    # term's blocks decode only where they overlap θ-surviving candidates
+    "t_or2_head": ast.Bool(should=[ast.Term("error"), ast.Term("the")]),
 }
 
 

@@ -47,6 +47,15 @@ tests cross-check against the exhaustive executor and the oracle):
   intersects a surviving positive candidate, so "x AND NOT the"
   decodes just the slice of "the" overlapping x's matches.
 
+- top-level wildcard / fuzzy (constant score, Lucene
+  CONSTANT_SCORE_REWRITE): every match scores `boost`, so the top-k
+  under the (score desc, docid asc) tie-break is simply the k SMALLEST
+  matching docids.  Expansion blocks are processed in ascending
+  first_docid order and decoding stops as soon as k docids lie below
+  every remaining block's range — a "s*" expansion over thousands of
+  terms decodes a handful of leading blocks per segment instead of the
+  full posting lists.
+
 Anything deeper (nesting, filters, boosts per clause) falls back to
 the exhaustive DataFrame executor in bzzz_spark.query.executor — same
 results, more I/O.
@@ -196,6 +205,35 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
             o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
             return pd.DataFrame({"docid": docids[o], "score": scores[o]})
+
+        if mode == "any":
+            # constant-score match-any: k smallest matching docids.
+            # Blocks ascend by first_docid; once the kth-smallest docid
+            # found so far precedes every remaining block's range, no
+            # remaining block can contribute — stop decoding.
+            boost = next(iter(qmeta.values()))[1]
+            sub = blocks[blocks["term_id"].isin(list(qmeta))]
+            if len(sub) == 0:
+                return empty
+            sub = sub.sort_values("first_docid", kind="stable")
+            got = np.empty(0, dtype=np.int64)
+            for r in sub.itertuples(index=False):
+                if got.size >= k and got[k - 1] < r.first_docid:
+                    break
+                d, _t = decode_block(r.first_docid, r.count, r.doc_gaps,
+                                     r.tfs)
+                got = np.union1d(got, d)[:k]
+                if stats is not None:
+                    stats["decoded_blocks"] = (
+                        stats.get("decoded_blocks", 0) + 1
+                    )
+            if stats is not None:
+                stats["total_blocks"] = len(sub)
+            if got.size == 0:
+                return empty
+            return pd.DataFrame(
+                {"docid": got, "score": np.full(got.size, boost)}
+            )
 
         if mode == "term":
             (tid, (w, boost)) = next(iter(qmeta.items()))
@@ -403,10 +441,74 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     return kernel
 
 
+def _run_kernel(index: BzzzIndex, blocks: DataFrame, kernel) -> DataFrame:
+    """Execute a per-segment kernel over the query's block set."""
+    if getattr(index, "segment_aligned", False):
+        # serving layout: postings are already hash-partitioned by
+        # segment (BzzzIndex.persist(layout="segment")), so the kernel
+        # runs as a NARROW mapInPandas — zero per-query shuffle, the
+        # single biggest chunk of Spark's fixed query latency
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [p for p in it if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for _, g in pdf.groupby("segment", sort=False):
+                out = kernel(g)
+                if len(out):
+                    yield out
+
+        return blocks.mapInPandas(run, "docid long, score double")
+    # the ONLY shuffle: the query terms' (small) block set, grouped by
+    # segment
+    return blocks.groupby("segment").applyInPandas(
+        lambda pdf: kernel(pdf), schema="docid long, score double"
+    )
+
+
+def _multiterm_candidates(
+    index: BzzzIndex, node: ast.Query, k: int
+) -> DataFrame:
+    """Top-level Wildcard/Fuzzy: Lucene CONSTANT_SCORE_REWRITE — every
+    match scores node.boost, so per segment the top-k is the k smallest
+    matching docids; the 'any' kernel stops decoding expansion blocks
+    once k docids precede every remaining block's range."""
+    from bzzz_spark.query.executor import (
+        _pattern_prefix,
+        expand_multiterm,
+    )
+
+    spark = index.docs.sparkSession
+    empty = spark.createDataFrame([], "docid long, score double")
+    pre = _pattern_prefix(index, node)
+    cand = expand_multiterm(index.dictionary, [node], [pre])
+    # scope: field patterns only see their own key space; default-field
+    # patterns never see '<field>:' keys (text tokens cannot hold ':')
+    exp = (
+        [t for t in cand if t.startswith(pre)]
+        if pre
+        else [t for t in cand if ":" not in t]
+    )
+    if not exp:
+        return empty
+    meta = index.lookup_terms(exp)
+    tids = sorted(int(tid) for tid, _df in meta.values())
+    if not tids:
+        return empty
+    qmeta = {tid: (0.0, float(node.boost)) for tid in tids}
+    blocks = index.postings.filter(F.col("term_id").isin(tids))
+    kernel = _make_kernel(
+        qmeta, "any", 1, k, 1.0, index.config.segment_size
+    )
+    return _run_kernel(index, blocks, kernel)
+
+
 def wand_candidates(
     index: BzzzIndex, node: ast.Query, k: int
 ) -> DataFrame | None:
     """Per-segment top-k (docid, score) for flat shapes, else None."""
+    if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
+        return _multiterm_candidates(index, node, k)
     shape = classify(node)
     if shape is None:
         return None
@@ -466,28 +568,7 @@ def wand_candidates(
     seg_size = index.config.segment_size
     kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size, neg_tids,
                           ranges)
-    if getattr(index, "segment_aligned", False):
-        # serving layout: postings are already hash-partitioned by
-        # segment (BzzzIndex.persist(layout="segment")), so the kernel
-        # runs as a NARROW mapInPandas — zero per-query shuffle, the
-        # single biggest chunk of Spark's fixed query latency
-        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            parts = [p for p in it if len(p)]
-            if not parts:
-                return
-            pdf = pd.concat(parts, ignore_index=True)
-            for _, g in pdf.groupby("segment", sort=False):
-                out = kernel(g)
-                if len(out):
-                    yield out
-
-        return blocks.mapInPandas(run, "docid long, score double")
-    # the ONLY shuffle: the query terms' (small) block set, grouped by
-    # segment; dl travels inside the blocks
-    return (
-        blocks.groupby("segment")
-        .applyInPandas(lambda pdf: kernel(pdf), schema="docid long, score double")
-    )
+    return _run_kernel(index, blocks, kernel)
 
 
 def wand_search(

@@ -298,6 +298,71 @@ def test_or_kernel_maxscore_with_exclusion_and_msm(spark, small_index,
             assert got == want, (node, size)
 
 
+def test_multiterm_constant_score_kernel(small_index, small_oracle):
+    """Top-level wildcard/fuzzy ride the constant-score 'any' kernel
+    (Lucene CONSTANT_SCORE_REWRITE): rank+score identical to the
+    exhaustive executor and the oracle, incl. boosts and empty
+    expansions."""
+    nodes = [
+        ast.Wildcard("err*"),
+        ast.Wildcard("*rror"),
+        ast.Wildcard("e?ror"),
+        ast.Wildcard("zzqx*"),
+        ast.Wildcard("err*", boost=2.5),
+        ast.Fuzzy("eror", max_edits=1),
+    ]
+    for node in nodes:
+        fast = wand_search(small_index, node, size=10)
+        assert fast is not None, node
+        got = [(r["docid"], round(r["score"], 9)) for r in fast.collect()]
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(small_index, node, size=10, use_wand=False).collect()]
+        want = [(d, round(s, 9))
+                for d, s in small_oracle.search(node, size=10)]
+        assert got == slow == want, node
+
+
+def test_any_kernel_stops_at_k_smallest_docids(spark):
+    """The 'any' kernel's early termination: with each expansion term
+    in its own block, k=5 must decode ~5 of the 400 blocks — matching
+    docids beyond the kth smallest are never touched."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.wand import _make_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": [f"w{i:03d} filler" for i in range(400)],
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    exp = [f"w{i:03d}" for i in range(400)]
+    meta = idx.lookup_terms(exp)
+    tids = sorted(int(t) for t, _ in meta.values())
+    assert len(tids) == 400
+    blocks = idx.postings.filter(F.col("term_id").isin(tids)).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(
+        {t: (0.0, 1.0) for t in tids}, "any", 1, 5, 1.0, 1 << 14,
+        stats=stats,
+    )
+    out = kernel(blocks)
+    assert sorted(out["docid"].tolist()) == [0, 1, 2, 3, 4]
+    assert stats["total_blocks"] == 400
+    assert stats["decoded_blocks"] <= 6, stats
+
+
 def test_zigzag_roundtrip():
     import numpy as np
 
