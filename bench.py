@@ -161,9 +161,6 @@ def main() -> None:
     import shutil
     import tempfile
 
-    import shutil
-    import tempfile
-
     from bzzz_spark.query.batch import search_many
 
     workload = _batch_workload()

@@ -545,8 +545,22 @@ def _make_block_encoder(n_docs: int, avgdl: float, cfg: IndexConfig):
             ]
         for col in dv_cols:
             # inline numeric doc-values (Lucene NumericDocValues): one
-            # zigzag varint per posting, same vectorized discipline
-            x = pdf[col].to_numpy().astype(np.int64)
+            # zigzag varint per posting, same vectorized discipline.
+            # NULLs are rejected loudly: Arrow delivers a nullable int
+            # column as float64 with NaN, and NaN.astype(int64) is
+            # garbage (INT64_MIN) that a range predicate would happily
+            # match — whereas SQL NULL never matches.  The inline
+            # stream has no null sentinel, so builds must fill or drop.
+            raw = pdf[col].to_numpy()
+            if raw.dtype.kind == "f" and np.isnan(raw).any():
+                raise ValueError(
+                    f"docvalue column {col!r} contains NULLs; inline "
+                    "doc-values cannot represent SQL NULL range "
+                    "semantics — fill or drop NULL rows, or leave the "
+                    "column out of IndexConfig(docvalue_cols) to query "
+                    "it via the docs table"
+                )
+            x = raw.astype(np.int64)
             z = (x << np.int64(1)) ^ (x >> np.int64(63))  # zigzag
             dv_buf = encode_varints(z)
             dv_lens = np.add.reduceat(_varint_lengths(z), bstarts)

@@ -55,13 +55,14 @@ def _batched_topk(
     final cross-batch merge is a tiny (≤ k·queries·batches rows)
     window.  ``allowed`` is an optional (nlist, nq) bool matrix gating
     which buckets serve which query (IVF probe mask)."""
-    spark = embeddings.sparkSession
     qids = np.asarray([int(q) for q, _ in queries], dtype=np.int64)
     qm = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for _, v in queries]))
-    bc = spark.sparkContext.broadcast((qids, qm, allowed))
+    # the query matrix rides the task closure — Spark broadcasts the
+    # serialized task binary itself, and the ContextCleaner reclaims it
+    # with the closure (an explicit sc.broadcast here would outlive the
+    # returned DataFrame and accumulate across serving calls)
 
     def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, qm, allowed = bc.value
         for pdf in it:
             if len(pdf) == 0:
                 continue

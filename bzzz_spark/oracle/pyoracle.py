@@ -31,6 +31,10 @@ def _sloppy_phrase_freq(adj_lists: list[list[int]], slop: int) -> float:
     the randomized fuzz in tests/test_phrase.py cross-checks the two."""
     import heapq
 
+    if len(adj_lists) == 1:
+        # one leg: every occurrence is a match with matchLength 0
+        # (Lucene rewrites a 1-term PhraseQuery to a TermQuery)
+        return float(len(adj_lists[0]))
     heap: list[tuple[int, int, int]] = []  # (position, offset, next_idx)
     end = None
     for off, lst in enumerate(adj_lists):

@@ -290,7 +290,11 @@ def phrase_segment_kernel(
         idx = np.clip(np.searchsorted(cand, occ_doc), 0, max(cand.size - 1, 0))
         keep = cand[idx] == occ_doc
         legs.append((idx[keep], flat_pos[keep] - off))
-    if slop == 0:
+    if slop == 0 or len(tid_order) == 1:
+        # one leg: every occurrence matches with matchLength 0 (Lucene
+        # rewrites a 1-term PhraseQuery to a TermQuery), so the exact
+        # group-count — which degenerates to ptf = tf for k == 1 —
+        # already gives the right sloppy freq
         doc_rank, ptf = _exact_freqs(legs, cand.size)
     elif len(tid_order) == 2:
         doc_rank, ptf = _sloppy_freqs_2(legs[0], legs[1], slop, cand.size)

@@ -81,10 +81,23 @@ def classify(node: ast.Query):
     """('term'|'and'|'or', [(value, boost)], msm, boost, [neg_values])
     for flat shapes — Term, or Bool over Terms incl. must_not Terms —
     else None (executor fallback).  Exclusions ride the kernel: Lucene's
-    ReqExclScorer is the same per-leaf advance-and-skip."""
+    ReqExclScorer is the same per-leaf advance-and-skip.
+
+    Negative boosts fall back: block_max_score bounds assume
+    non-negative term weights (for w < 0 the block 'max' is a LOWER
+    bound and θ-pruning would drop true top-k docs); Lucene itself
+    rejects boost < 0 since 7.0 — the exhaustive plan serves them."""
     if isinstance(node, ast.Term):
+        if node.boost < 0:
+            return None
         return ("term", [(node.value, node.boost)], 1, 1.0, [], [])
     if isinstance(node, ast.Bool) and node.boost == 1.0:
+        leaves = list(node.must) + list(node.should)
+        if any(
+            isinstance(q, (ast.Term, ast.Range)) and q.boost < 0
+            for q in leaves
+        ):
+            return None
         if not all(isinstance(q, ast.Term) for q in node.must_not):
             return None
         neg = [q.value for q in node.must_not]

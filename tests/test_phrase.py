@@ -303,6 +303,20 @@ def test_parser_slop_syntax():
     assert node == ast.Phrase(["alpha", "beta"], "text", 1.0, slop=1)
 
 
+def test_single_term_phrase_all_slops(pos_index, small_oracle):
+    """A 1-term phrase degenerates to a term match with ptf = tf at ANY
+    slop (Lucene rewrites it to a TermQuery) — it must not crash the
+    sloppy kernels, and engine/oracle must agree."""
+    for slop in (0, 1, 3):
+        node = ast.Phrase(["error"], slop=slop)
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(pos_index, node, size=10).collect()]
+        want = [(d, round(s, 9))
+                for d, s in small_oracle.search(node, size=10)]
+        assert got == want, slop
+        assert got, "single-term phrase found nothing"
+
+
 # -------------------------------------------- kernel-level block pruning
 
 

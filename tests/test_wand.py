@@ -363,6 +363,50 @@ def test_any_kernel_stops_at_k_smallest_docids(spark):
     assert stats["decoded_blocks"] <= 6, stats
 
 
+def test_negative_boost_falls_back_and_stays_exact(small_index,
+                                                   small_oracle):
+    """block_max_score is an UPPER bound only for non-negative weights;
+    negative boosts must take the exhaustive plan (Lucene rejects
+    boost < 0 since 7.0 — we serve it, exactly, off the kernel)."""
+    nodes = [
+        ast.Term("the", boost=-1.0),
+        ast.Bool(should=[ast.Term("error"), ast.Term("the", boost=-1.0)]),
+        ast.Bool(must=[ast.Term("error"), ast.Term("query", boost=-2.0)]),
+    ]
+    for node in nodes:
+        assert classify(node) is None, node
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(small_index, node, size=10).collect()]
+        want = [(d, round(s, 9))
+                for d, s in small_oracle.search(node, size=10)]
+        assert got == want, node
+
+
+def test_docvalue_null_rejected_at_build(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": pd.array([0, None], dtype="Int64"),
+            "role": ["user", "user"],
+            "text": ["alpha beta", "alpha gamma"],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2026-01-01"] * 2),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(num_partitions=1, docvalue_cols=("turn_idx",)),
+    )
+    with _pytest.raises(Exception, match="NULL"):
+        idx.postings.count()
+
+
 def test_zigzag_roundtrip():
     import numpy as np
 
