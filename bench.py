@@ -91,6 +91,16 @@ TRANSCRIPT_QUERIES = {
     "t_or2_head": ast.Bool(should=[ast.Term("error"), ast.Term("the")]),
 }
 
+# phrase queries run against a SEPARATE positions-bearing index (the
+# main throughput build stays positions-free so build_transcripts is
+# comparable across rounds); the block-pruned positional kernel decodes
+# the head term's position lists only where they overlap the rarer
+# term's candidates
+PHRASE_QUERIES = {
+    "t_phrase_exact": ast.Phrase(["the", "error"]),
+    "t_phrase_slop": ast.Phrase(["error", "query"], slop=3),
+}
+
 
 def timed(fn):
     t0 = time.perf_counter()
@@ -198,6 +208,19 @@ def main() -> None:
                          tidx.postings.count())
             )[0]
 
+            # positional index for phrase queries: built once (1 rep —
+            # positions roughly double the encode work, so it is timed
+            # under its own key, not folded into build_transcripts)
+            pcfg = IndexConfig(segment_size=1 << 15, store_positions=True)
+            pidx = None
+
+            def build_pos_once():
+                nonlocal pidx
+                pidx = build_index(tdf, pcfg).persist(layout="segment")
+                pidx.postings.count()
+
+            tm[f"{prefix}build_transcripts_pos"] = timed(build_pos_once)[0]
+
             # BM25 latency distribution over the reference query set
             t_jobs = {
                 f"{prefix}{name}": (
@@ -205,6 +228,14 @@ def main() -> None:
                 )
                 for name, node in TRANSCRIPT_QUERIES.items()
             }
+            t_jobs.update(
+                {
+                    f"{prefix}{name}": (
+                        lambda n=node: search(pidx, n, size=10).collect()
+                    )
+                    for name, node in PHRASE_QUERIES.items()
+                }
+            )
             # batched execution — the whole workload as ONE Spark job
             # (shared postings scan, one shuffle): the per-query cost an
             # analytics workload actually pays, vs the fixed per-job
@@ -232,6 +263,8 @@ def main() -> None:
                 ),
             }
             tidx.unpersist()
+            if pidx is not None:
+                pidx.unpersist()
             return tm, summary
         finally:
             shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -258,7 +291,10 @@ def main() -> None:
             name: round(
                 timings[f"x10_{name}"] / timings[name], 2
             )
-            for name in list(TRANSCRIPT_QUERIES) + ["batch_all"]
+            for name in (
+                list(TRANSCRIPT_QUERIES) + list(PHRASE_QUERIES)
+                + ["batch_all"]
+            )
         }
     total = time.perf_counter() - total_t0
     print(
