@@ -570,8 +570,19 @@ def search(
 
 
 def total_hits(index: BzzzIndex, query) -> int:
-    """Reference's totalHits (index_search.clj:287-288)."""
-    return execute(index, query).count()
+    """Reference's totalHits (index_search.clj:287-288).
+
+    A bare term's total is its document frequency, answered straight
+    from the dictionary (memoized per snapshot — zero Spark jobs in
+    serving mode), exactly as Lucene reads docFreq from the term
+    dictionary; every other shape counts its matched set."""
+    node = query if isinstance(query, ast.Query) else ast.parse_query(query)
+    if isinstance(node, ast.Term):
+        validate_fields(index, node)
+        key = term_key(index, node.field_name, node.value)
+        meta = index.lookup_terms([key])
+        return int(meta[key][1]) if key in meta else 0
+    return execute(index, node).count()
 
 
 def _sort_specs(sort: list) -> list[tuple[str, str, "F.Column"]]:

@@ -263,8 +263,13 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             out_d: list[np.ndarray] = []
             out_s: list[np.ndarray] = []
             for r in sub.itertuples(index=False):
-                if seen >= k and boost * r.block_max_score <= theta:
-                    break  # all remaining blocks are upper-bounded below θ
+                if seen >= k and boost * r.block_max_score < theta:
+                    # all remaining blocks are upper-bounded BELOW θ.
+                    # Strictly below: a block whose bound EQUALS θ can
+                    # still hold a score-tied doc with a smaller docid,
+                    # which wins the (score desc, docid asc) tie-break
+                    # (e.g. boost=0 makes every score 0)
+                    break
                 d, t, dl = decode_one(r)
                 s = w * _tfc(t, dl, avgdl)
                 out_d.append(d)

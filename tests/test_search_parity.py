@@ -129,10 +129,15 @@ def test_q_boost(small_index, small_oracle):
 
 
 def test_total_hits(small_index, small_oracle):
+    # bare term: answered from the dictionary's df (no matched-set scan)
     node = ast.Term("the")
     assert total_hits(small_index, node) == len(
         small_oracle.execute(node)
     )
+    assert total_hits(small_index, ast.Term("zzqx_nosuch")) == 0
+    # non-term shapes still count the matched set
+    node = ast.Bool(must=[ast.Term("error"), ast.Term("query")])
+    assert total_hits(small_index, node) == len(small_oracle.execute(node))
 
 
 def test_json_dsl_roundtrip(small_index, small_oracle):

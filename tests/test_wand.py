@@ -382,6 +382,18 @@ def test_negative_boost_falls_back_and_stays_exact(small_index,
         assert got == want, node
 
 
+def test_zero_boost_score_ties_break_by_docid(small_index, small_oracle):
+    """boost=0 makes every score 0 — the block-max break must not stop
+    at score-tied blocks, because the (score desc, docid asc) tie-break
+    means the k SMALLEST docids win and those can live in any block."""
+    node = ast.Term("the", boost=0.0)
+    got = [(r["docid"], r["score"]) for r in
+           wand_search(small_index, node, size=5).collect()]
+    want = small_oracle.search(node, size=5)
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    assert all(s == 0.0 for _, s in got)
+
+
 def test_docvalue_null_rejected_at_build(spark):
     import pandas as pd
     import pytest as _pytest
