@@ -109,6 +109,47 @@ _wand_bool = st.builds(
 )
 
 
+# top-level wildcard/fuzzy: the constant-score 'any' kernel (round-3)
+# — early termination at the k smallest docids must never change
+# results vs the exhaustive executor and the oracle
+_glob = st.builds(
+    lambda term, cut, star, lead: (
+        ("*" if lead else "")
+        + term[:cut]
+        + ("*" if star else "?" * max(0, min(2, len(term) - cut)))
+    ),
+    st.sampled_from([v for v in VOCAB if len(v) >= 2]),
+    st.integers(1, 4),
+    st.booleans(),
+    st.booleans(),
+)
+_multiterm = st.one_of(
+    st.builds(lambda g, b: ast.Wildcard(g, boost=b), _glob,
+              st.sampled_from([1.0, 2.0])),
+    st.builds(
+        lambda t, d, p: ast.Fuzzy(t, max_edits=d, prefix_len=p),
+        st.sampled_from(VOCAB),
+        st.integers(1, 2),
+        st.integers(0, 1),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_multiterm, st.sampled_from([1, 5, 25]))
+def test_random_multiterm_any_kernel_matches_oracle(
+    small_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(small_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert got == want, (node, size)
+    slow = [(r["docid"], r["score"]) for r in
+            search(small_index, node, size=size, use_wand=False).collect()]
+    assert got == slow, (node, size)
+
+
 # should-only bools with msm + exclusions at varying k: the MaxScore
 # disjunction path (round-3) — θ-pruning must never change results
 _wand_or = st.builds(
