@@ -56,9 +56,11 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -94,7 +96,11 @@ def main():
             failed.append(name)
         else:
             print(f"OK   {name}: {len(s)} rows [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    skipped = len(qs) - n_ran
+    print(
+        f"\n{n_ran - len(failed)}/{n_ran} passed"
+        + (f" ({skipped} skipped by filter {only!r})" if skipped else "")
+    )
     if failed:
         print("failed:", failed)
         sys.exit(1)
