@@ -160,34 +160,51 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     dv_want = tuple(dict.fromkeys(r.field_name for r in ranges))
 
     def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
-        def keep_mask(cand_d: np.ndarray) -> np.ndarray:
-            """True for candidates NOT matched by any must_not term."""
-            if not neg_tids or cand_d.size == 0:
-                return np.ones(cand_d.size, dtype=bool)
-            sub = blocks[blocks["term_id"].isin(neg_tids)]
-            if len(sub):
-                lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(),
-                                     "left")
-                hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(),
-                                     "right")
-                sub = sub[hi > lo]  # block-range pruning vs candidates
-            if len(sub) == 0:
-                return np.ones(cand_d.size, dtype=bool)
-            e = np.unique(
-                np.concatenate(
-                    [
-                        decode_block(r.first_docid, r.count, r.doc_gaps,
-                                     r.tfs)[0]
-                        for r in sub.itertuples(index=False)
-                    ]
-                )
-            )
-            idx = np.clip(np.searchsorted(e, cand_d), 0, e.size - 1)
-            return e[idx] != cand_d
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if len(blocks) == 0:
             return empty
+
+        # incremental must_not (Lucene ReqExclScorer): exclusion blocks
+        # decode lazily, only when their docid range first overlaps a
+        # candidate batch; every decoded exclusion docid is remembered
+        # so later batches check the full decoded set without re-decode
+        if neg_tids:
+            neg_all = blocks[blocks["term_id"].isin(neg_tids)].reset_index(
+                drop=True
+            )
+            neg_done = np.zeros(len(neg_all), dtype=bool)
+            neg_first = neg_all["first_docid"].to_numpy()
+            neg_last = neg_all["last_docid"].to_numpy()
+        neg_docs = np.empty(0, dtype=np.int64)
+
+        def keep_sorted(d_sorted: np.ndarray) -> np.ndarray:
+            """bool mask over a SORTED docid batch: True where the doc
+            is NOT matched by any must_not term."""
+            nonlocal neg_docs
+            if not neg_tids or d_sorted.size == 0:
+                return np.ones(d_sorted.size, dtype=bool)
+            lo = np.searchsorted(d_sorted, neg_first, "left")
+            hi = np.searchsorted(d_sorted, neg_last, "right")
+            need = (hi > lo) & ~neg_done
+            if need.any():
+                rows = neg_all[need]
+                neg_done[need] = True
+                neg_docs = np.union1d(
+                    neg_docs,
+                    np.concatenate(
+                        [
+                            decode_block(r.first_docid, r.count, r.doc_gaps,
+                                         r.tfs)[0]
+                            for r in rows.itertuples(index=False)
+                        ]
+                    ),
+                )
+            if neg_docs.size == 0:
+                return np.ones(d_sorted.size, dtype=bool)
+            idx = np.clip(np.searchsorted(neg_docs, d_sorted), 0,
+                          neg_docs.size - 1)
+            return neg_docs[idx] != d_sorted
 
         def decode_one(r):
             d, t = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
@@ -281,52 +298,124 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             return topk(np.concatenate(out_d), np.concatenate(out_s))
 
         if mode == "and":
-            # rarest term first (fewest postings in this segment);
-            # exclusion terms are not conjuncts — drop them from sizes
+            # Block-max conjunction (Lucene BlockMaxConjunctionScorer,
+            # block-at-a-time): the rarest term's blocks are processed
+            # in DESCENDING block-max-score chunks; once θ (the kth
+            # best completed match) exceeds the next chunk's bound plus
+            # the other terms' global upper bounds, the remaining rare
+            # blocks cannot host a top-k doc and are never decoded.
+            # Within each chunk the original block-granular leapfrog
+            # applies: other terms decode only blocks overlapping the
+            # chunk's surviving candidates (cached across chunks, so
+            # nothing decodes twice).  Exclusion terms are not
+            # conjuncts — drop them from sizes.
             sizes = blocks.groupby("term_id")["count"].sum()
             sizes = sizes[sizes.index.isin(list(qmeta))]
             if len(sizes) < len(qmeta):
                 return empty  # a must-term has no postings in this segment
             t_order = list(sizes.sort_values().index)
-            rsub = blocks[blocks["term_id"] == t_order[0]]
-            cand_d, cand_t, cand_dl, dvv = decode(rsub, dv_want)
-            if ranges:
-                # doc-value range predicates prune at FIRST decode —
-                # every later term's block set shrinks accordingly
-                m = np.ones(cand_d.size, dtype=bool)
-                for rg in ranges:
-                    v = dvv[rg.field_name]
-                    if rg.min is not None:
-                        m &= (v >= rg.min) if rg.min_inclusive else (v > rg.min)
-                    if rg.max is not None:
-                        m &= (v <= rg.max) if rg.max_inclusive else (v < rg.max)
-                cand_d, cand_t, cand_dl = cand_d[m], cand_t[m], cand_dl[m]
+            rare_tid = t_order[0]
+            others = t_order[1:]
+            w_r, boost_r = qmeta[rare_tid]
+            ub_others = 0.0
+            osub: dict = {}
+            ocache: dict = {}
+            for tid in others:
+                sub = blocks[blocks["term_id"] == tid].sort_values(
+                    "first_docid").reset_index(drop=True)
+                osub[tid] = sub
+                ocache[tid] = {}
+                ub_others += qmeta[tid][1] * float(
+                    sub["block_max_score"].max()
+                )
+                if stats is not None:
+                    stats.setdefault("total_blocks", {})[tid] = len(sub)
+            rsub = blocks[blocks["term_id"] == rare_tid].sort_values(
+                "block_max_score", ascending=False)
+            if stats is not None:
+                stats.setdefault("total_blocks", {})[rare_tid] = len(rsub)
+            theta = -np.inf
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            seen = 0
+            CHUNK = 8
+            for start in range(0, len(rsub), CHUNK):
+                chunk = rsub.iloc[start:start + CHUNK]
+                bound = (boost_r * float(chunk["block_max_score"].iloc[0])
+                         + ub_others + range_boost)
+                if seen >= k and bound < theta:
+                    # strictly below θ: a bound-tied doc could still
+                    # win the docid tie-break, so ties keep decoding
+                    break
+                cand_d, cand_t, cand_dl, dvv = decode(chunk, dv_want)
+                if stats is not None:
+                    db = stats.setdefault("decoded_blocks", {})
+                    db[rare_tid] = db.get(rare_tid, 0) + len(chunk)
+                if ranges:
+                    # doc-value range predicates prune at FIRST decode —
+                    # every later term's block set shrinks accordingly
+                    m = np.ones(cand_d.size, dtype=bool)
+                    for rg in ranges:
+                        v = dvv[rg.field_name]
+                        if rg.min is not None:
+                            m &= ((v >= rg.min) if rg.min_inclusive
+                                  else (v > rg.min))
+                        if rg.max is not None:
+                            m &= ((v <= rg.max) if rg.max_inclusive
+                                  else (v < rg.max))
+                    cand_d, cand_t, cand_dl = cand_d[m], cand_t[m], cand_dl[m]
                 if cand_d.size == 0:
-                    return empty
-            w, _ = qmeta[t_order[0]]
-            acc = w * _tfc(cand_t, cand_dl, avgdl) + range_boost
-            for tid in t_order[1:]:
-                sub = blocks[blocks["term_id"] == tid]
-                # block-granular leapfrog: skip blocks whose
-                # [first_docid, last_docid] range holds no candidate
-                lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(), "left")
-                hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(), "right")
-                sub = sub[hi > lo]
-                if len(sub) == 0:
-                    return empty
-                d, t, dl, _ = decode(sub)
-                w, _ = qmeta[tid]
-                pos = np.searchsorted(d, cand_d)
-                pos = np.clip(pos, 0, d.size - 1)
-                hit = d[pos] == cand_d
-                if not hit.any():
-                    return empty
-                cand_d = cand_d[hit]
-                acc = acc[hit] + w * _tfc(t[pos[hit]], dl[pos[hit]], avgdl)
-            km = keep_mask(cand_d)
-            if not km.any():
+                    continue
+                acc = w_r * _tfc(cand_t, cand_dl, avgdl) + range_boost
+                for tid in others:
+                    sub = osub[tid]
+                    # block-granular leapfrog: skip blocks whose
+                    # [first_docid, last_docid] range holds no candidate
+                    lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(),
+                                         "left")
+                    hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(),
+                                         "right")
+                    need = np.flatnonzero(hi > lo)
+                    if need.size == 0:
+                        cand_d = cand_d[:0]
+                        break
+                    cache = ocache[tid]
+                    miss = [int(i) for i in need if int(i) not in cache]
+                    if miss:
+                        for i, r in zip(
+                            miss, sub.iloc[miss].itertuples(index=False)
+                        ):
+                            cache[i] = decode_one(r)
+                        if stats is not None:
+                            db = stats.setdefault("decoded_blocks", {})
+                            db[tid] = db.get(tid, 0) + len(miss)
+                    # `need` ascends and one term's blocks have disjoint
+                    # ascending docid ranges → the concatenation is sorted
+                    d = np.concatenate([cache[int(i)][0] for i in need])
+                    t = np.concatenate([cache[int(i)][1] for i in need])
+                    dl = np.concatenate([cache[int(i)][2] for i in need])
+                    pos = np.clip(np.searchsorted(d, cand_d), 0, d.size - 1)
+                    hit = d[pos] == cand_d
+                    if not hit.any():
+                        cand_d = cand_d[:0]
+                        break
+                    cand_d = cand_d[hit]
+                    w, _b = qmeta[tid]
+                    acc = acc[hit] + w * _tfc(t[pos[hit]], dl[pos[hit]], avgdl)
+                if cand_d.size == 0:
+                    continue
+                km = keep_sorted(cand_d)
+                if not km.any():
+                    continue
+                out_d.append(cand_d[km])
+                out_s.append(acc[km])
+                seen += int(km.sum())
+                if seen >= k:
+                    flat = np.concatenate(out_s)
+                    theta = np.partition(flat, flat.size - k)[flat.size - k]
+            if not out_d:
                 return empty
-            return topk(cand_d[km], acc[km])
+            return topk(np.concatenate(out_d), np.concatenate(out_s))
 
         # mode == "or": MaxScore (Turtle & Flood) over a dense
         # accumulator.  A doc first seen at term i (descending-UB
@@ -362,45 +451,13 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         msm_eff = max(msm, 1)
         theta = -np.inf
 
-        # incremental must_not (ReqExclScorer): neg blocks are decoded
-        # only when their docid range first overlaps admitted
-        # candidates; every decoded exclusion docid is remembered so
-        # later admissions check the full decoded set
-        if neg_tids:
-            neg_all = blocks[blocks["term_id"].isin(neg_tids)].reset_index(
-                drop=True
-            )
-            neg_done = np.zeros(len(neg_all), dtype=bool)
-            neg_first = neg_all["first_docid"].to_numpy()
-            neg_last = neg_all["last_docid"].to_numpy()
-        neg_docs = np.empty(0, dtype=np.int64)
-
         def exclude_new(new_d: np.ndarray) -> None:
-            """Mark admitted docids matched by any must_not term."""
-            nonlocal neg_docs
+            """Mark admitted docids matched by any must_not term
+            (lazy block decode + caching via keep_sorted)."""
             if not neg_tids or new_d.size == 0:
                 return
-            lo = np.searchsorted(new_d, neg_first, "left")
-            hi = np.searchsorted(new_d, neg_last, "right")
-            need = (hi > lo) & ~neg_done
-            if need.any():
-                rows = neg_all[need]
-                neg_done[need] = True
-                neg_docs = np.union1d(
-                    neg_docs,
-                    np.concatenate(
-                        [
-                            decode_block(r.first_docid, r.count, r.doc_gaps,
-                                         r.tfs)[0]
-                            for r in rows.itertuples(index=False)
-                        ]
-                    ),
-                )
-            if neg_docs.size:
-                idx = np.clip(np.searchsorted(neg_docs, new_d), 0,
-                              neg_docs.size - 1)
-                bad = new_d[neg_docs[idx] == new_d]
-                excl[bad - base] = True
+            m = keep_sorted(new_d)
+            excl[new_d[~m] - base] = True
 
         def update_theta() -> None:
             nonlocal theta

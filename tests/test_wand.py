@@ -363,6 +363,69 @@ def test_any_kernel_stops_at_k_smallest_docids(spark):
     assert stats["decoded_blocks"] <= 6, stats
 
 
+def test_and_kernel_blockmax_prunes_rare_blocks(spark):
+    """Block-max conjunction: with k=1 and one clearly-best doc, θ from
+    the first (highest-bound) chunk must prune the remaining rare-term
+    chunks — decoded blocks stay near CHUNK, not the full posting list
+    (Lucene BlockMaxConjunctionScorer discipline)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    # uniform dl=4 so norms cannot reorder; doc 100 carries tf=2 of
+    # both terms -> its block's max score dominates every other block
+    texts = ["aa bb c0 d0"] * 400
+    texts[100] = "aa aa bb bb"
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["aa", "bb"])
+    qmeta = {
+        int(meta[t][0]): (idf_fn(n_docs, meta[t][1]), 1.0)
+        for t in ("aa", "bb")
+    }
+    blocks = idx.postings.filter(
+        F.col("term_id").isin(sorted(qmeta))
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "and", 2, 1, avgdl, 1 << 14, stats=stats)
+    out = kernel(blocks).sort_values(
+        ["score", "docid"], ascending=[False, True]
+    ).head(1)
+    want = [
+        (r["docid"], round(r["score"], 9))
+        for r in search(
+            idx,
+            ast.Bool(must=[ast.Term("aa"), ast.Term("bb")]),
+            size=1,
+            use_wand=False,
+        ).collect()
+    ]
+    got = [(int(d), round(float(s), 9)) for d, s in
+           zip(out["docid"], out["score"])]
+    assert got == want == [(100, want[0][1])]
+    for tid in map(int, (meta["aa"][0], meta["bb"][0])):
+        assert stats["total_blocks"][tid] >= 50  # 400 docs / 8 per block
+        # θ after the first chunk prunes everything else
+        assert stats["decoded_blocks"][tid] <= 9, stats
+
+
 def test_negative_boost_falls_back_and_stays_exact(small_index,
                                                    small_oracle):
     """block_max_score is an UPPER bound only for non-negative weights;
