@@ -320,11 +320,15 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             ub_others = 0.0
             osub: dict = {}
             ocache: dict = {}
+            obounds: dict = {}
             for tid in others:
                 sub = blocks[blocks["term_id"] == tid].sort_values(
                     "first_docid").reset_index(drop=True)
                 osub[tid] = sub
                 ocache[tid] = {}
+                # block-range metadata is chunk-invariant — extract once
+                obounds[tid] = (sub["first_docid"].to_numpy(),
+                                sub["last_docid"].to_numpy())
                 ub_others += qmeta[tid][1] * float(
                     sub["block_max_score"].max()
                 )
@@ -337,6 +341,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             theta = -np.inf
             out_d: list[np.ndarray] = []
             out_s: list[np.ndarray] = []
+            best = np.empty(0, dtype=np.float64)
             seen = 0
             CHUNK = 8
             for start in range(0, len(rsub), CHUNK):
@@ -371,10 +376,9 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     sub = osub[tid]
                     # block-granular leapfrog: skip blocks whose
                     # [first_docid, last_docid] range holds no candidate
-                    lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(),
-                                         "left")
-                    hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(),
-                                         "right")
+                    first_d, last_d = obounds[tid]
+                    lo = np.searchsorted(cand_d, first_d, "left")
+                    hi = np.searchsorted(cand_d, last_d, "right")
                     need = np.flatnonzero(hi > lo)
                     if need.size == 0:
                         cand_d = cand_d[:0]
@@ -407,12 +411,19 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 km = keep_sorted(cand_d)
                 if not km.any():
                     continue
+                kept = acc[km]
                 out_d.append(cand_d[km])
-                out_s.append(acc[km])
-                seen += int(km.sum())
+                out_s.append(kept)
+                seen += kept.size
+                # θ via a bounded running top-k: O(chunk + k) per
+                # update instead of re-partitioning every accumulated
+                # score each chunk
+                best = (np.concatenate([best, kept])
+                        if best.size else kept)
+                if best.size > k:
+                    best = np.partition(best, best.size - k)[best.size - k:]
                 if seen >= k:
-                    flat = np.concatenate(out_s)
-                    theta = np.partition(flat, flat.size - k)[flat.size - k]
+                    theta = best.min()
             if not out_d:
                 return empty
             return topk(np.concatenate(out_d), np.concatenate(out_s))
