@@ -242,3 +242,104 @@ def simhash_pairs(
     return pairs.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the exact-substring
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (2022), at token-n-gram granularity: a training
+    pipeline drops or masks the flagged spans instead of whole docs.
+
+    For every document, finds the token positions covered by at least
+    one n-gram occurring in >= min_df DISTINCT documents and merges
+    them into maximal [start, end) token spans (0-based, end
+    exclusive).  Returns one row per affected doc:
+    (id_col, spans: array<struct<start,end>>,
+     repeated_token_frac: double, n_tokens: int); clean docs are
+    absent.
+
+    Scale shape (~10^11 docs): tokenize + posexplode are narrow; the
+    corpus doc-frequency count is ONE groupBy on a uniform md5 gram
+    key (no skew); the join back is hash-partitioned on that same key;
+    the span merge is a per-doc window.  No pair generation anywhere —
+    each n-gram occurrence contributes exactly one row, so total work
+    is linear in the corpus token count (a suffix-array construction,
+    the paper's single-node shape, does not distribute; this does).
+    """
+    from bzzz_spark.functions.text import standard_tokenize
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        standard_tokenize(F.col(text_col)).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    # positional n-grams: pos is the 0-based token index of gram start
+    grams = base.select(
+        "id",
+        "n_tokens",
+        F.posexplode(
+            # docs shorter than n yield no grams (sequence(1, 0) would
+            # DESCEND through 0 and crash slice(), so guard explicitly)
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                    lambda i: F.md5(F.array_join(F.slice("toks", i, n), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    freq = (
+        grams.select("gram", "id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+    )
+    flagged = grams.join(freq, "gram").select("id", "n_tokens", "pos")
+    # merge overlapping [pos, pos+n) windows per doc: classic island
+    # detection, entirely JVM-side (lag-free: a window starts a new
+    # island iff it begins past the running max end of its predecessors)
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        flagged.withColumn(
+            "prev_max_end",
+            F.max(F.col("pos") + n).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max_end").isNull()
+                | (F.col("pos") > F.col("prev_max_end"))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    spans = islands.groupBy("id", "n_tokens", "island").agg(
+        F.min("pos").alias("start"),
+        F.max(F.col("pos") + n).alias("end"),
+    )
+    return (
+        spans.groupBy("id", "n_tokens")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("start", "end"))
+            ).alias("spans"),
+            F.sum(F.col("end") - F.col("start")).alias("rep_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "spans",
+            (F.col("rep_tokens") / F.col("n_tokens"))
+            .cast("double")
+            .alias("repeated_token_frac"),
+            "n_tokens",
+        )
+    )

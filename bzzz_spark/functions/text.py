@@ -116,18 +116,25 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct token n-gram shingles (strings joined by single spaces)."""
+    """Distinct token n-gram shingles (strings joined by single spaces).
+
+    Docs shorter than n tokens yield an empty array — guarded
+    explicitly, because Spark's sequence(1, 0) produces a DESCENDING
+    [1, 0] whose 0 then crashes slice()."""
     c = F.col(col) if isinstance(col, str) else col
     toks = standard_tokenize(c)
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-            lambda s: F.length(s) > 0,
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -331,3 +331,57 @@ def test_ivf_trained_centroids_recall(spark):
     c1 = train_centroids(emb, 8)
     c2 = train_centroids(emb, 8)
     assert np.allclose(c1, c2)
+
+
+def test_repeated_ngram_spans_hand_checked(spark):
+    """Lee et al.-style span dedup: hand-computed spans, overlap
+    merging, frac, and clean-doc absence."""
+    from bzzz_spark.functions.dedup import repeated_ngram_spans
+
+    rows = [
+        ("A", "the quick brown fox jumps over a lazy dog"),   # 9 toks
+        ("B", "xx yy the quick brown fox zz"),                # 7 toks
+        ("C", "totally unrelated content here now"),          # clean
+        ("D", "a b c d e f"),                                 # overlap-merge
+        ("E", "a b c d e g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_ngram_spans(df, n=4, min_df=2).collect()
+    }
+    assert set(out) == {"A", "B", "D", "E"}
+    # A and B share exactly the 4-gram "the quick brown fox"
+    assert [(s["start"], s["end"]) for s in out["A"]["spans"]] == [(0, 4)]
+    assert [(s["start"], s["end"]) for s in out["B"]["spans"]] == [(2, 6)]
+    assert math.isclose(out["A"]["repeated_token_frac"], 4 / 9)
+    assert math.isclose(out["B"]["repeated_token_frac"], 4 / 7)
+    # D and E share "a b c d" and "b c d e": windows [0,4) and [1,5)
+    # must merge into one [0,5) span
+    for k, ntok in (("D", 6), ("E", 6)):
+        assert [(s["start"], s["end"]) for s in out[k]["spans"]] == [(0, 5)]
+        assert out[k]["n_tokens"] == ntok
+        assert math.isclose(out[k]["repeated_token_frac"], 5 / 6)
+    # min_df above the corpus multiplicity flags nothing
+    assert repeated_ngram_spans(df, n=4, min_df=3).count() == 0
+    # docs shorter than n never appear
+    tiny = spark.createDataFrame(
+        [("T1", "a b"), ("T2", "a b")], "doc_id string, text string"
+    )
+    assert repeated_ngram_spans(tiny, n=4, min_df=2).count() == 0
+
+
+def test_shingles_short_doc_no_crash(spark):
+    """Docs shorter than the shingle width must yield an empty array,
+    not crash (Spark's sequence(1, 0) descends through 0, which
+    slice() rejects)."""
+    from bzzz_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [("S", "one two"), ("L", "one two three four five")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r["sh"]
+            for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
+    assert rows["S"] == []
+    assert "one two three" in rows["L"]
