@@ -151,3 +151,27 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def intra_doc_repetition(col: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: the fraction of token n-grams that
+    are duplicates of an earlier n-gram in the SAME document (one of
+    the Gopher/MassiveText quality-filter signals — high values mean
+    boilerplate or looping text).  0.0 for docs with < n tokens.
+    Pure column expression; pairs with repeated_ngram_spans (dedup.py)
+    which handles the CROSS-document case."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = standard_tokenize(c)
+    all_grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(all_grams)
+    return F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(all_grams)))
+        / total.cast("double"),
+    ).otherwise(F.lit(0.0))

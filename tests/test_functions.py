@@ -385,3 +385,21 @@ def test_shingles_short_doc_no_crash(spark):
             for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
     assert rows["S"] == []
     assert "one two three" in rows["L"]
+
+
+def test_intra_doc_repetition(spark):
+    from bzzz_spark.functions.text import intra_doc_repetition
+
+    df = spark.createDataFrame(
+        [
+            ("loop", "a b c a b c a b c"),   # 7 grams, 3 distinct -> 4/7
+            ("clean", "one two three four"),  # 2 grams, distinct -> 0
+            ("tiny", "x y"),                  # < n tokens -> 0
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", intra_doc_repetition("text", 3).alias("rep")).collect()}
+    assert math.isclose(got["loop"], 4 / 7)
+    assert got["clean"] == 0.0
+    assert got["tiny"] == 0.0
