@@ -343,3 +343,45 @@ def repeated_ngram_spans(
             "n_tokens",
         )
     )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Apply repeated_ngram_spans: every doc comes back with a
+    `text_clean` column whose flagged token spans are removed (tokens
+    re-joined by single spaces — analyzer-normalized, which is the form
+    a training pipeline tokenizes anyway) plus `repeated_token_frac`
+    (0.0 for untouched docs).  Docs with no flagged spans pass through
+    with text_clean == the token-joined text."""
+    from bzzz_spark.functions.text import standard_tokenize
+
+    spans = repeated_ngram_spans(df, text_col, id_col, n=n, min_df=min_df)
+    joined = df.join(
+        spans.select(id_col, "spans", "repeated_token_frac"),
+        id_col,
+        "left",
+    )
+    toks = standard_tokenize(F.col(text_col))
+    # keep token i unless some [start, end) span covers it — spans per
+    # doc are few (merged maximal islands), so the exists() is cheap
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.coalesce(
+            F.exists(
+                F.col("spans"),
+                lambda s: (i >= s["start"]) & (i < s["end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.withColumn(
+        "text_clean", F.array_join(kept, " ")
+    ).withColumn(
+        "repeated_token_frac",
+        F.coalesce(F.col("repeated_token_frac"), F.lit(0.0)),
+    ).drop("spans")

@@ -403,3 +403,24 @@ def test_intra_doc_repetition(spark):
     assert math.isclose(got["loop"], 4 / 7)
     assert got["clean"] == 0.0
     assert got["tiny"] == 0.0
+
+
+def test_strip_repeated_spans(spark):
+    from bzzz_spark.functions.dedup import strip_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            ("A", "intro words shared boiler plate text here tail"),
+            ("B", "other shared boiler plate text here end bit"),
+            ("C", "completely unique document body"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_repeated_spans(df, n=5, min_df=2).collect()}
+    # A tokens: intro words [shared boiler plate text here] tail
+    assert out["A"]["text_clean"] == "intro words tail"
+    assert out["B"]["text_clean"] == "other end bit"
+    assert out["C"]["text_clean"] == "completely unique document body"
+    assert out["C"]["repeated_token_frac"] == 0.0
+    assert out["A"]["repeated_token_frac"] > 0.5
