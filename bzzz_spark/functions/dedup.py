@@ -357,12 +357,27 @@ def strip_repeated_spans(
     re-joined by single spaces — analyzer-normalized, which is the form
     a training pipeline tokenizes anyway) plus `repeated_token_frac`
     (0.0 for untouched docs).  Docs with no flagged spans pass through
-    with text_clean == the token-joined text."""
+    with text_clean == the token-joined text.
+
+    Output columns `text_clean` and `repeated_token_frac` are reserved:
+    an input that already carries either raises (silently overwriting
+    caller data would be worse); the helper join uses a collision-safe
+    internal name so an input `spans` column passes through intact."""
     from bzzz_spark.functions.text import standard_tokenize
 
+    clash = {"text_clean", "repeated_token_frac"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"strip_repeated_spans writes output column(s) {sorted(clash)} "
+            "which already exist on the input — rename them first"
+        )
     spans = repeated_ngram_spans(df, text_col, id_col, n=n, min_df=min_df)
     joined = df.join(
-        spans.select(id_col, "spans", "repeated_token_frac"),
+        spans.select(
+            id_col,
+            F.col("spans").alias("__bzzz_spans"),
+            "repeated_token_frac",
+        ),
         id_col,
         "left",
     )
@@ -373,7 +388,7 @@ def strip_repeated_spans(
         toks,
         lambda t, i: ~F.coalesce(
             F.exists(
-                F.col("spans"),
+                F.col("__bzzz_spans"),
                 lambda s: (i >= s["start"]) & (i < s["end"]),
             ),
             F.lit(False),
@@ -384,4 +399,4 @@ def strip_repeated_spans(
     ).withColumn(
         "repeated_token_frac",
         F.coalesce(F.col("repeated_token_frac"), F.lit(0.0)),
-    ).drop("spans")
+    ).drop("__bzzz_spans")

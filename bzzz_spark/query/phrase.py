@@ -239,14 +239,22 @@ def _sloppy_freqs_k(legs, slop: int, n_cand: int):
 
 def phrase_segment_kernel(
     blocks: pd.DataFrame, tid_order: list[int], slop: int,
-    stats: dict | None = None,
+    stats: dict | None = None, restrict: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One segment's phrase evaluation → (docid, ptf, dl).
 
     ``stats`` (tests/plan audits) accumulates
     {"total_blocks": {tid: n}, "decoded_blocks": {tid: n}} — the pruning
     guarantee is decoded_blocks[head] << total_blocks[head] when a rare
-    term anchors the phrase."""
+    term anchors the phrase.
+
+    ``restrict`` (sorted docid array): pre-established candidate set
+    from an enclosing conjunction (the WAND mixed-conjunction path —
+    `error AND "stack trace"` hands the phrase only error's survivors).
+    Every leg's blocks — including the rarest — are pruned against it,
+    and the output docids are a subset of it."""
+    if restrict is not None and restrict.size == 0:
+        return _EMPTY
     uniq = list(dict.fromkeys(int(t) for t in tid_order))
     per = {}
     for tid in uniq:
@@ -262,11 +270,14 @@ def phrase_segment_kernel(
     cand = cand_dl = None
     for i, tid in enumerate(order):
         sub = per[tid]
-        if i > 0:
+        bound_to = cand if i > 0 else restrict
+        if bound_to is not None:
             # block-range pruning: decode only blocks that can hold a
             # surviving candidate
-            lo = np.searchsorted(cand, sub["first_docid"].to_numpy(), "left")
-            hi = np.searchsorted(cand, sub["last_docid"].to_numpy(), "right")
+            lo = np.searchsorted(bound_to, sub["first_docid"].to_numpy(),
+                                 "left")
+            hi = np.searchsorted(bound_to, sub["last_docid"].to_numpy(),
+                                 "right")
             sub = sub[hi > lo]
             if len(sub) == 0:
                 return _EMPTY
@@ -277,6 +288,14 @@ def phrase_segment_kernel(
         decoded[tid] = (d, tf, flat_pos)
         if i == 0:
             cand, cand_dl = d, dl
+            if restrict is not None:
+                idx = np.clip(
+                    np.searchsorted(restrict, cand), 0, restrict.size - 1
+                )
+                hit = restrict[idx] == cand
+                cand, cand_dl = cand[hit], cand_dl[hit]
+                if cand.size == 0:
+                    return _EMPTY
         else:
             idx = np.clip(np.searchsorted(d, cand), 0, d.size - 1)
             hit = d[idx] == cand

@@ -77,52 +77,137 @@ from bzzz_spark.query import ast
 from bzzz_spark.query.scoring import idf as idf_fn
 
 
-def classify(node: ast.Query):
-    """('term'|'and'|'or', [(value, boost)], msm, boost, [neg_values])
-    for flat shapes — Term, or Bool over Terms incl. must_not Terms —
-    else None (executor fallback).  Exclusions ride the kernel: Lucene's
-    ReqExclScorer is the same per-leaf advance-and-skip.
+from dataclasses import dataclass, field as _dc_field
+
+
+@dataclass
+class FlatShape:
+    """A query shape the block-max kernels can serve directly.
+
+    terms:   (value, boost, scored) — scored=False for filter-arm
+             conjuncts (Filtered semantics: intersect, contribute 0).
+    phrases: (term_values, slop, boost, scored) — and-mode conjuncts
+             served by phrase_segment_kernel as pseudo-terms.
+    ranges:  (Range, contrib) — contrib is the score the predicate adds
+             per match (node.boost for Bool must-ranges, 0.0 for
+             Filtered filter-ranges)."""
+
+    mode: str  # 'term' | 'and' | 'or'
+    terms: list = _dc_field(default_factory=list)
+    phrases: list = _dc_field(default_factory=list)
+    msm: int = 1
+    neg: list = _dc_field(default_factory=list)
+    ranges: list = _dc_field(default_factory=list)
+
+
+def _flat_conjuncts(nodes, scored: bool):
+    """Term/Range/Phrase nodes → FlatShape component lists, or None if
+    any node is out of kernel scope."""
+    terms, phrases, ranges = [], [], []
+    for q in nodes:
+        if isinstance(q, ast.Term):
+            if q.boost < 0:
+                return None
+            terms.append((q.value, q.boost, scored))
+        elif isinstance(q, ast.Range):
+            if q.boost < 0:
+                return None
+            ranges.append((q, q.boost if scored else 0.0))
+        elif isinstance(q, ast.Phrase):
+            if q.boost < 0:
+                return None
+            if q.slop > 0 and len(set(q.terms)) != len(q.terms):
+                return None  # pinned subset: sloppy repeats raise later
+            phrases.append((tuple(q.terms), q.slop, q.boost, scored))
+        else:
+            return None
+    return terms, phrases, ranges
+
+
+def classify(node: ast.Query) -> FlatShape | None:
+    """FlatShape for kernel-servable shapes, else None (executor
+    fallback).  Servable: Term; Bool over Terms/Ranges/Phrases in must
+    + Terms in must_not + Terms in should (no mixing must and should);
+    Filtered whose query is a servable term/and shape and whose filter
+    is a Term/Range/Phrase or a Bool(must/must_not) of those (filter
+    conjuncts intersect without scoring — Lucene FilteredQuery).
+    Exclusions ride the kernel: Lucene's ReqExclScorer is the same
+    per-leaf advance-and-skip.
 
     Negative boosts fall back: block_max_score bounds assume
     non-negative term weights (for w < 0 the block 'max' is a LOWER
     bound and θ-pruning would drop true top-k docs); Lucene itself
-    rejects boost < 0 since 7.0 — the exhaustive plan serves them."""
+    rejects boost < 0 since 7.0 — the exhaustive plan serves them.
+    Phrase + Range in one conjunction also falls back (doc-values are
+    decoded on the term path only)."""
     if isinstance(node, ast.Term):
         if node.boost < 0:
             return None
-        return ("term", [(node.value, node.boost)], 1, 1.0, [], [])
+        return FlatShape("term", [(node.value, node.boost, True)])
     if isinstance(node, ast.Bool) and node.boost == 1.0:
-        leaves = list(node.must) + list(node.should)
-        if any(
-            isinstance(q, (ast.Term, ast.Range)) and q.boost < 0
-            for q in leaves
-        ):
-            return None
         if not all(isinstance(q, ast.Term) for q in node.must_not):
+            return None
+        if any(q.boost < 0 for q in node.must_not):
             return None
         neg = [q.value for q in node.must_not]
         if node.must and not node.should:
-            terms = [q for q in node.must if isinstance(q, ast.Term)]
-            ranges = [q for q in node.must if isinstance(q, ast.Range)]
-            if terms and len(terms) + len(ranges) == len(node.must):
-                return (
-                    "and",
-                    [(q.value, q.boost) for q in terms],
-                    len(terms),
-                    node.boost,
-                    neg,
-                    ranges,
-                )
+            parts = _flat_conjuncts(node.must, scored=True)
+            if parts is None:
+                return None
+            terms, phrases, ranges = parts
+            if not (terms or phrases):
+                return None  # pure-range conjunction: docs-table plan
+            if phrases and ranges:
+                return None
+            return FlatShape("and", terms, phrases, len(terms), neg, ranges)
         if node.should and not node.must:
-            if all(isinstance(q, ast.Term) for q in node.should):
-                return (
+            if all(
+                isinstance(q, ast.Term) and q.boost >= 0 for q in node.should
+            ):
+                return FlatShape(
                     "or",
-                    [(q.value, q.boost) for q in node.should],
+                    [(q.value, q.boost, True) for q in node.should],
+                    [],
                     node.effective_msm(),
-                    node.boost,
                     neg,
                     [],
                 )
+        return None
+    if isinstance(node, ast.Filtered) and node.boost == 1.0:
+        base = classify(node.query)
+        if base is None or base.mode == "or":
+            return None
+        f = node.filter
+        if isinstance(f, ast.Bool) and f.boost == 1.0 and not f.should:
+            if not f.must:
+                # a Bool with only must_not matches NOTHING (Lucene
+                # semantics) — lowering it to a bare exclusion would
+                # instead match everything-but; fall back
+                return None
+            if not all(isinstance(q, ast.Term) for q in f.must_not):
+                return None
+            fparts = _flat_conjuncts(f.must, scored=False)
+            fneg = [q.value for q in f.must_not]
+        elif isinstance(f, (ast.Term, ast.Range, ast.Phrase)):
+            fparts = _flat_conjuncts([f], scored=False)
+            fneg = []
+        else:
+            return None
+        if fparts is None:
+            return None
+        fterms, fphrases, franges = fparts
+        terms = base.terms + fterms
+        phrases = base.phrases + fphrases
+        ranges = base.ranges + franges
+        if not (terms or phrases):
+            return None
+        if phrases and ranges:
+            return None
+        return FlatShape(
+            "and", terms, phrases,
+            sum(1 for _, _, s in terms if s),
+            base.neg + fneg, ranges,
+        )
     return None
 
 
@@ -136,7 +221,8 @@ def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  segment_size: int, neg_tids: list[int] | None = None,
-                 ranges: list | None = None, stats: dict | None = None):
+                 ranges: list | None = None, stats: dict | None = None,
+                 phrases: list | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -148,16 +234,25 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     head term ("NOT the") decodes just the blocks overlapping the
     positive candidates.
 
-    ranges (and-mode only): ast.Range predicates over columns the index
-    inlines as doc-values — evaluated against the rarest term's decoded
-    dv stream, so `term AND range` prunes candidates at first decode
-    and never touches the docs table (Lucene NumericDocValues filter).
-    Each matching Range contributes its boost to the score, matching
-    the executor's Bool(must) sum semantics."""
+    ranges (and-mode only): (ast.Range, contrib) predicates over
+    columns the index inlines as doc-values — evaluated against the
+    rarest term's decoded dv stream, so `term AND range` prunes
+    candidates at first decode and never touches the docs table
+    (Lucene NumericDocValues filter).  contrib is the score a match
+    adds (the Range's boost under Bool(must) sum semantics; 0.0 for a
+    Filtered filter arm, which intersects without scoring).
+
+    phrases (and-mode only): (tid_order, slop, weight) pseudo-term
+    conjuncts — each evaluated by phrase_segment_kernel restricted to
+    the surviving candidate set, so `error AND "stack trace"` decodes
+    the phrase legs' blocks only where error's candidates live (and
+    vice versa when the phrase anchors).  weight = Σ idf(leg) × boost
+    (Lucene PhraseWeight), 0.0 for filter arms."""
     neg_tids = list(neg_tids or [])
     ranges = list(ranges or [])
-    range_boost = float(sum(r.boost for r in ranges))
-    dv_want = tuple(dict.fromkeys(r.field_name for r in ranges))
+    phrases = list(phrases or [])
+    range_boost = float(sum(c for _r, c in ranges))
+    dv_want = tuple(dict.fromkeys(r.field_name for r, _c in ranges))
 
     def kernel(blocks: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
@@ -297,6 +392,95 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     theta = np.partition(flat, flat.size - k)[flat.size - k]
             return topk(np.concatenate(out_d), np.concatenate(out_s))
 
+        if mode == "and" and phrases:
+            # Mixed conjunction (terms + phrase pseudo-terms): conjuncts
+            # are intersected in ascending estimated-size order — a
+            # phrase's candidates are a subset of its rarest leg, so its
+            # estimate is min(leg size).  No θ-pruning here (a phrase
+            # block carries no positional upper bound), but every
+            # non-anchor conjunct — term or phrase leg — decodes only
+            # blocks overlapping the surviving candidates, the same
+            # leapfrog discipline as the pure-term path (ref
+            # TermPayloadClojureScoreQuery.java:237-257, uniformly).
+            from bzzz_spark.query.phrase import phrase_segment_kernel
+
+            sizes = blocks.groupby("term_id")["count"].sum()
+            needed = set(qmeta) | {
+                int(t) for tids, _s, _w in phrases for t in tids
+            }
+            if not needed.issubset(set(sizes.index)):
+                return empty  # a conjunct term has no postings here
+            conj: list[tuple[int, str, object]] = []
+            for tid in qmeta:
+                conj.append((int(sizes[tid]), "t", tid))
+            for pi, (tids, _s, _w) in enumerate(phrases):
+                conj.append((int(min(sizes[int(t)] for t in tids)), "p", pi))
+            conj.sort(key=lambda x: x[0])
+            cand = acc = cand_dl = None
+            for _est, kind, key in conj:
+                if kind == "p":
+                    tids, slop, w_p = phrases[key]
+                    res = phrase_segment_kernel(
+                        blocks, list(tids), slop, stats=stats, restrict=cand
+                    )
+                    d = res["docid"].to_numpy()
+                    if d.size == 0:
+                        return empty
+                    ptf = res["ptf"].to_numpy()
+                    pdl = res["dl"].to_numpy().astype(np.float64)
+                    pdl = np.where(pdl == 0, avgdl, pdl)
+                    s = w_p * _tfc(ptf, pdl, avgdl)
+                    if cand is None:
+                        cand, acc, cand_dl = d, s, pdl
+                    else:
+                        # res docids ⊆ cand and both ascend — map back
+                        idx = np.searchsorted(cand, d)
+                        acc = acc[idx] + s
+                        cand_dl = cand_dl[idx]
+                        cand = d
+                else:
+                    tid = key
+                    sub = blocks[blocks["term_id"] == tid].sort_values(
+                        "first_docid"
+                    )
+                    if stats is not None:
+                        tb = stats.setdefault("total_blocks", {})
+                        tb[tid] = tb.get(tid, 0) + len(sub)
+                    if cand is not None:
+                        lo = np.searchsorted(
+                            cand, sub["first_docid"].to_numpy(), "left"
+                        )
+                        hi = np.searchsorted(
+                            cand, sub["last_docid"].to_numpy(), "right"
+                        )
+                        sub = sub[hi > lo]
+                        if len(sub) == 0:
+                            return empty
+                    if stats is not None:
+                        db = stats.setdefault("decoded_blocks", {})
+                        db[tid] = db.get(tid, 0) + len(sub)
+                    d, t, dl, _dv = decode(sub)
+                    w, _b = qmeta[tid]
+                    if cand is None:
+                        cand, cand_dl = d, dl
+                        acc = w * _tfc(t, dl, avgdl)
+                    else:
+                        pos = np.clip(np.searchsorted(d, cand), 0,
+                                      d.size - 1)
+                        hit = d[pos] == cand
+                        if not hit.any():
+                            return empty
+                        cand, cand_dl = cand[hit], cand_dl[hit]
+                        acc = acc[hit] + w * _tfc(
+                            t[pos[hit]], dl[pos[hit]], avgdl
+                        )
+                if cand.size == 0:
+                    return empty
+            km = keep_sorted(cand)
+            if not km.any():
+                return empty
+            return topk(cand[km], acc[km])
+
         if mode == "and":
             # Block-max conjunction (Lucene BlockMaxConjunctionScorer,
             # block-at-a-time): the rarest term's blocks are processed
@@ -360,7 +544,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     # doc-value range predicates prune at FIRST decode —
                     # every later term's block set shrinks accordingly
                     m = np.ones(cand_d.size, dtype=bool)
-                    for rg in ranges:
+                    for rg, _c in ranges:
                         v = dvv[rg.field_name]
                         if rg.min is not None:
                             m &= ((v >= rg.min) if rg.min_inclusive
@@ -593,6 +777,13 @@ def wand_candidates(
     index: BzzzIndex, node: ast.Query, k: int
 ) -> DataFrame | None:
     """Per-segment top-k (docid, score) for flat shapes, else None."""
+    # direct callers (wand_search / wand_candidates without going
+    # through executor.search) must hit the same unknown-field error as
+    # the executor path — otherwise a Wildcard on an unindexed field
+    # would silently answer from the default text field
+    from bzzz_spark.query.executor import validate_fields
+
+    validate_fields(index, node)
     if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
         return _multiterm_candidates(index, node, k)
     shape = classify(node)
@@ -608,34 +799,56 @@ def wand_candidates(
         for n in ast.iter_nodes(node)
     ):
         return None
-    mode, terms, msm, _boost, neg_vals, ranges = shape
-    if ranges:
+    if shape.ranges:
         # range predicates ride the kernel only when the index inlines
         # the fields as doc-values; otherwise the executor's docs-table
         # plan answers them
         dvc = set(getattr(index.config, "docvalue_cols", ()) or ())
-        if not all(r.field_name in dvc for r in ranges):
+        if not all(r.field_name in dvc for r, _c in shape.ranges):
             return None
         if any(
-            f"dv_{r.field_name}" not in index.postings.columns for r in ranges
+            f"dv_{r.field_name}" not in index.postings.columns
+            for r, _c in shape.ranges
         ):
             return None
-    vals = [v for v, _ in terms]
+    if shape.phrases and "positions" not in index.postings.columns:
+        # the executor path raises the loud store_positions error
+        return None
+    vals = [v for v, _b, _s in shape.terms]
     if len(set(vals)) != len(vals):
         return None  # repeated terms would collapse in qmeta — fall back
+    neg_vals = shape.neg
+    pvals = [t for tids, _s, _b, _sc in shape.phrases for t in tids]
     spark = index.docs.sparkSession
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
         return spark.createDataFrame([], "docid long, score double")
-    meta = index.lookup_terms(vals + neg_vals)
-    if mode == "and" and any(v not in meta for v in vals):
+    meta = index.lookup_terms(vals + neg_vals + pvals)
+    if shape.mode == "and" and (
+        any(v not in meta for v in vals) or any(t not in meta for t in pvals)
+    ):
+        # a required conjunct term (or phrase leg) is out of vocabulary
         return spark.createDataFrame([], "docid long, score double")
     qmeta = {}
-    for v, boost in terms:
+    for v, boost, scored in shape.terms:
         if v in meta:
             tid, df = meta[v]
-            qmeta[tid] = (idf_fn(n_docs, df) * boost, boost)
-    if not qmeta:
+            # filter-arm conjuncts intersect but contribute no score
+            # (and no upper bound): weight and boost pinned to 0
+            if scored:
+                qmeta[tid] = (idf_fn(n_docs, df) * boost, boost)
+            else:
+                qmeta[tid] = (0.0, 0.0)
+    phrase_specs = []
+    for tids, slop, boost, scored in shape.phrases:
+        leg_tids = [int(meta[t][0]) for t in tids]
+        w_p = (
+            sum(idf_fn(n_docs, meta[t][1]) for t in tids) * boost
+            if scored
+            else 0.0
+        )
+        phrase_specs.append((leg_tids, slop, w_p))
+    if not qmeta and not phrase_specs:
         return spark.createDataFrame([], "docid long, score double")
     # must_not terms absent from the dictionary exclude nothing; a term
     # that is both required and excluded stays in BOTH sets (the kernel
@@ -648,12 +861,15 @@ def wand_candidates(
         # legacy docs join this engine no longer carries on the fast
         # path)
         return None
-    blocks = index.postings.filter(
-        F.col("term_id").isin(sorted({int(t) for t in qmeta} | set(neg_tids)))
+    all_tids = (
+        {int(t) for t in qmeta}
+        | set(neg_tids)
+        | {t for legs, _s, _w in phrase_specs for t in legs}
     )
+    blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
-    kernel = _make_kernel(qmeta, mode, msm, k, avgdl, seg_size, neg_tids,
-                          ranges)
+    kernel = _make_kernel(qmeta, shape.mode, shape.msm, k, avgdl, seg_size,
+                          neg_tids, shape.ranges, phrases=phrase_specs)
     return _run_kernel(index, blocks, kernel)
 
 
