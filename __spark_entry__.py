@@ -186,10 +186,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_paging(spark, sf):
         return _hits(_index(spark, sf), ast.Term("merge"), size=5, page=1)
 
-    def q_constant_score(spark, sf):
-        return _hits(
-            _index(spark, sf), ast.ConstantScore(ast.Term("dup"), boost=2.5), size=20
-        )
+    def q_const_nozero(spark, sf):
+        # Q10 constant-score + Q15 no-zero-score folded into ONE
+        # contract entry (50-row budget; same UNION-ALL pattern as
+        # e_batch) — part='const' wraps a term in a fixed boost,
+        # part='nozero' drops zero-scored hits of an expr-score
+        idx = _index(spark, sf)
+        cs = _hits(
+            idx, ast.ConstantScore(ast.Term("dup"), boost=2.5), size=20
+        ).select(F.lit("const").alias("part"), "doc_id", "score")
+        nz = _hits(
+            idx,
+            ast.NoZeroScore(
+                ast.CustomScore(
+                    ast.Term("merge"),
+                    expression="greatest(cast(n_chars as double) - 300.0, 0.0)",
+                    replace=True,
+                )
+            ),
+            size=20,
+        ).select(F.lit("nozero").alias("part"), "doc_id", "score")
+        return cs.unionByName(nz)
 
     def q_dismax(spark, sf):
         node = ast.DisMax(
@@ -281,17 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_random_score(spark, sf):
         # Q14, pinned seed: score = base + md5-derived per-doc rand
         node = ast.RandomScore(ast.Term("dup"), base=1.0, seed=7)
-        return _hits(_index(spark, sf), node, size=20)
-
-    def q_no_zero(spark, sf):
-        # Q15 over an expr-score that is 0 for short docs
-        node = ast.NoZeroScore(
-            ast.CustomScore(
-                ast.Term("merge"),
-                expression="greatest(cast(n_chars as double) - 300.0, 0.0)",
-                replace=True,
-            )
-        )
         return _hits(_index(spark, sf), node, size=20)
 
     def q_parser(spark, sf):
@@ -439,6 +445,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d_simhash(spark, sf):
         return simhash(_documents(spark, sf)).select(
             F.col("id").alias("doc_id"), "simhash"
+        )
+
+    def d_spans(spark, sf):
+        # span-level dedup suite as ONE contract entry (50-row budget;
+        # same UNION-ALL pattern as e_batch): Lee et al. exact-substring
+        # dedup at n-gram granularity —
+        #   part='span'  one row per merged repeated span [start, end)
+        #   part='frac'  repeated_token_frac per flagged doc
+        #   part='clean' strip_repeated_spans text_clean (flagged docs
+        #                + a pinned passthrough sample)
+        #   part='intra' Gopher-style within-doc repetition signal
+        # The corpus unions deterministic "quoter" docs copying each
+        # low-id doc's first 20 tokens so the flagging is non-vacuous
+        # on the synthetic corpus (it has no natural exact 8-grams).
+        from bzzz_spark.analysis.tokenizer import standard_tokenize
+        from bzzz_spark.functions.dedup import (
+            repeated_ngram_spans,
+            strip_repeated_spans,
+        )
+        from bzzz_spark.functions.text import intra_doc_repetition
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        quoters = docs.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.array_join(
+                    F.slice(standard_tokenize(F.col("text")), 1, 20), " "
+                ),
+                F.lit(" zqx"),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        corpus = docs.unionByName(quoters)
+        spans = repeated_ngram_spans(corpus, n=8, min_df=2)
+        span_rows = spans.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select(
+            F.lit("span").alias("part"),
+            F.concat_ws(":", F.col("doc_id"), F.col("s.start")).alias("key"),
+            F.col("s.end").cast("double").alias("val"),
+            F.lit("").alias("txt"),
+        )
+        frac_rows = spans.select(
+            F.lit("frac").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.round("repeated_token_frac", 6).alias("val"),
+            F.lit("").alias("txt"),
+        )
+        clean_rows = strip_repeated_spans(corpus, n=8, min_df=2).filter(
+            (F.col("repeated_token_frac") > 0) | (F.col("doc_id") < 5)
+        ).select(
+            F.lit("clean").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.round("repeated_token_frac", 6).alias("val"),
+            F.col("text_clean").alias("txt"),
+        )
+        intra_rows = docs.filter(F.col("doc_id") < 200).select(
+            F.lit("intra").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.round(intra_doc_repetition("text", n=3), 6).alias("val"),
+            F.lit("").alias("txt"),
+        )
+        return (
+            span_rows.unionByName(frac_rows)
+            .unionByName(clean_rows)
+            .unionByName(intra_rows)
         )
 
     def s_cosine_topk(spark, sf):
@@ -671,13 +743,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_and3_skew=q_and3_skew, q_must_not=q_must_not,
         q_should_msm2=q_should_msm2, q_filtered_range=q_filtered_range,
         q_match_all=q_match_all, q_paging=q_paging,
-        q_constant_score=q_constant_score, q_dismax=q_dismax,
+        q_const_nozero=q_const_nozero, q_dismax=q_dismax,
         q_phrase=q_phrase, q_phrase_slop=q_phrase_slop,
         q_field_term=q_field_term, q_field_wildcard=q_field_wildcard,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_batch=q_batch,
         q_custom_score=q_custom_score,
         q_no_norm=q_no_norm, q_expr_score=q_expr_score,
-        q_random_score=q_random_score, q_no_zero=q_no_zero, q_parser=q_parser,
+        q_random_score=q_random_score, q_parser=q_parser,
         q_sort_field=q_sort_field, q_sort_expr=q_sort_expr,
         q_explain=q_explain, q_highlight=q_highlight,
         q_facet_lang=q_facet_lang,
@@ -687,7 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
         d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
         d_minhash_lsh=d_minhash_lsh,
-        d_jaccard=d_jaccard, d_simhash=d_simhash,
+        d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -826,8 +898,17 @@ def oracle_sql() -> dict[str, str]:
         f"{_BASE}, {_term_scores(['merge'])}\n"
         + _topk("SELECT doc_id, score FROM scores", 5, offset=5)
     )
-    o["q_constant_score"] = f"{_BASE}\n" + _topk(
+    const_sql = f"{_BASE}\n" + _topk(
         "SELECT DISTINCT doc_id, 2.5::DOUBLE AS score FROM tf WHERE term = 'dup'", 20
+    )
+    nozero_sql = f"""{_BASE}
+{_topk("SELECT tf.doc_id, greatest(d.n_chars::DOUBLE - 300.0, 0.0) AS score "
+       "FROM tf JOIN documents d ON d.doc_id = tf.doc_id "
+       "WHERE tf.term = 'merge' "
+       "AND greatest(d.n_chars::DOUBLE - 300.0, 0.0) <> 0.0", 20)}"""
+    o["q_const_nozero"] = (
+        f"SELECT 'const' AS part, doc_id, score FROM ({const_sql})\n"
+        f"UNION ALL\nSELECT 'nozero', doc_id, score FROM ({nozero_sql})"
     )
     o["q_dismax"] = (
         f"{_BASE},\nsub AS (\n"
@@ -984,11 +1065,6 @@ scores AS (
 matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
 {_topk("SELECT doc_id, 1.0 + ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT "
        "/ 4294967296.0 AS score FROM matched", 20)}"""
-    o["q_no_zero"] = f"""{_BASE}
-{_topk("SELECT tf.doc_id, greatest(d.n_chars::DOUBLE - 300.0, 0.0) AS score "
-       "FROM tf JOIN documents d ON d.doc_id = tf.doc_id "
-       "WHERE tf.term = 'merge' "
-       "AND greatest(d.n_chars::DOUBLE - 300.0, 0.0) <> 0.0", 20)}"""
     o["q_parser"] = f"""{_BASE},
 ts AS (
   SELECT tf.doc_id, tf.term, {_score_expr()} AS s
@@ -1204,6 +1280,110 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(shared::DOUBLE / (sa.n + sb.n - shared), 6) >= 0.03"""
     o["d_simhash"] = _simhash_sql(32)
+    # span-level dedup (Lee et al. exact-substring at 8-gram
+    # granularity): same quoter-doc corpus, gram df count, window-based
+    # island merge, token strip, and Gopher intra-doc repetition — all
+    # from first principles (the engine hashes grams with md5; the df
+    # count is identical on the raw gram strings)
+    o["d_spans"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(list_slice(regexp_extract_all(lower(text), '{TOK}'),
+                                    1, 20), ' ')
+           || ' zqx' || (doc_id % 7)::VARCHAR
+  FROM documents WHERE doc_id < 15
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM corpus
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(l, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, greatest(len(l) - 7, 0))) AS i
+        FROM toks)
+),
+freq AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+  GROUP BY gram HAVING count(*) >= 2
+),
+flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN freq USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+              THEN 1 ELSE 0 END AS new_island
+  FROM (
+    SELECT doc_id, pos,
+           max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+    FROM flagged
+  )
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s_start, max(pos) + 8 AS s_end
+  FROM isl2 GROUP BY doc_id, island
+),
+ntok AS (SELECT doc_id, len(l) AS n_tokens FROM toks),
+fracs AS (
+  SELECT s.doc_id,
+         round(sum(s_end - s_start)::DOUBLE / n_tokens, 6) AS frac
+  FROM spans s JOIN ntok USING (doc_id) GROUP BY s.doc_id, n_tokens
+),
+tok_idx AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS idx
+  FROM toks
+),
+keep AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tok_idx t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.idx >= s.s_start AND t.idx < s.s_end
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean
+  FROM keep GROUP BY doc_id
+),
+clean AS (
+  SELECT c.doc_id, coalesce(a.text_clean, '') AS text_clean,
+         coalesce(f.frac, 0.0) AS frac
+  FROM corpus c
+  LEFT JOIN agg a USING (doc_id)
+  LEFT JOIN fracs f USING (doc_id)
+),
+intra AS (
+  SELECT doc_id,
+         round(CASE WHEN len(g) > 0
+               THEN (len(g) - len(list_distinct(g)))::DOUBLE / len(g)
+               ELSE 0.0 END, 6) AS v
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(l) >= 3 THEN
+             list_transform(generate_series(1, len(l) - 2),
+                            i -> array_to_string(list_slice(l, i, i + 2), ' '))
+           ELSE []::VARCHAR[] END AS g
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l
+          FROM documents WHERE doc_id < 200)
+  )
+)
+SELECT 'span' AS part, doc_id::VARCHAR || ':' || s_start::VARCHAR AS key,
+       s_end::DOUBLE AS val, '' AS txt
+FROM spans
+UNION ALL
+SELECT 'frac', doc_id::VARCHAR, frac, '' FROM fracs
+UNION ALL
+SELECT 'clean', doc_id::VARCHAR, frac, text_clean FROM clean
+WHERE frac > 0 OR doc_id < 5
+UNION ALL
+SELECT 'intra', doc_id::VARCHAR, v, '' FROM intra"""
 
     o["s_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

@@ -208,9 +208,30 @@ def main() -> None:
                          tidx.postings.count())
             )[0]
 
+            # BM25 latency distribution over the reference query set.
+            # The positions-bearing index is built AFTER this group (it
+            # previously ran before, and its 100 s build + cached blocks
+            # shared the window/storage with batch_all — the r3
+            # batch_all regression's prime suspect; see BASELINE.md).
+            t_jobs = {
+                f"{prefix}{name}": (
+                    lambda n=node: search(tidx, n, size=10).collect()
+                )
+                for name, node in TRANSCRIPT_QUERIES.items()
+            }
+            # batched execution — the whole workload as ONE Spark job
+            # (shared postings scan, one shuffle): the per-query cost an
+            # analytics workload actually pays, vs the fixed per-job
+            # overhead dominating the isolated timings
+            t_jobs[f"{prefix}batch_all"] = lambda: search_many(
+                tidx, workload, size=10
+            ).collect()
+            tm.update(min_of_interleaved(t_jobs, N_QUERY_REPS))
+
             # positional index for phrase queries: built once (1 rep —
             # positions roughly double the encode work, so it is timed
-            # under its own key, not folded into build_transcripts)
+            # under its own key, not folded into build_transcripts);
+            # phrase queries form their own interleaved min-of-N group
             pcfg = IndexConfig(segment_size=1 << 15, store_positions=True)
             pidx = None
 
@@ -220,30 +241,33 @@ def main() -> None:
                 pidx.postings.count()
 
             tm[f"{prefix}build_transcripts_pos"] = timed(build_pos_once)[0]
-
-            # BM25 latency distribution over the reference query set
-            t_jobs = {
+            p_jobs = {
                 f"{prefix}{name}": (
-                    lambda n=node: search(tidx, n, size=10).collect()
+                    lambda n=node: search(pidx, n, size=10).collect()
                 )
-                for name, node in TRANSCRIPT_QUERIES.items()
+                for name, node in PHRASE_QUERIES.items()
             }
-            t_jobs.update(
-                {
-                    f"{prefix}{name}": (
-                        lambda n=node: search(pidx, n, size=10).collect()
-                    )
-                    for name, node in PHRASE_QUERIES.items()
-                }
-            )
-            # batched execution — the whole workload as ONE Spark job
-            # (shared postings scan, one shuffle): the per-query cost an
-            # analytics workload actually pays, vs the fixed per-job
-            # overhead dominating the isolated timings
-            t_jobs[f"{prefix}batch_all"] = lambda: search_many(
-                tidx, workload, size=10
-            ).collect()
-            tm.update(min_of_interleaved(t_jobs, N_QUERY_REPS))
+            tm.update(min_of_interleaved(p_jobs, N_QUERY_REPS))
+
+            # span-level dedup pipeline (Lee et al. exact-substring at
+            # 8-gram granularity) over the same corpus — linear in
+            # corpus tokens by design; the growth ratio across scales
+            # is the evidence.  The agg forces text_clean computation
+            # (a bare count would let Catalyst prune the strip work).
+            def spans_strip():
+                from pyspark.sql import functions as F
+
+                from bzzz_spark.functions.dedup import strip_repeated_spans
+
+                base = tdf.select(
+                    F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+                )
+                strip_repeated_spans(base, n=8, min_df=2).agg(
+                    F.sum(F.length("text_clean")),
+                    F.sum("repeated_token_frac"),
+                ).collect()
+
+            tm[f"{prefix}d_spans_strip"] = timed(spans_strip)[0]
 
             lat = sorted(
                 tm[f"{prefix}{name}"] for name in TRANSCRIPT_QUERIES
@@ -279,6 +303,10 @@ def main() -> None:
     # 4. scale-growth evidence: the same query set over a 10× corpus —
     # block-max/leapfrog pruning should keep single-term latency
     # sublinear in corpus size (VERDICT r2 #5)
+    growth_keys = (
+        list(TRANSCRIPT_QUERIES) + list(PHRASE_QUERIES)
+        + ["batch_all", "d_spans_strip"]
+    )
     n_turns2 = int(os.environ.get("BZZZ_BENCH_TURNS2", "2000000"))
     scale2 = None
     if n_turns2 > 0:
@@ -288,13 +316,23 @@ def main() -> None:
         timings.update(tm2)
         scale2 = s2
         scale2["latency_growth_vs_corpus_10x"] = {
-            name: round(
-                timings[f"x10_{name}"] / timings[name], 2
-            )
-            for name in (
-                list(TRANSCRIPT_QUERIES) + list(PHRASE_QUERIES)
-                + ["batch_all"]
-            )
+            name: round(timings[f"x10_{name}"] / timings[name], 2)
+            for name in growth_keys
+        }
+    # third rung (x20 the base corpus): any query growing superlinearly
+    # across BOTH steps needs a plan explanation — 3 points separate
+    # "sublinear with noise" from "quietly linear" (VERDICT r3 #5)
+    n_turns3 = int(os.environ.get("BZZZ_BENCH_TURNS3", "4000000"))
+    scale3 = None
+    if n_turns3 > 0:
+        tm3, s3 = transcript_scale(
+            n_turns3, "x20_", int(os.environ.get("BZZZ_BENCH_BUILD_REPS3", "1"))
+        )
+        timings.update(tm3)
+        scale3 = s3
+        scale3["latency_growth_vs_corpus_20x"] = {
+            name: round(timings[f"x20_{name}"] / timings[name], 2)
+            for name in growth_keys
         }
     total = time.perf_counter() - total_t0
     print(
@@ -318,6 +356,7 @@ def main() -> None:
                 "bm25_batched_per_query_sec": round(batched_per_query, 4),
                 "batch_n_queries": len(workload),
                 "scale2": scale2,
+                "scale3": scale3,
                 "cpus": cpus,
             }
         )
