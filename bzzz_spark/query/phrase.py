@@ -212,29 +212,79 @@ def _sloppy_freq_one(lists: list[np.ndarray], slop: int) -> float:
 
 
 def _sloppy_freqs_k(legs, slop: int, n_cand: int):
-    """Per-doc greedy for k >= 3 terms.  legs are flat (doc_rank, adj)
-    arrays sorted by (doc_rank, adj); per-doc slices via searchsorted."""
-    bounds = []
+    """Batched greedy walk for k >= 3 distinct terms — the same Lucene
+    SloppyPhraseScorer.phraseFreq state machine as _sloppy_freq_one, but
+    every ACTIVE candidate doc advances one PhrasePositions per numpy
+    step, so the Python-loop count is the MAX total occurrence count in
+    any single doc, not the doc count (the k=2 crossing walk's
+    discipline, generalized).  legs are flat (doc_rank, adj) arrays
+    sorted by (doc_rank, adj); per-doc slices via searchsorted.
+
+    Cross-checked against _sloppy_freq_one and the oracle's independent
+    heapq port in tests/test_phrase.py."""
+    k = len(legs)
     docs = np.arange(n_cand + 1, dtype=np.int64)
-    for doc_rank, adj in legs:
-        bounds.append(np.searchsorted(doc_rank, docs, "left"))
-    out_doc, out_f = [], []
-    for d in range(n_cand):
-        lists = []
-        ok = True
-        for (doc_rank, adj), b in zip(legs, bounds):
-            lo, hi = b[d], b[d + 1]
-            if hi <= lo:
-                ok = False
-                break
-            lists.append(adj[lo:hi])
-        if not ok:
+    lo = np.empty((n_cand, k), dtype=np.int64)
+    hi = np.empty((n_cand, k), dtype=np.int64)
+    flat = []
+    for j, (doc_rank, adj) in enumerate(legs):
+        b = np.searchsorted(doc_rank, docs, "left")
+        lo[:, j] = b[:-1]
+        hi[:, j] = b[1:]
+        flat.append(np.asarray(adj, dtype=np.int64))
+    # upstream docid intersection guarantees every leg occurs in every
+    # candidate; guard anyway (a missing leg means no match)
+    valid = (hi > lo).all(axis=1)
+    ptr = lo.copy()
+    pos = np.zeros((n_cand, k), dtype=np.int64)
+    for j in range(k):
+        if flat[j].size:
+            idx = np.clip(ptr[:, j], 0, flat[j].size - 1)
+            pos[:, j] = flat[j][idx]
+    end = pos.max(axis=1)
+    cur = pos.argmin(axis=1)  # ties -> lowest phrase offset (Lucene PQ)
+    nxt = np.partition(pos, 1, axis=1)[:, 1]  # min over legs != cur
+    ml = end - pos[np.arange(n_cand), cur]
+    freq = np.zeros(n_cand)
+    active = valid.copy()
+    while active.any():
+        ids = np.flatnonzero(active)
+        c = cur[ids]
+        ptr[ids, c] += 1
+        done = ptr[ids, c] >= hi[ids, c]
+        fin = ids[done]
+        if fin.size:
+            # cur leg exhausted: the final pending match, then retire
+            m = ml[fin] <= slop
+            np.add.at(freq, fin[m], 1.0 / (1.0 + ml[fin[m]]))
+            active[fin] = False
+        go = ids[~done]
+        if go.size == 0:
             continue
-        f = _sloppy_freq_one(lists, slop)
-        if f > 0:
-            out_doc.append(d)
-            out_f.append(f)
-    return np.asarray(out_doc, dtype=np.int64), np.asarray(out_f)
+        cg = cur[go]
+        p = np.empty(go.size, dtype=np.int64)
+        for j in range(k):
+            mj = cg == j
+            if mj.any():
+                p[mj] = flat[j][ptr[go[mj], j]]
+        pos[go, cg] = p
+        end[go] = np.maximum(end[go], p)
+        swap = p > nxt[go]
+        sw = go[swap]
+        if sw.size:
+            # role swap: record one match at the current matchLength,
+            # then re-aim at the new min leg (greedy PQ discipline)
+            m = ml[sw] <= slop
+            np.add.at(freq, sw[m], 1.0 / (1.0 + ml[sw[m]]))
+            ps = pos[sw]
+            cur[sw] = ps.argmin(axis=1)
+            nxt[sw] = np.partition(ps, 1, axis=1)[:, 1]
+            ml[sw] = end[sw] - ps[np.arange(sw.size), cur[sw]]
+        ns = go[~swap]
+        if ns.size:
+            ml[ns] = np.minimum(ml[ns], end[ns] - p[~swap])
+    got = freq > 0
+    return np.flatnonzero(got), freq[got]
 
 
 def phrase_segment_kernel(

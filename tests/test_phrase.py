@@ -407,6 +407,43 @@ def test_sloppy_kernels_cross_check_pure():
             [np.array(l, dtype=np.int64) for l in adj], slop
         )
         assert math.isclose(got, want, abs_tol=1e-12), (adj, slop)
+    # batched k-walk (_sloppy_freqs_k) vs the per-doc reference walk on
+    # multi-doc batches — the round-4 vectorization must be a pure
+    # speedup, bit-identical per doc
+    from bzzz_spark.query.phrase import _sloppy_freqs_k
+
+    for _ in range(120):
+        k = rng.randint(3, 5)
+        n_docs = rng.randint(1, 8)
+        per_doc = [
+            [
+                [p - i for p in
+                 sorted(rng.sample(range(0, 25), rng.randint(1, 5)))]
+                for i in range(k)
+            ]
+            for _d in range(n_docs)
+        ]
+        slop = rng.randint(1, 8)
+        legs = []
+        for i in range(k):
+            dr = np.concatenate(
+                [np.full(len(per_doc[d][i]), d, dtype=np.int64)
+                 for d in range(n_docs)]
+            )
+            aj = np.concatenate(
+                [np.array(per_doc[d][i], dtype=np.int64)
+                 for d in range(n_docs)]
+            )
+            legs.append((dr, aj))
+        dr_got, f_got = _sloppy_freqs_k(legs, slop, n_docs)
+        got_map = dict(zip(dr_got.tolist(), f_got.tolist()))
+        for d in range(n_docs):
+            want = _sloppy_freq_one(
+                [np.array(l, dtype=np.int64) for l in per_doc[d]], slop
+            )
+            assert math.isclose(got_map.get(d, 0.0), want, abs_tol=1e-12), (
+                per_doc[d], slop,
+            )
 
 
 def test_sloppy_repeated_terms_raise(pos_index):
