@@ -181,7 +181,32 @@ def build_and_write(
         )
         postings = encode_postings(rows, n_docs, avgdl, cfg)
         chunk_path = os.path.join(out_dir, "postings", f"chunk={ci}")
-        postings.write.mode("overwrite").parquet(chunk_path)
+        # serving-oriented file layout, measured in tools/cold_io_bench:
+        # - range-partition by term_id so each FILE holds a contiguous
+        #   term slice — a term query's isin filter then skips whole
+        #   files via their footer stats instead of reading a slice of
+        #   every hash-partitioned file.  One extra shuffle of the
+        #   ENCODED blocks (the index is ~2-3% of corpus bytes — the
+        #   one-time serving-layout cost, Lucene's forceMerge analog);
+        #   ~32 MB target per file, deterministic for resume (range
+        #   sampling is seeded; content comparison is order-insensitive)
+        # - sort within files + SMALL row groups: tight term_id min/max
+        #   per row group.  Granularity is what matters: encoded block
+        #   rows average ~200-300 B, so a 2 MB row group holds ~10k
+        #   rows and a rare term's read rounds up to half a chunk
+        #   (measured); 128 KB groups hold ~500 rows → a term reads a
+        #   few hundred block rows regardless of corpus size.  (The
+        #   128 MB default collapses a small file into ONE row group,
+        #   silently disabling stats pruning altogether.)
+        bytes_est = (doc_hi - doc_lo) * max(avgdl, 1.0) * 3
+        n_files = max(1, min(1024, math.ceil(bytes_est / (32 << 20))))
+        (
+            postings.repartitionByRange(n_files, "term_id")
+            .sortWithinPartitions("term_id", "segment", "block_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 128 * 1024)
+            .parquet(chunk_path)
+        )
         metrics = (
             spark.read.parquet(chunk_path)
             .groupBy("segment")
