@@ -69,6 +69,101 @@ def _sloppy_phrase_freq(adj_lists: list[list[int]], slop: int) -> float:
     return freq
 
 
+def _sloppy_phrase_freq_repeats(
+    adj_lists: list[list[int]], groups: list[list[int]], slop: int
+) -> float:
+    """Independent port of Lucene SloppyPhraseMatcher's REPEATING-terms
+    walk (plain-phrase case: each repeated term is its own collision
+    group).  Structure kept deliberately different from the engine's
+    (bzzz_spark.query.phrase_repeats): a real heapq with lazy-stale
+    entries, rebuilt after collision moves — the fuzz in
+    tests/test_phrase.py cross-checks the two ports.
+
+    `groups` holds the leg indexes of each repeated term, phrase
+    offsets ascending.  Init staggers group member i to the (i+1)-th
+    occurrence; during the walk, whenever two group members sit on the
+    same token position (adjusted + offset), the lesser by (adjusted,
+    offset) advances, chasing collisions transitively.  `next` (the PQ
+    top) refreshes only at role swaps — Lucene's cached-next
+    discipline — never after collision moves."""
+    import heapq
+
+    if len(adj_lists) == 1:
+        return float(len(adj_lists[0]))
+    k = len(adj_lists)
+    idx = [0] * k
+    cur_pos = [0] * k
+    for j, lst in enumerate(adj_lists):
+        if not lst:
+            return 0.0
+        cur_pos[j] = lst[0]
+    end = max(cur_pos)
+    gid = {}
+    for g in groups:
+        for j in g:
+            gid[j] = g
+
+    def step(j: int) -> bool:
+        nonlocal end
+        idx[j] += 1
+        if idx[j] >= len(adj_lists[j]):
+            return False
+        cur_pos[j] = adj_lists[j][idx[j]]
+        end = max(end, cur_pos[j])
+        return True
+
+    for g in groups:
+        for i, j in enumerate(g):
+            for _ in range(i):
+                if not step(j):
+                    return 0.0
+    heap = [(cur_pos[j], j) for j in range(k)]
+    heapq.heapify(heap)
+    _, off = heapq.heappop(heap)
+    match_length = end - cur_pos[off]
+    next_pos = heap[0][0]
+    freq = 0.0
+    alive = True
+    while alive:
+        if not step(off):
+            break
+        if off in gid:
+            chase = off
+            while alive:
+                g = gid.get(chase)
+                if g is None:
+                    break
+                token = cur_pos[chase] + chase
+                hit = [
+                    j for j in g if j != chase and cur_pos[j] + j == token
+                ]
+                if not hit:
+                    break
+                other = hit[0]
+                pair = sorted((chase, other),
+                              key=lambda j: (cur_pos[j], j))
+                chase = pair[0]
+                if not step(chase):
+                    alive = False
+            if not alive:
+                break
+            # queue members may have moved: rebuild (k is tiny)
+            heap = [(cur_pos[j], j) for _, j in heap]
+            heapq.heapify(heap)
+        if cur_pos[off] > next_pos:
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (cur_pos[off], off))
+            _, off = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - cur_pos[off]
+        else:
+            match_length = min(match_length, end - cur_pos[off])
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
 def levenshtein(a: str, b: str) -> int:
     if a == b:
         return 0
@@ -179,10 +274,10 @@ class PyIndex:
                 cand &= set(m)
             w = sum(idf(self.n_docs, len(self.postings[t])) for t in node.terms)
             slop = getattr(node, "slop", 0)
-            if slop > 0 and len(set(node.terms)) != len(node.terms):
-                raise ValueError(
-                    "sloppy phrases with repeated terms are not supported"
-                )
+            by_term: dict = {}
+            for off, t in enumerate(node.terms):
+                by_term.setdefault(t, []).append(off)
+            rpt_groups = [g for g in by_term.values() if len(g) > 1]
             out = {}
             for docid in cand:
                 lists = [sorted(m[docid]) for m in maps]
@@ -191,6 +286,12 @@ class PyIndex:
                     for i, qs in enumerate(lists[1:], start=1):
                         starts &= {q - i for q in qs}
                     ptf = float(len(starts))
+                elif rpt_groups:
+                    ptf = _sloppy_phrase_freq_repeats(
+                        [[p - i for p in qs] for i, qs in enumerate(lists)],
+                        rpt_groups,
+                        slop,
+                    )
                 else:
                     ptf = _sloppy_phrase_freq(
                         [[p - i for p in qs] for i, qs in enumerate(lists)],

@@ -112,9 +112,11 @@ class Phrase(Query):
     "a b"~2 with matchLength 2).  phrase_freq is the sum of those
     weights from the greedy PQ walk of SloppyPhraseScorer.phraseFreq,
     reimplemented vectorized in bzzz_spark.query.phrase and
-    independently in the pure-Python oracle.  Pinned subset: sloppy
-    phrases require DISTINCT terms (Lucene's repeating-terms sloppy
-    machinery is excluded; exact phrases support repeats)."""
+    independently in the pure-Python oracle.  Repeated terms are
+    supported in both modes: exact via the start-position group count,
+    sloppy via Lucene's repeating-terms collision groups
+    (bzzz_spark.query.phrase_repeats — two legs of one term never
+    claim the same token occurrence)."""
 
     terms: list[str]
     field_name: str = "text"

@@ -5,7 +5,7 @@ Semantics (pinned in :class:`bzzz_spark.query.ast.Phrase`):
 
 - slop == 0 — Lucene ExactPhraseScorer: phrase_freq = number of start
   positions p with term_i at p + i for every i.
-- slop > 0 — Lucene SloppyPhraseScorer (distinct terms): terms may
+- slop > 0 — Lucene SloppyPhraseScorer: terms may
   appear in ANY order; each match is weighted 1/(1 + matchLength) where
   matchLength is the span slack in adjusted-position space (position -
   phrase_offset), exactly the greedy PQ walk of Lucene's
@@ -43,8 +43,12 @@ The matching kernels are numpy-vectorized across documents:
   smallest value > y.  Each iteration advances ALL documents one
   crossing (global searchsorted), so the Python-loop count is the max
   crossings per doc (~2*min(tf)+1), not the doc count.
-- sloppy k >= 3: per-candidate-doc greedy walk (array-based min scan) —
-  candidates at this point are docs containing ALL phrase terms.
+- sloppy k >= 3: batched greedy walk (every active doc advances one
+  PhrasePositions per numpy step) — candidates at this point are docs
+  containing ALL phrase terms;
+- sloppy with REPEATED terms ("a b a"): Lucene's repeating-terms
+  machinery (collision groups; see bzzz_spark.query.phrase_repeats),
+  per candidate doc after a tf >= multiplicity prefilter.
 
 The pure-Python oracle (bzzz_spark.oracle.pyoracle) carries an
 INDEPENDENT heapq port of the same Lucene algorithm; the two are
@@ -211,6 +215,40 @@ def _sloppy_freq_one(lists: list[np.ndarray], slop: int) -> float:
     return freq
 
 
+def _sloppy_freqs_repeats(legs, groups, slop: int, n_cand: int):
+    """Sloppy freq when the phrase REPEATS a term ("a b a") — per
+    candidate doc, the Lucene repeating-terms walk from
+    :mod:`bzzz_spark.query.phrase_repeats` (collision groups keep two
+    legs of one term off the same token occurrence).
+
+    Per-doc Python loop, deliberately: candidates here already contain
+    every unique term with tf >= its multiplicity (the kernel
+    prefilters), so the set is small the same way the distinct-terms
+    k>=3 walk's candidate set is; the collision-resolution state
+    machine's data-dependent control flow is what the batched walks
+    avoid and repeats reintroduce."""
+    from bzzz_spark.query.phrase_repeats import sloppy_freq_repeats
+
+    k = len(legs)
+    bounds = []
+    docs = np.arange(n_cand + 1, dtype=np.int64)
+    for doc_rank, _adj in legs:
+        bounds.append(np.searchsorted(doc_rank, docs, "left"))
+    out_r, out_f = [], []
+    for r in range(n_cand):
+        lists = [
+            legs[j][1][bounds[j][r]:bounds[j][r + 1]] for j in range(k)
+        ]
+        f = sloppy_freq_repeats(lists, groups, slop)
+        if f > 0:
+            out_r.append(r)
+            out_f.append(f)
+    return (
+        np.asarray(out_r, dtype=np.int64),
+        np.asarray(out_f, dtype=np.float64),
+    )
+
+
 def _sloppy_freqs_k(legs, slop: int, n_cand: int):
     """Batched greedy walk for k >= 3 distinct terms — the same Lucene
     SloppyPhraseScorer.phraseFreq state machine as _sloppy_freq_one, but
@@ -352,6 +390,22 @@ def phrase_segment_kernel(
             cand, cand_dl = cand[hit], cand_dl[hit]
             if cand.size == 0:
                 return _EMPTY
+    mult = {}
+    for tid in (int(t) for t in tid_order):
+        mult[tid] = mult.get(tid, 0) + 1
+    if any(m > 1 for m in mult.values()):
+        # a repeated term needs one DISTINCT occurrence per leg: docs
+        # with tf < multiplicity can never match — drop them before the
+        # (repeats: per-doc) matching walk
+        keep = np.ones(cand.size, dtype=bool)
+        for tid, m in mult.items():
+            if m > 1:
+                d, tf, _ = decoded[tid]
+                idx = np.clip(np.searchsorted(d, cand), 0, d.size - 1)
+                keep &= tf[idx] >= m
+        cand, cand_dl = cand[keep], cand_dl[keep]
+        if cand.size == 0:
+            return _EMPTY
     legs = []
     for off, tid in enumerate(int(t) for t in tid_order):
         d, tf, flat_pos = decoded[tid]
@@ -365,6 +419,12 @@ def phrase_segment_kernel(
         # group-count — which degenerates to ptf = tf for k == 1 —
         # already gives the right sloppy freq
         doc_rank, ptf = _exact_freqs(legs, cand.size)
+    elif any(m > 1 for m in mult.values()):
+        by_tid: dict = {}
+        for off, tid in enumerate(int(t) for t in tid_order):
+            by_tid.setdefault(tid, []).append(off)
+        groups = [g for g in by_tid.values() if len(g) > 1]
+        doc_rank, ptf = _sloppy_freqs_repeats(legs, groups, slop, cand.size)
     elif len(tid_order) == 2:
         doc_rank, ptf = _sloppy_freqs_2(legs[0], legs[1], slop, cand.size)
     else:
@@ -389,12 +449,6 @@ def phrase_matches(index, tid_order: list[int], slop: int) -> DataFrame:
         raise ValueError(
             "this index stores no positions — build it with "
             "IndexConfig(store_positions=True) to answer phrase queries"
-        )
-    if slop > 0 and len(set(tid_order)) != len(tid_order):
-        raise ValueError(
-            "sloppy phrases with repeated terms are not supported "
-            "(pinned subset — Lucene's repeating-terms SloppyPhraseScorer "
-            "is excluded); use slop=0 or distinct terms"
         )
     uniq = sorted(set(int(t) for t in tid_order))
     blocks = index.postings.filter(F.col("term_id").isin(uniq))

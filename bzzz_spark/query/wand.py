@@ -116,8 +116,6 @@ def _flat_conjuncts(nodes, scored: bool):
         elif isinstance(q, ast.Phrase):
             if q.boost < 0:
                 return None
-            if q.slop > 0 and len(set(q.terms)) != len(q.terms):
-                return None  # pinned subset: sloppy repeats raise later
             phrases.append((tuple(q.terms), q.slop, q.boost, scored))
         else:
             return None

@@ -90,10 +90,11 @@ def test_unsupported_shapes_fall_back(small_index):
     assert classify(
         ast.Bool(must=[ast.Phrase(["a", "b"]), ast.Range("turn_idx", min=1)])
     ) is None
-    # sloppy phrase with repeated terms: pinned-subset exclusion
+    # sloppy phrase with repeated terms rides the kernel (round 4 —
+    # the phrase kernel owns the repeating-terms collision walk)
     assert classify(
         ast.Bool(must=[ast.Phrase(["a", "a"], slop=2)])
-    ) is None
+    ) is not None
     # repeated terms fall back too (weights would collapse)
     assert wand_search(
         small_index, ast.Bool(should=[ast.Term("the"), ast.Term("the")])
