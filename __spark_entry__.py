@@ -225,9 +225,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus's adjacent "filter merge" occurrences match this
         # REVERSED query at matchLength 2.  The oracle replays the
         # scorer's greedy crossing walk as a recursive CTE.
-        return _hits(
-            _index(spark, sf), ast.Phrase(["merge", "filter"], slop=2), size=10
-        )
+        # part='repeat' adds the REPEATED-terms machinery (r4,
+        # query/phrase_repeats.py): "merge merge"~6 — two legs of one
+        # term claim distinct occurrences, which for a 2-leg same-term
+        # phrase reduces to consecutive occurrence pairs with
+        # matchLength = gap - 1 (closed form cross-fuzzed against both
+        # collision-walk ports in tests/test_phrase.py); idf is summed
+        # per leg, so the duplicated term counts twice.
+        idx = _index(spark, sf)
+        sl = _hits(
+            idx, ast.Phrase(["merge", "filter"], slop=2), size=10
+        ).select(F.lit("slop").alias("part"), "doc_id", "score")
+        rp = _hits(
+            idx, ast.Phrase(["merge", "merge"], slop=6), size=10
+        ).select(F.lit("repeat").alias("part"), "doc_id", "score")
+        return sl.unionByName(rp)
 
     def q_wildcard(spark, sf):
         return _hits(_index(spark, sf), ast.Wildcard("s*"), size=10)
@@ -954,7 +966,7 @@ scores AS (
     # crossing pairs y with the opposite list's largest value <= y —
     # replayed here as a RECURSIVE CTE.  ptf = sum of 1/(1+ml) over
     # crossings with ml <= slop.
-    o["q_phrase_slop"] = f"""{_BASE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    slop_part_sql = f"""{_BASE.replace("WITH ", "WITH RECURSIVE ", 1)},
 tok_pos AS (
   SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents)
@@ -1007,6 +1019,44 @@ scores AS (
   CROSS JOIN stats CROSS JOIN widf
 )
 {_topk('SELECT doc_id, score FROM scores', 10)}"""
+    # repeated-term sloppy phrase "merge merge"~6: two legs of ONE term
+    # never claim the same token occurrence (Lucene repeating-terms
+    # collision groups), which for a 2-leg same-term phrase reduces to
+    # consecutive occurrence pairs — matchLength = gap - 1, weight
+    # 1/(1+ml) = 1/gap — a lead() window instead of a walk (closed form
+    # verified against both collision-walk ports over 3000 random
+    # cases, tests/test_phrase.py).  idf is summed per leg: 2×idf.
+    repeat_part_sql = f"""{_BASE},
+tok_pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents)
+),
+rp AS (
+  SELECT doc_id, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok_pos WHERE term = 'merge'
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / (nxt - pos)) AS ptf FROM rp
+  WHERE nxt IS NOT NULL AND nxt - pos - 1 <= 6 GROUP BY doc_id
+),
+widf AS (
+  SELECT 2.0 * sum(ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS w
+  FROM dfx CROSS JOIN stats WHERE dfx.term = 'merge'
+),
+scores AS (
+  SELECT pf.doc_id,
+         widf.w * (pf.ptf * {K1P1} / (pf.ptf + {BM25_K1} *
+           (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS score
+  FROM pf
+  JOIN dl ON dl.doc_id = pf.doc_id
+  CROSS JOIN stats CROSS JOIN widf
+)
+{_topk('SELECT doc_id, score FROM scores', 10)}"""
+    o["q_phrase_slop"] = (
+        f"SELECT 'slop' AS part, doc_id, score FROM ({slop_part_sql})\n"
+        f"UNION ALL\nSELECT 'repeat', doc_id, score FROM ({repeat_part_sql})"
+    )
     o["q_field_term"] = f"""{_BASE}, {_term_scores(['merge'])},
 fld AS (SELECT count(*) AS df FROM documents WHERE lower(lang) = 'en'),
 fs AS (

@@ -99,6 +99,12 @@ TRANSCRIPT_QUERIES = {
 PHRASE_QUERIES = {
     "t_phrase_exact": ast.Phrase(["the", "error"]),
     "t_phrase_slop": ast.Phrase(["error", "query"], slop=3),
+    # hybrid shape on the mixed-conjunction kernel: the phrase is a
+    # pseudo-term anchored by estimated size, so the head term ("the")
+    # decodes only candidate-overlapping blocks instead of everything
+    "t_phrase_and": ast.Bool(
+        must=[ast.Phrase(["error", "query"], slop=3), ast.Term("the")]
+    ),
 }
 
 
