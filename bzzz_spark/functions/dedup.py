@@ -278,7 +278,15 @@ def repeated_ngram_spans(
         F.col(id_col).alias("id"),
         standard_tokenize(F.col(text_col)).alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
-    # positional n-grams: pos is the 0-based token index of gram start
+    # positional n-grams: pos is the 0-based token index of gram start.
+    # Gram key = xxhash64 (8-byte long), not md5 (32-char hex string):
+    # the key rides TWO shuffles (df count + join back), so key width
+    # is the dominant shuffle cost at scale — ~5× narrower rows.  A
+    # 64-bit collision falsely flags one span pair; expected collisions
+    # are (#grams)²/2⁶⁵ ≈ 0.3 at 10⁸ grams and a ~3·10⁻⁷ fraction even
+    # at 10¹³ grams — noise against a training pipeline's min_df
+    # threshold (the contract oracle groups raw gram STRINGS, so any
+    # collision would surface as a CORRECTNESS mismatch).
     grams = base.select(
         "id",
         "n_tokens",
@@ -289,18 +297,33 @@ def repeated_ngram_spans(
                 F.col("n_tokens") >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
-                    lambda i: F.md5(F.array_join(F.slice("toks", i, n), " ")),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("toks", i, n), " ")
+                    ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("pos", "gram"),
     )
-    freq = (
-        grams.select("gram", "id")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gram_df"))
-        .filter(F.col("gram_df") >= min_df)
-    )
+    if min_df == 2:
+        # "appears in >= 2 DISTINCT docs" ⟺ min(id) != max(id): ONE
+        # partial-aggregatable pass — no per-(gram, id) distinct
+        # shuffle ahead of the count (the common case; Lee et al. use
+        # exactly this threshold)
+        freq = (
+            grams.groupBy("gram")
+            .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("gram")
+        )
+    else:
+        freq = (
+            grams.select("gram", "id")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .filter(F.col("gram_df") >= min_df)
+            .select("gram")
+        )
     flagged = grams.join(freq, "gram").select("id", "n_tokens", "pos")
     # merge overlapping [pos, pos+n) windows per doc: classic island
     # detection, entirely JVM-side (lag-free: a window starts a new
