@@ -242,7 +242,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sl.unionByName(rp)
 
     def q_wildcard(spark, sf):
-        return _hits(_index(spark, sf), ast.Wildcard("s*"), size=10)
+        # part='top': top-level glob (constant-score rewrite on the
+        # 'any' kernel).  part='and' (r4): the same glob INSIDE a
+        # conjunction — the mixed kernel serves it as a constant-score
+        # term set, so `merge AND s*` scores BM25(merge) + 1.0 and
+        # never decodes expansion blocks outside merge's candidates.
+        idx = _index(spark, sf)
+        top = _hits(idx, ast.Wildcard("s*"), size=10).select(
+            F.lit("top").alias("part"), "doc_id", "score"
+        )
+        conj = _hits(
+            idx,
+            ast.Bool(must=[ast.Term("merge"), ast.Wildcard("s*")]),
+            size=10,
+        ).select(F.lit("and").alias("part"), "doc_id", "score")
+        return top.unionByName(conj)
 
     def q_field_term(spark, sf):
         # per-field index: keyword field term (norms disabled → score is
@@ -1072,12 +1086,27 @@ fs AS (
         "WHERE lower(source) LIKE 'src1%'",
         10,
     )
-    o["q_wildcard"] = (
+    wc_top_sql = (
         f"{_BASE}\n"
         + _topk(
             "SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tf WHERE term LIKE 's%'",
             10,
         )
+    )
+    # nested glob = constant-score set conjunct: BM25(merge) + boost
+    # for docs containing merge AND any s% term
+    wc_and_sql = (
+        f"{_BASE}, {_term_scores(['merge'])},\n"
+        "wmatch AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's%')\n"
+        + _topk(
+            "SELECT s.doc_id, s.score + 1.0 AS score "
+            "FROM scores s JOIN wmatch ON wmatch.doc_id = s.doc_id",
+            10,
+        )
+    )
+    o["q_wildcard"] = (
+        f"SELECT 'top' AS part, doc_id, score FROM ({wc_top_sql})\n"
+        f"UNION ALL\nSELECT 'and', doc_id, score FROM ({wc_and_sql})"
     )
     o["q_fuzzy"] = (
         f"{_BASE}\n"

@@ -90,7 +90,12 @@ class FlatShape:
              served by phrase_segment_kernel as pseudo-terms.
     ranges:  (Range, contrib) — contrib is the score the predicate adds
              per match (node.boost for Bool must-ranges, 0.0 for
-             Filtered filter-ranges)."""
+             Filtered filter-ranges).
+    multis:  (Wildcard|Fuzzy node, scored) — and-mode set conjuncts:
+             the doc must contain ANY expansion term; contributes the
+             node's constant boost (Lucene CONSTANT_SCORE_REWRITE for
+             multi-term queries inside a conjunction), 0 on filter
+             arms."""
 
     mode: str  # 'term' | 'and' | 'or'
     terms: list = _dc_field(default_factory=list)
@@ -98,12 +103,13 @@ class FlatShape:
     msm: int = 1
     neg: list = _dc_field(default_factory=list)
     ranges: list = _dc_field(default_factory=list)
+    multis: list = _dc_field(default_factory=list)
 
 
 def _flat_conjuncts(nodes, scored: bool):
-    """Term/Range/Phrase nodes → FlatShape component lists, or None if
-    any node is out of kernel scope."""
-    terms, phrases, ranges = [], [], []
+    """Term/Range/Phrase/Wildcard/Fuzzy nodes → FlatShape component
+    lists, or None if any node is out of kernel scope."""
+    terms, phrases, ranges, multis = [], [], [], []
     for q in nodes:
         if isinstance(q, ast.Term):
             if q.boost < 0:
@@ -117,9 +123,13 @@ def _flat_conjuncts(nodes, scored: bool):
             if q.boost < 0:
                 return None
             phrases.append((tuple(q.terms), q.slop, q.boost, scored))
+        elif isinstance(q, (ast.Wildcard, ast.Fuzzy)):
+            if q.boost < 0:
+                return None
+            multis.append((q, scored))
         else:
             return None
-    return terms, phrases, ranges
+    return terms, phrases, ranges, multis
 
 
 def classify(node: ast.Query) -> FlatShape | None:
@@ -152,12 +162,13 @@ def classify(node: ast.Query) -> FlatShape | None:
             parts = _flat_conjuncts(node.must, scored=True)
             if parts is None:
                 return None
-            terms, phrases, ranges = parts
-            if not (terms or phrases):
+            terms, phrases, ranges, multis = parts
+            if not (terms or phrases or multis):
                 return None  # pure-range conjunction: docs-table plan
-            if phrases and ranges:
+            if (phrases or multis) and ranges:
                 return None
-            return FlatShape("and", terms, phrases, len(terms), neg, ranges)
+            return FlatShape("and", terms, phrases, len(terms), neg,
+                             ranges, multis)
         if node.should and not node.must:
             if all(
                 isinstance(q, ast.Term) and q.boost >= 0 for q in node.should
@@ -186,25 +197,27 @@ def classify(node: ast.Query) -> FlatShape | None:
                 return None
             fparts = _flat_conjuncts(f.must, scored=False)
             fneg = [q.value for q in f.must_not]
-        elif isinstance(f, (ast.Term, ast.Range, ast.Phrase)):
+        elif isinstance(f, (ast.Term, ast.Range, ast.Phrase,
+                            ast.Wildcard, ast.Fuzzy)):
             fparts = _flat_conjuncts([f], scored=False)
             fneg = []
         else:
             return None
         if fparts is None:
             return None
-        fterms, fphrases, franges = fparts
+        fterms, fphrases, franges, fmultis = fparts
         terms = base.terms + fterms
         phrases = base.phrases + fphrases
         ranges = base.ranges + franges
-        if not (terms or phrases):
+        multis = base.multis + fmultis
+        if not (terms or phrases or multis):
             return None
-        if phrases and ranges:
+        if (phrases or multis) and ranges:
             return None
         return FlatShape(
             "and", terms, phrases,
             sum(1 for _, _, s in terms if s),
-            base.neg + fneg, ranges,
+            base.neg + fneg, ranges, multis,
         )
     return None
 
@@ -220,7 +233,8 @@ def _tfc(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  segment_size: int, neg_tids: list[int] | None = None,
                  ranges: list | None = None, stats: dict | None = None,
-                 phrases: list | None = None):
+                 phrases: list | None = None,
+                 termsets: list | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -245,10 +259,19 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     the surviving candidate set, so `error AND "stack trace"` decodes
     the phrase legs' blocks only where error's candidates live (and
     vice versa when the phrase anchors).  weight = Σ idf(leg) × boost
-    (Lucene PhraseWeight), 0.0 for filter arms."""
+    (Lucene PhraseWeight), 0.0 for filter arms.
+
+    termsets (and-mode only): (member_tids, contrib) set conjuncts —
+    an expanded Wildcard/Fuzzy inside the conjunction: the doc must
+    appear in ANY member term's postings, scoring the constant
+    `contrib` (Lucene CONSTANT_SCORE_REWRITE; 0.0 for filter arms).
+    Member blocks decode only where they overlap surviving candidates
+    — `error AND status:5*` never decodes expansion blocks outside
+    error's candidate ranges."""
     neg_tids = list(neg_tids or [])
     ranges = list(ranges or [])
     phrases = list(phrases or [])
+    termsets = list(termsets or [])
     range_boost = float(sum(c for _r, c in ranges))
     dv_want = tuple(dict.fromkeys(r.field_name for r, _c in ranges))
 
@@ -390,7 +413,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     theta = np.partition(flat, flat.size - k)[flat.size - k]
             return topk(np.concatenate(out_d), np.concatenate(out_s))
 
-        if mode == "and" and phrases:
+        if mode == "and" and (phrases or termsets):
             # Mixed conjunction (terms + phrase pseudo-terms): conjuncts
             # are intersected in ascending estimated-size order — a
             # phrase's candidates are a subset of its rarest leg, so its
@@ -408,11 +431,23 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             }
             if not needed.issubset(set(sizes.index)):
                 return empty  # a conjunct term has no postings here
+            # a set conjunct needs at least ONE member with postings
+            # (absent members just shrink the union, they do not fail
+            # the conjunction)
+            present = set(sizes.index)
+            for tids, _c in termsets:
+                if not any(int(t) in present for t in tids):
+                    return empty
             conj: list[tuple[int, str, object]] = []
             for tid in qmeta:
                 conj.append((int(sizes[tid]), "t", tid))
             for pi, (tids, _s, _w) in enumerate(phrases):
                 conj.append((int(min(sizes[int(t)] for t in tids)), "p", pi))
+            for si, (tids, _c) in enumerate(termsets):
+                # union size is upper-bounded by the member sum
+                est = int(sum(sizes[int(t)] for t in tids
+                              if int(t) in present))
+                conj.append((est, "s", si))
             conj.sort(key=lambda x: x[0])
             cand = acc = cand_dl = None
             for _est, kind, key in conj:
@@ -436,6 +471,45 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                         acc = acc[idx] + s
                         cand_dl = cand_dl[idx]
                         cand = d
+                elif kind == "s":
+                    tids, contrib = termsets[key]
+                    member = [int(t) for t in tids if int(t) in present]
+                    sub = blocks[blocks["term_id"].isin(member)].sort_values(
+                        "first_docid"
+                    )
+                    skey = f"set:{key}"
+                    if stats is not None:
+                        tb = stats.setdefault("total_blocks", {})
+                        tb[skey] = tb.get(skey, 0) + len(sub)
+                    if cand is not None:
+                        lo = np.searchsorted(
+                            cand, sub["first_docid"].to_numpy(), "left"
+                        )
+                        hi = np.searchsorted(
+                            cand, sub["last_docid"].to_numpy(), "right"
+                        )
+                        sub = sub[hi > lo]
+                        if len(sub) == 0:
+                            return empty
+                    if stats is not None:
+                        db = stats.setdefault("decoded_blocks", {})
+                        db[skey] = db.get(skey, 0) + len(sub)
+                    d, _t, dl, _dv = decode(sub)
+                    # union across member terms: one row per docid (a
+                    # doc's dl is identical wherever it appears)
+                    u, first = np.unique(d, return_index=True)
+                    udl = dl[first]
+                    if cand is None:
+                        cand, cand_dl = u, udl
+                        acc = np.full(u.size, float(contrib))
+                    else:
+                        pos = np.clip(np.searchsorted(u, cand), 0,
+                                      u.size - 1)
+                        hit = u[pos] == cand
+                        if not hit.any():
+                            return empty
+                        cand, cand_dl = cand[hit], cand_dl[hit]
+                        acc = acc[hit] + contrib
                 else:
                     tid = key
                     sub = blocks[blocks["term_id"] == tid].sort_values(
@@ -734,6 +808,26 @@ def _run_kernel(index: BzzzIndex, blocks: DataFrame, kernel) -> DataFrame:
     )
 
 
+def _expand_scoped(index: BzzzIndex, node) -> list[str]:
+    """One Wildcard/Fuzzy pattern → its exact dictionary expansion
+    (one dictionary job; `_multiterm_cond` is already exact per
+    pattern).  Scope: field patterns only see their own key space;
+    default-field patterns never see '<field>:' keys (text tokens
+    cannot hold ':')."""
+    from bzzz_spark.query.executor import (
+        _pattern_prefix,
+        expand_multiterm,
+    )
+
+    pre = _pattern_prefix(index, node)
+    cand = expand_multiterm(index.dictionary, [node], [pre])
+    return (
+        [t for t in cand if t.startswith(pre)]
+        if pre
+        else [t for t in cand if ":" not in t]
+    )
+
+
 def _multiterm_candidates(
     index: BzzzIndex, node: ast.Query, k: int
 ) -> DataFrame:
@@ -741,22 +835,10 @@ def _multiterm_candidates(
     match scores node.boost, so per segment the top-k is the k smallest
     matching docids; the 'any' kernel stops decoding expansion blocks
     once k docids precede every remaining block's range."""
-    from bzzz_spark.query.executor import (
-        _pattern_prefix,
-        expand_multiterm,
-    )
 
     spark = index.docs.sparkSession
     empty = spark.createDataFrame([], "docid long, score double")
-    pre = _pattern_prefix(index, node)
-    cand = expand_multiterm(index.dictionary, [node], [pre])
-    # scope: field patterns only see their own key space; default-field
-    # patterns never see '<field>:' keys (text tokens cannot hold ':')
-    exp = (
-        [t for t in cand if t.startswith(pre)]
-        if pre
-        else [t for t in cand if ":" not in t]
-    )
+    exp = _expand_scoped(index, node)
     if not exp:
         return empty
     meta = index.lookup_terms(exp)
@@ -846,7 +928,21 @@ def wand_candidates(
             else 0.0
         )
         phrase_specs.append((leg_tids, slop, w_p))
-    if not qmeta and not phrase_specs:
+    termset_specs = []
+    for mnode, scored in shape.multis:
+        exp = _expand_scoped(index, mnode)
+        mmeta = index.lookup_terms(exp) if exp else {}
+        mtids = sorted(int(tid) for tid, _df in mmeta.values())
+        if not mtids:
+            # a required (or filter) multi-term conjunct whose pattern
+            # matches NO vocabulary term: the conjunction matches
+            # nothing (Lucene: a must clause rewritten to the empty
+            # disjunction)
+            return spark.createDataFrame([], "docid long, score double")
+        termset_specs.append(
+            (tuple(mtids), float(mnode.boost) if scored else 0.0)
+        )
+    if not qmeta and not phrase_specs and not termset_specs:
         return spark.createDataFrame([], "docid long, score double")
     # must_not terms absent from the dictionary exclude nothing; a term
     # that is both required and excluded stays in BOTH sets (the kernel
@@ -863,11 +959,13 @@ def wand_candidates(
         {int(t) for t in qmeta}
         | set(neg_tids)
         | {t for legs, _s, _w in phrase_specs for t in legs}
+        | {int(t) for tids, _c in termset_specs for t in tids}
     )
     blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
     kernel = _make_kernel(qmeta, shape.mode, shape.msm, k, avgdl, seg_size,
-                          neg_tids, shape.ranges, phrases=phrase_specs)
+                          neg_tids, shape.ranges, phrases=phrase_specs,
+                          termsets=termset_specs)
     return _run_kernel(index, blocks, kernel)
 
 

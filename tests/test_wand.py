@@ -77,12 +77,21 @@ def test_unsupported_shapes_fall_back(small_index):
     assert classify(
         ast.Filtered(ast.Term("a"), ast.Range("turn_idx", min=1))
     ) is not None
-    # ... but or-queries, multi-term filters, and only-must_not filter
-    # Bools (which match NOTHING, not everything-but) still fall back
+    # ... but or-queries and only-must_not filter Bools (which match
+    # NOTHING, not everything-but) still fall back
     assert classify(
         ast.Filtered(ast.Bool(should=[ast.Term("a")]), ast.Term("b"))
     ) is None
-    assert classify(ast.Filtered(ast.Term("a"), ast.Wildcard("b*"))) is None
+    # multi-term conjuncts ride the kernel as constant-score term SETS
+    # (round 4); in should-position they still fall back
+    assert classify(ast.Filtered(ast.Term("a"), ast.Wildcard("b*"))) is not None
+    assert classify(
+        ast.Bool(must=[ast.Term("a"), ast.Wildcard("b*")])
+    ) is not None
+    assert classify(
+        ast.Bool(must=[ast.Term("a"), ast.Fuzzy("bc")])
+    ) is not None
+    assert classify(ast.Bool(should=[ast.Wildcard("b*")])) is None
     assert classify(
         ast.Filtered(ast.Term("a"), ast.Bool(must_not=[ast.Term("b")]))
     ) is None
@@ -647,6 +656,106 @@ def test_mixed_kernel_prunes_head_term_blocks(spark):
     assert sorted(d for d, _ in fast) == [77, 301]
     # pruning evidence: 400 docs / 8 per block = 50 head blocks total,
     # but only the (at most 2) blocks holding the phrase candidates
+    # decode
+    assert stats["total_blocks"][head_tid] >= 50
+    assert stats["decoded_blocks"][head_tid] <= 2, stats
+
+
+def test_multiterm_in_bool_rides_kernel(spark, small_transcripts,
+                                        small_oracle):
+    """Bool(must=[..., Wildcard/Fuzzy]) rides the mixed conjunction
+    kernel as a constant-score term SET (Lucene CONSTANT_SCORE_REWRITE
+    inside a conjunction): rank+score identical to the oracle and the
+    exhaustive executor, incl. filter arms, exclusions, boosts, and
+    empty expansions."""
+    from bzzz_spark.query.wand import wand_candidates
+
+    idx = _hybrid_index(spark, small_transcripts)
+    nodes = [
+        ast.Bool(must=[ast.Term("the"), ast.Wildcard("quer*")]),
+        ast.Bool(must=[ast.Wildcard("err*"), ast.Term("data")]),
+        ast.Bool(must=[ast.Term("the"), ast.Fuzzy("querry", max_edits=1)]),
+        ast.Bool(must=[ast.Term("error"), ast.Wildcard("quer*")],
+                 must_not=[ast.Term("data")]),
+        # empty expansion: a must conjunct matching no vocabulary term
+        # empties the whole conjunction
+        ast.Bool(must=[ast.Term("the"), ast.Wildcard("zzzzz*")]),
+        # pure multi-term conjunction (the set anchors)
+        ast.Bool(must=[ast.Wildcard("err*"), ast.Wildcard("quer*")]),
+        # filter arm: intersects, contributes 0
+        ast.Filtered(ast.Term("the"), ast.Wildcard("err*")),
+        # boosted: constant contribution is the node's boost
+        ast.Bool(must=[ast.Term("the"), ast.Wildcard("quer*", boost=2.0)]),
+        # multi + phrase in one conjunction
+        ast.Bool(must=[ast.Phrase(["error", "query"]),
+                       ast.Wildcard("th*")]),
+    ]
+    for node in nodes:
+        assert wand_candidates(idx, node, 10) is not None, node
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(idx, node, size=10).collect()]
+        want = [(d, round(s, 9)) for d, s in small_oracle.search(node, 10)]
+        assert got == want, node
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(idx, node, size=10, use_wand=False).collect()]
+        assert got == slow, node
+    idx.postings.unpersist()
+
+
+def test_multiterm_conjunct_prunes_head_blocks(spark):
+    """`head AND rare-wildcard`: the expanded set (rarest conjunct)
+    anchors and the head term decodes ONLY candidate-overlapping
+    blocks — the same leapfrog evidence as the phrase pseudo-term."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    texts = [f"head filler{i % 7} pad{i % 13}" for i in range(400)]
+    texts[77] = "head status5a tail"
+    texts[301] = "head status5b more"
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["head", "status5a", "status5b"])
+    head_tid = int(meta["head"][0])
+    set_tids = tuple(
+        sorted(int(meta[t][0]) for t in ("status5a", "status5b"))
+    )
+    qmeta = {head_tid: (idf_fn(n_docs, meta["head"][1]), 1.0)}
+    blocks = idx.postings.filter(
+        F.col("term_id").isin([head_tid, *set_tids])
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "and", 1, 10, avgdl, 1 << 14, stats=stats,
+                          termsets=[(set_tids, 1.0)])
+    out = kernel(blocks)
+    assert sorted(out["docid"].tolist()) == [77, 301]
+    # parity with the full engine paths
+    node = ast.Bool(must=[ast.Term("head"), ast.Wildcard("status5*")])
+    fast = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=10).collect()]
+    slow = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=10, use_wand=False).collect()]
+    assert fast == slow
+    assert sorted(d for d, _ in fast) == [77, 301]
+    # pruning evidence: 400 docs / 8 per block = 50 head blocks total,
+    # but only the (at most 2) blocks holding the set's candidates
     # decode
     assert stats["total_blocks"][head_tid] >= 50
     assert stats["decoded_blocks"][head_tid] <= 2, stats
