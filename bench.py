@@ -89,6 +89,10 @@ TRANSCRIPT_QUERIES = {
     # disjunction over a mid + head term: the MaxScore path — the head
     # term's blocks decode only where they overlap θ-surviving candidates
     "t_or2_head": ast.Bool(should=[ast.Term("error"), ast.Term("the")]),
+    # wildcard inside a conjunction: the expansion rides the mixed
+    # kernel as a constant-score term set — decodes only blocks
+    # overlapping the scored term's candidates
+    "t_wild_and": ast.Bool(must=[ast.Term("error"), ast.Wildcard("tok04*")]),
 }
 
 # phrase queries run against a SEPARATE positions-bearing index (the
