@@ -198,7 +198,12 @@ def build_and_write(
         #   few hundred block rows regardless of corpus size.  (The
         #   128 MB default collapses a small file into ONE row group,
         #   silently disabling stats pruning altogether.)
-        bytes_est = (doc_hi - doc_lo) * max(avgdl, 1.0) * 3
+        # ~3 B per token occurrence (doc_gaps + tfs + dls varints);
+        # positions add one varint per occurrence, roughly doubling
+        # encoded bytes — keep the ~32 MB file target honest for
+        # positional indexes
+        per_tok = 6 if getattr(cfg, "store_positions", False) else 3
+        bytes_est = (doc_hi - doc_lo) * max(avgdl, 1.0) * per_tok
         n_files = max(1, min(1024, math.ceil(bytes_est / (32 << 20))))
         (
             postings.repartitionByRange(n_files, "term_id")

@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bzzz_spark.build.codec import decode_block, decode_positions, decode_varints
+from bzzz_spark.query.phrase_repeats import repeat_groups
 
 PHRASE_SCHEMA = "docid long, ptf double, dl long"
 
@@ -390,19 +391,19 @@ def phrase_segment_kernel(
             cand, cand_dl = cand[hit], cand_dl[hit]
             if cand.size == 0:
                 return _EMPTY
-    mult = {}
-    for tid in (int(t) for t in tid_order):
-        mult[tid] = mult.get(tid, 0) + 1
-    if any(m > 1 for m in mult.values()):
+    # one grouping rule for the engine: phrase_repeats.repeat_groups
+    # (the oracle keeps its own deliberately-independent copy)
+    rpt_groups = repeat_groups([int(t) for t in tid_order])
+    if rpt_groups:
         # a repeated term needs one DISTINCT occurrence per leg: docs
         # with tf < multiplicity can never match — drop them before the
         # (repeats: per-doc) matching walk
         keep = np.ones(cand.size, dtype=bool)
-        for tid, m in mult.items():
-            if m > 1:
-                d, tf, _ = decoded[tid]
-                idx = np.clip(np.searchsorted(d, cand), 0, d.size - 1)
-                keep &= tf[idx] >= m
+        for g in rpt_groups:
+            tid = int(tid_order[g[0]])
+            d, tf, _ = decoded[tid]
+            idx = np.clip(np.searchsorted(d, cand), 0, d.size - 1)
+            keep &= tf[idx] >= len(g)
         cand, cand_dl = cand[keep], cand_dl[keep]
         if cand.size == 0:
             return _EMPTY
@@ -419,12 +420,9 @@ def phrase_segment_kernel(
         # group-count — which degenerates to ptf = tf for k == 1 —
         # already gives the right sloppy freq
         doc_rank, ptf = _exact_freqs(legs, cand.size)
-    elif any(m > 1 for m in mult.values()):
-        by_tid: dict = {}
-        for off, tid in enumerate(int(t) for t in tid_order):
-            by_tid.setdefault(tid, []).append(off)
-        groups = [g for g in by_tid.values() if len(g) > 1]
-        doc_rank, ptf = _sloppy_freqs_repeats(legs, groups, slop, cand.size)
+    elif rpt_groups:
+        doc_rank, ptf = _sloppy_freqs_repeats(legs, rpt_groups, slop,
+                                              cand.size)
     elif len(tid_order) == 2:
         doc_rank, ptf = _sloppy_freqs_2(legs[0], legs[1], slop, cand.size)
     else:

@@ -449,7 +449,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                               if int(t) in present))
                 conj.append((est, "s", si))
             conj.sort(key=lambda x: x[0])
-            cand = acc = cand_dl = None
+            cand = acc = None
             for _est, kind, key in conj:
                 if kind == "p":
                     tids, slop, w_p = phrases[key]
@@ -464,12 +464,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     pdl = np.where(pdl == 0, avgdl, pdl)
                     s = w_p * _tfc(ptf, pdl, avgdl)
                     if cand is None:
-                        cand, acc, cand_dl = d, s, pdl
+                        cand, acc = d, s
                     else:
                         # res docids ⊆ cand and both ascend — map back
                         idx = np.searchsorted(cand, d)
                         acc = acc[idx] + s
-                        cand_dl = cand_dl[idx]
                         cand = d
                 elif kind == "s":
                     tids, contrib = termsets[key]
@@ -494,13 +493,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     if stats is not None:
                         db = stats.setdefault("decoded_blocks", {})
                         db[skey] = db.get(skey, 0) + len(sub)
-                    d, _t, dl, _dv = decode(sub)
-                    # union across member terms: one row per docid (a
-                    # doc's dl is identical wherever it appears)
-                    u, first = np.unique(d, return_index=True)
-                    udl = dl[first]
+                    d, _t, _dl, _dv = decode(sub)
+                    # union across member terms: one row per docid
+                    u = np.unique(d)
                     if cand is None:
-                        cand, cand_dl = u, udl
+                        cand = u
                         acc = np.full(u.size, float(contrib))
                     else:
                         pos = np.clip(np.searchsorted(u, cand), 0,
@@ -508,7 +505,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                         hit = u[pos] == cand
                         if not hit.any():
                             return empty
-                        cand, cand_dl = cand[hit], cand_dl[hit]
+                        cand = cand[hit]
                         acc = acc[hit] + contrib
                 else:
                     tid = key
@@ -534,7 +531,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     d, t, dl, _dv = decode(sub)
                     w, _b = qmeta[tid]
                     if cand is None:
-                        cand, cand_dl = d, dl
+                        cand = d
                         acc = w * _tfc(t, dl, avgdl)
                     else:
                         pos = np.clip(np.searchsorted(d, cand), 0,
@@ -542,7 +539,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                         hit = d[pos] == cand
                         if not hit.any():
                             return empty
-                        cand, cand_dl = cand[hit], cand_dl[hit]
+                        cand = cand[hit]
                         acc = acc[hit] + w * _tfc(
                             t[pos[hit]], dl[pos[hit]], avgdl
                         )
@@ -808,24 +805,47 @@ def _run_kernel(index: BzzzIndex, blocks: DataFrame, kernel) -> DataFrame:
     )
 
 
-def _expand_scoped(index: BzzzIndex, node) -> list[str]:
-    """One Wildcard/Fuzzy pattern → its exact dictionary expansion
-    (one dictionary job; `_multiterm_cond` is already exact per
-    pattern).  Scope: field patterns only see their own key space;
-    default-field patterns never see '<field>:' keys (text tokens
-    cannot hold ':')."""
+def _expand_scoped_many(index: BzzzIndex, nodes: list) -> list[list[str]]:
+    """Wildcard/Fuzzy patterns → their exact dictionary expansions in
+    ONE dictionary job (the executor's _Ctx discipline: candidates for
+    all patterns are collected together, then re-matched per pattern,
+    since `_multiterm_cond` ORs the patterns and a candidate may match
+    only one of them).  Scope: field patterns only see their own key
+    space; default-field patterns never see '<field>:' keys (text
+    tokens cannot hold ':')."""
+    import re
+
+    from bzzz_spark.oracle.pyoracle import levenshtein
     from bzzz_spark.query.executor import (
         _pattern_prefix,
         expand_multiterm,
+        glob_to_regex,
     )
 
-    pre = _pattern_prefix(index, node)
-    cand = expand_multiterm(index.dictionary, [node], [pre])
-    return (
-        [t for t in cand if t.startswith(pre)]
-        if pre
-        else [t for t in cand if ":" not in t]
-    )
+    prefixes = [_pattern_prefix(index, n) for n in nodes]
+    cand = expand_multiterm(index.dictionary, nodes, prefixes)
+    out = []
+    for p, pre in zip(nodes, prefixes):
+        scoped = (
+            [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
+            if pre
+            else [(t, t) for t in cand if ":" not in t]
+        )
+        if isinstance(p, ast.Wildcard):
+            rx = re.compile(glob_to_regex(p.value))
+            out.append([t for t, bare in scoped if rx.match(bare)])
+        else:
+            out.append([
+                t for t, bare in scoped
+                if bare.startswith(p.value[: p.prefix_len])
+                and levenshtein(bare, p.value) <= p.max_edits
+            ])
+    return out
+
+
+def _expand_scoped(index: BzzzIndex, node) -> list[str]:
+    """One Wildcard/Fuzzy pattern → its exact dictionary expansion."""
+    return _expand_scoped_many(index, [node])[0]
 
 
 def _multiterm_candidates(
@@ -894,6 +914,13 @@ def wand_candidates(
     if shape.phrases and "positions" not in index.postings.columns:
         # the executor path raises the loud store_positions error
         return None
+    if "dls" not in index.postings.columns:
+        # pre-inline-norms index layout: no dl stream in the blocks —
+        # fall back to the exhaustive executor (which would need the
+        # legacy docs join this engine no longer carries on the fast
+        # path).  Checked BEFORE any dictionary/expansion job so the
+        # fallback costs zero Spark work.
+        return None
     vals = [v for v, _b, _s in shape.terms]
     if len(set(vals)) != len(vals):
         return None  # repeated terms would collapse in qmeta — fall back
@@ -929,19 +956,28 @@ def wand_candidates(
         )
         phrase_specs.append((leg_tids, slop, w_p))
     termset_specs = []
-    for mnode, scored in shape.multis:
-        exp = _expand_scoped(index, mnode)
-        mmeta = index.lookup_terms(exp) if exp else {}
-        mtids = sorted(int(tid) for tid, _df in mmeta.values())
-        if not mtids:
-            # a required (or filter) multi-term conjunct whose pattern
-            # matches NO vocabulary term: the conjunction matches
-            # nothing (Lucene: a must clause rewritten to the empty
-            # disjunction)
-            return spark.createDataFrame([], "docid long, score double")
-        termset_specs.append(
-            (tuple(mtids), float(mnode.boost) if scored else 0.0)
+    if shape.multis:
+        # ONE dictionary job for all patterns, one lookup for all
+        # expansion terms (the executor's batching discipline)
+        exps = _expand_scoped_many(index, [m for m, _s in shape.multis])
+        mmeta = index.lookup_terms(
+            sorted({t for exp in exps for t in exp})
         )
+        for (mnode, scored), exp in zip(shape.multis, exps):
+            mtids = sorted(
+                int(mmeta[t][0]) for t in exp if t in mmeta
+            )
+            if not mtids:
+                # a required (or filter) multi-term conjunct whose
+                # pattern matches NO vocabulary term: the conjunction
+                # matches nothing (Lucene: a must clause rewritten to
+                # the empty disjunction)
+                return spark.createDataFrame(
+                    [], "docid long, score double"
+                )
+            termset_specs.append(
+                (tuple(mtids), float(mnode.boost) if scored else 0.0)
+            )
     if not qmeta and not phrase_specs and not termset_specs:
         return spark.createDataFrame([], "docid long, score double")
     # must_not terms absent from the dictionary exclude nothing; a term
@@ -949,12 +985,6 @@ def wand_candidates(
     # then scores and excludes it — "a AND NOT a" is naturally empty)
     neg_tids = sorted({int(meta[v][0]) for v in set(neg_vals) if v in meta})
 
-    if "dls" not in index.postings.columns:
-        # pre-inline-norms index layout: no dl stream in the blocks —
-        # fall back to the exhaustive executor (which would need the
-        # legacy docs join this engine no longer carries on the fast
-        # path)
-        return None
     all_tids = (
         {int(t) for t in qmeta}
         | set(neg_tids)

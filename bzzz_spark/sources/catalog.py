@@ -32,11 +32,17 @@ def iceberg_available(spark: SparkSession) -> bool:
     """True iff an Iceberg runtime is actually loadable.  NB: plain
     `spark._jvm.org.apache.iceberg.Table` attribute access is NOT a
     valid probe — py4j returns a JavaPackage stub for any dotted path
-    and only errors on use, so it reports True with no jar present."""
+    and only errors on use, so it reports True with no jar present.
+    The load goes through the THREAD CONTEXT classloader (Spark's own
+    Utils.classForName discipline): jars supplied via --packages/--jars
+    land in the driver's mutable user classloader, which a bare
+    one-arg Class.forName (py4j's caller loader) does not see."""
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.iceberg.Table"
+        jvm = spark._jvm  # noqa: SLF001
+        loader = (
+            jvm.java.lang.Thread.currentThread().getContextClassLoader()
         )
+        loader.loadClass("org.apache.iceberg.Table")
         return True
     except Exception:
         return False
