@@ -158,6 +158,12 @@ class BzzzIndex:
     # analog of Lucene's term-dictionary block cache.
     _term_cache: dict = field(default_factory=dict, repr=False, compare=False,
                               init=False)
+    # memoized Wildcard/Fuzzy expansions: (kind, field, value, params) →
+    # list of matching dictionary terms.  Same snapshot-immutability
+    # argument as _term_cache — the dictionary never changes under a
+    # BzzzIndex, so a repeated pattern costs zero dictionary jobs.
+    _expansion_cache: dict = field(default_factory=dict, repr=False,
+                                   compare=False, init=False)
     # serving layout: True after persist(layout="segment") repartitions
     # the postings by segment — query kernels then run as NARROW
     # mapInPandas tasks (zero per-query shuffle; see query/wand.py).

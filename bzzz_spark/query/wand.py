@@ -822,25 +822,35 @@ def _expand_scoped_many(index: BzzzIndex, nodes: list) -> list[list[str]]:
         glob_to_regex,
     )
 
-    prefixes = [_pattern_prefix(index, n) for n in nodes]
-    cand = expand_multiterm(index.dictionary, nodes, prefixes)
-    out = []
-    for p, pre in zip(nodes, prefixes):
-        scoped = (
-            [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
-            if pre
-            else [(t, t) for t in cand if ":" not in t]
-        )
+    def ckey(p):
         if isinstance(p, ast.Wildcard):
-            rx = re.compile(glob_to_regex(p.value))
-            out.append([t for t, bare in scoped if rx.match(bare)])
-        else:
-            out.append([
-                t for t, bare in scoped
-                if bare.startswith(p.value[: p.prefix_len])
-                and levenshtein(bare, p.value) <= p.max_edits
-            ])
-    return out
+            return ("w", p.field_name, p.value)
+        return ("f", p.field_name, p.value, p.max_edits, p.prefix_len)
+
+    cache = getattr(index, "_expansion_cache", None)
+    if cache is None:
+        cache = {}  # index without the memo field: per-call cache
+    fresh = [p for p in nodes if ckey(p) not in cache]
+    if fresh:
+        prefixes = [_pattern_prefix(index, n) for n in fresh]
+        cand = expand_multiterm(index.dictionary, fresh, prefixes)
+        for p, pre in zip(fresh, prefixes):
+            scoped = (
+                [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
+                if pre
+                else [(t, t) for t in cand if ":" not in t]
+            )
+            if isinstance(p, ast.Wildcard):
+                rx = re.compile(glob_to_regex(p.value))
+                exp = [t for t, bare in scoped if rx.match(bare)]
+            else:
+                exp = [
+                    t for t, bare in scoped
+                    if bare.startswith(p.value[: p.prefix_len])
+                    and levenshtein(bare, p.value) <= p.max_edits
+                ]
+            cache[ckey(p)] = exp
+    return [cache[ckey(p)] for p in nodes]
 
 
 def _expand_scoped(index: BzzzIndex, node) -> list[str]:
