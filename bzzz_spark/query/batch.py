@@ -92,11 +92,15 @@ def search_many(
     docid asc) order — per query, exactly the rows ``search()`` returns
     with the same size/page.
     """
+    from bzzz_spark.query.rewrite import normalize
+
     nodes: dict[str, ast.Query] = {}
     for qid, q in queries.items():
         node = q if isinstance(q, ast.Query) else ast.parse_query(q)
         validate_fields(index, node)
-        nodes[qid] = node
+        # flattened trees ride the shared scan instead of the per-query
+        # exhaustive fallback (score-preserving, rewrite.py)
+        nodes[qid] = normalize(node)
 
     # dis-max of plain terms rides the shared scan too: role "d"
     # contributions, score = max + tie*(sum - max) (executor parity)

@@ -546,6 +546,11 @@ def search(
     (cross-checked in tests/test_wand.py)."""
     node = query if isinstance(query, ast.Query) else ast.parse_query(query)
     validate_fields(index, node)
+    # score-preserving flattening (Lucene Query#rewrite analog): nested-
+    # but-semantically-flat Bool trees become kernel-servable shapes
+    from bzzz_spark.query.rewrite import normalize
+
+    node = normalize(node)
     top = None
     if use_wand and index.wand_safe:
         from bzzz_spark.query.wand import wand_search

@@ -1,0 +1,160 @@
+"""Score-preserving query normalization — the Lucene ``Query.rewrite``
+analog (reference: the query tree the JSON DSL parser emits is executed
+as-is per src/bzzz/query.clj:31-48; Lucene itself normalizes
+BooleanQuery nesting in BooleanQuery#rewrite before scoring).
+
+Real query producers (the classic query parser, programmatic builders,
+the implicit-AND of a multi-key JSON map) emit NESTED Bool trees whose
+semantics are flat: ``Bool(must=[Bool(must=[a, b]), c])`` scores and
+matches exactly like ``Bool(must=[a, b, c])``.  The block-max kernels
+(:mod:`bzzz_spark.query.wand`) serve flat shapes only, so without
+normalization a syntactically-nested-but-semantically-flat query pays
+the exhaustive executor's full posting decode.  ``normalize`` folds
+those trees bottom-up; every rule below is score-preserving under the
+engine's pinned Bool semantics (score = Σ must + Σ matched should,
+msm over should count, boost multiplies the sum — executor.py and the
+pure-Python oracle agree), so the exhaustive plan, the kernel plan and
+the oracle all return identical rows for the original and the
+normalized tree.  Rules fire only when provably safe (inner boost 1.0,
+msm not perturbed); anything else is left untouched.
+"""
+
+from __future__ import annotations
+
+from bzzz_spark.query import ast
+
+
+def _merge_dup_terms(clauses: list, allow: bool) -> list:
+    """Merge duplicate (value, field) Terms by summing boosts.
+
+    Safe for MUST clauses always: BM25 is linear in boost, and a doc
+    matching the term once matches every duplicate, so the m_cnt ==
+    len(must) conjunction test is unchanged.  For SHOULD clauses the
+    merge changes the per-doc matched-clause COUNT, so the caller only
+    allows it when minimum_should_match cannot observe the difference
+    (effective msm <= 1)."""
+    if not allow:
+        return clauses
+    out: list = []
+    pos: dict[tuple, int] = {}
+    for q in clauses:
+        if isinstance(q, ast.Term) and q.boost >= 0:
+            key = (q.value, q.field_name)
+            if key in pos:
+                prev = out[pos[key]]
+                out[pos[key]] = ast.Term(
+                    q.value, q.field_name, prev.boost + q.boost
+                )
+                continue
+            pos[key] = len(out)
+        out.append(q)
+    return out
+
+
+def normalize(node: ast.Query) -> ast.Query:
+    """Bottom-up score-preserving simplification.  Idempotent."""
+    if isinstance(node, ast.Bool):
+        must = [normalize(q) for q in node.must]
+        must_not = [normalize(q) for q in node.must_not]
+        should = [normalize(q) for q in node.should]
+
+        # flatten must-children that are pure conjunctions: an inner
+        # Bool(boost=1, should=[]) with must clauses contributes
+        # Σ inner.must and requires all of them plus none of its
+        # must_not — identical once lifted into the parent
+        flat_must: list = []
+        for q in must:
+            if (
+                isinstance(q, ast.Bool)
+                and q.boost == 1.0
+                and q.must
+                and not q.should
+                # msm > 0 with no should clauses is a semantic edge the
+                # executor ignores but the strict oracle treats as
+                # unmatchable — leave such trees alone
+                and q.minimum_should_match == 0
+            ):
+                flat_must.extend(q.must)
+                must_not.extend(q.must_not)
+            else:
+                flat_must.append(q)
+        must = flat_must
+
+        # flatten should-children that are pure disjunctions, when
+        # neither side's minimum-should-match can observe the splice:
+        # inner Bool(should-only, msm<=1) counts as ONE matched outer
+        # clause iff >=1 of its members match — with outer msm<=1 that
+        # is the same qualification as the spliced members, and the
+        # score is the same Σ of matching members either way
+        if node.effective_msm() <= 1:
+            flat_should: list = []
+            for q in should:
+                if (
+                    isinstance(q, ast.Bool)
+                    and q.boost == 1.0
+                    and q.should
+                    and not q.must
+                    and not q.must_not
+                    and q.effective_msm() <= 1
+                ):
+                    flat_should.extend(q.should)
+                else:
+                    flat_should.append(q)
+            should = flat_should
+
+        msm_safe = node.effective_msm() <= 1
+        must = _merge_dup_terms(must, allow=True)
+        should = _merge_dup_terms(should, allow=msm_safe)
+
+        # single-clause collapse (boost 1 only — Bool boost multiplies
+        # the SUM, which for one clause is the clause's own score)
+        if node.boost == 1.0 and not must_not:
+            if (
+                len(must) == 1
+                and not should
+                and node.minimum_should_match == 0
+            ):
+                return must[0]
+            if not must and len(should) == 1 and node.effective_msm() <= 1:
+                return should[0]
+        return ast.Bool(
+            must=must,
+            must_not=must_not,
+            should=should,
+            minimum_should_match=node.minimum_should_match,
+            boost=node.boost,
+        )
+    if isinstance(node, ast.Filtered):
+        q = normalize(node.query)
+        f = normalize(node.filter)
+        if isinstance(f, ast.MatchAll) and node.boost == 1.0:
+            return q  # semi-join against every doc is the identity
+        return ast.Filtered(query=q, filter=f, boost=node.boost)
+    if isinstance(node, ast.ConstantScore):
+        q = normalize(node.query)
+        # the outer constant wins regardless of the inner score
+        while isinstance(q, ast.ConstantScore):
+            q = q.query
+        return ast.ConstantScore(query=q, boost=node.boost)
+    if isinstance(node, ast.DisMax):
+        return ast.DisMax(
+            queries=[normalize(q) for q in node.queries],
+            tie_breaker=node.tie_breaker,
+            boost=node.boost,
+        )
+    if isinstance(node, ast.NoZeroScore):
+        return ast.NoZeroScore(query=normalize(node.query))
+    if isinstance(node, ast.NoNorm):
+        return ast.NoNorm(query=normalize(node.query))
+    if isinstance(node, ast.RandomScore):
+        return ast.RandomScore(
+            query=normalize(node.query), base=node.base, seed=node.seed
+        )
+    if isinstance(node, ast.CustomScore):
+        return ast.CustomScore(
+            query=normalize(node.query),
+            expression=node.expression,
+            replace=node.replace,
+            boost=node.boost,
+        )
+    return node

@@ -95,7 +95,12 @@ class FlatShape:
              the doc must contain ANY expansion term; contributes the
              node's constant boost (Lucene CONSTANT_SCORE_REWRITE for
              multi-term queries inside a conjunction), 0 on filter
-             arms."""
+             arms.
+    opts:    (value, boost) — OPTIONAL terms on an and-shape (Bool with
+             both must and should: Lucene ReqOptSumScorer).  They never
+             admit candidates; matching ones add their BM25 score, and
+             opt_msm of them must match for a doc to qualify
+             (minimum_should_match over the should clauses)."""
 
     mode: str  # 'term' | 'and' | 'or'
     terms: list = _dc_field(default_factory=list)
@@ -104,6 +109,8 @@ class FlatShape:
     neg: list = _dc_field(default_factory=list)
     ranges: list = _dc_field(default_factory=list)
     multis: list = _dc_field(default_factory=list)
+    opts: list = _dc_field(default_factory=list)
+    opt_msm: int = 0
 
 
 def _flat_conjuncts(nodes, scored: bool):
@@ -158,7 +165,7 @@ def classify(node: ast.Query) -> FlatShape | None:
         if any(q.boost < 0 for q in node.must_not):
             return None
         neg = [q.value for q in node.must_not]
-        if node.must and not node.should:
+        if node.must:
             parts = _flat_conjuncts(node.must, scored=True)
             if parts is None:
                 return None
@@ -167,8 +174,26 @@ def classify(node: ast.Query) -> FlatShape | None:
                 return None  # pure-range conjunction: docs-table plan
             if (phrases or multis) and ranges:
                 return None
+            # must + should: Lucene ReqOptSumScorer — the conjunction
+            # drives candidates, optional Terms add score where they
+            # match and opt_msm of them must match.  Duplicate should
+            # values fall back (the executor counts each occurrence
+            # toward msm; a dict-keyed kernel cannot)
+            opts: list = []
+            if node.should:
+                if not all(
+                    isinstance(q, ast.Term) and q.boost >= 0
+                    for q in node.should
+                ):
+                    return None
+                opts = [(q.value, q.boost) for q in node.should]
+                if len({v for v, _b in opts}) != len(opts):
+                    return None
+                if node.effective_msm() > len(opts):
+                    return None  # unsatisfiable — executor returns empty
             return FlatShape("and", terms, phrases, len(terms), neg,
-                             ranges, multis)
+                             ranges, multis, opts,
+                             node.effective_msm() if opts else 0)
         if node.should and not node.must:
             if all(
                 isinstance(q, ast.Term) and q.boost >= 0 for q in node.should
@@ -218,6 +243,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             "and", terms, phrases,
             sum(1 for _, _, s in terms if s),
             base.neg + fneg, ranges, multis,
+            base.opts, base.opt_msm,
         )
     return None
 
@@ -234,7 +260,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  segment_size: int, neg_tids: list[int] | None = None,
                  ranges: list | None = None, stats: dict | None = None,
                  phrases: list | None = None,
-                 termsets: list | None = None):
+                 termsets: list | None = None,
+                 opts: dict | None = None, opt_msm: int = 0):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -261,6 +288,15 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     vice versa when the phrase anchors).  weight = Σ idf(leg) × boost
     (Lucene PhraseWeight), 0.0 for filter arms.
 
+    opts (and-mode only): tid -> (weight, boost) OPTIONAL terms (Bool
+    with both must and should — Lucene ReqOptSumScorer): they never
+    admit candidates, so their blocks decode only where they overlap
+    the conjunction's survivors (the exclusion-term discipline, with
+    score added instead of removed); opt_msm of them must match for a
+    doc to qualify.  Their upper bounds widen θ's pruning bound — a
+    non-top-k conjunction doc could still reach the top-k via optional
+    contributions, so pruning accounts for them.
+
     termsets (and-mode only): (member_tids, contrib) set conjuncts —
     an expanded Wildcard/Fuzzy inside the conjunction: the doc must
     appear in ANY member term's postings, scoring the constant
@@ -272,6 +308,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     ranges = list(ranges or [])
     phrases = list(phrases or [])
     termsets = list(termsets or [])
+    opts = dict(opts or {})
     range_boost = float(sum(c for _r, c in ranges))
     dv_want = tuple(dict.fromkeys(r.field_name for r, _c in ranges))
 
@@ -351,6 +388,70 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
             o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
             return pd.DataFrame({"docid": docids[o], "score": scores[o]})
+
+        # optional terms (and-mode Lucene ReqOptSumScorer): per-term
+        # block metadata + cross-chunk decode cache, exactly the
+        # exclusion-term discipline but ADDING score on match
+        ub_opts = 0.0
+        opt_present: list = []
+        opt_all: dict = {}
+        if opts:
+            for tid in opts:
+                sub = blocks[blocks["term_id"] == tid].sort_values(
+                    "first_docid").reset_index(drop=True)
+                if len(sub) == 0:
+                    continue
+                opt_present.append(tid)
+                opt_all[tid] = (sub, sub["first_docid"].to_numpy(),
+                                sub["last_docid"].to_numpy(), {})
+                ub_opts += opts[tid][1] * float(sub["block_max_score"].max())
+                if stats is not None:
+                    tb = stats.setdefault("total_blocks", {})
+                    tb[f"opt:{tid}"] = len(sub)
+            if opt_msm > len(opt_present):
+                # fewer optional terms have postings here than msm
+                # requires: no doc in this segment can qualify
+                return empty
+
+        def add_opts(cand: np.ndarray, acc: np.ndarray):
+            """Score optional terms on the surviving candidates (acc is
+            a fresh fancy-indexed copy — in-place add is safe), then
+            apply the minimum-should-match cut.  Optional blocks decode
+            lazily, only where they overlap candidates, cached across
+            chunks."""
+            if not opt_present or cand.size == 0:
+                return cand, acc
+            ocnt = np.zeros(cand.size, dtype=np.int32)
+            for tid in opt_present:
+                sub, first_d, last_d, cache = opt_all[tid]
+                lo = np.searchsorted(cand, first_d, "left")
+                hi = np.searchsorted(cand, last_d, "right")
+                need = np.flatnonzero(hi > lo)
+                if need.size == 0:
+                    continue
+                miss = [int(i) for i in need if int(i) not in cache]
+                if miss:
+                    for i, r in zip(
+                        miss, sub.iloc[miss].itertuples(index=False)
+                    ):
+                        cache[i] = decode_one(r)
+                    if stats is not None:
+                        db = stats.setdefault("decoded_blocks", {})
+                        key = f"opt:{tid}"
+                        db[key] = db.get(key, 0) + len(miss)
+                d = np.concatenate([cache[int(i)][0] for i in need])
+                t = np.concatenate([cache[int(i)][1] for i in need])
+                dl = np.concatenate([cache[int(i)][2] for i in need])
+                pos = np.clip(np.searchsorted(d, cand), 0, d.size - 1)
+                hit = d[pos] == cand
+                if hit.any():
+                    w, _b = opts[tid]
+                    acc[hit] += w * _tfc(t[pos[hit]], dl[pos[hit]], avgdl)
+                    ocnt[hit] += 1
+            if opt_msm > 0:
+                m = ocnt >= opt_msm
+                return cand[m], acc[m]
+            return cand, acc
 
         if mode == "any":
             # constant-score match-any: k smallest matching docids.
@@ -548,7 +649,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             km = keep_sorted(cand)
             if not km.any():
                 return empty
-            return topk(cand[km], acc[km])
+            kd, ka = add_opts(cand[km], acc[km])
+            if kd.size == 0:
+                return empty
+            return topk(kd, ka)
 
         if mode == "and":
             # Block-max conjunction (Lucene BlockMaxConjunctionScorer,
@@ -600,7 +704,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             for start in range(0, len(rsub), CHUNK):
                 chunk = rsub.iloc[start:start + CHUNK]
                 bound = (boost_r * float(chunk["block_max_score"].iloc[0])
-                         + ub_others + range_boost)
+                         + ub_others + range_boost + ub_opts)
                 if seen >= k and bound < theta:
                     # strictly below θ: a bound-tied doc could still
                     # win the docid tie-break, so ties keep decoding
@@ -664,8 +768,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 km = keep_sorted(cand_d)
                 if not km.any():
                     continue
-                kept = acc[km]
-                out_d.append(cand_d[km])
+                kept_d, kept = add_opts(cand_d[km], acc[km])
+                if kept_d.size == 0:
+                    continue
+                out_d.append(kept_d)
                 out_s.append(kept)
                 seen += kept.size
                 # θ via a bounded running top-k: O(chunk + k) per
@@ -936,11 +1042,12 @@ def wand_candidates(
         return None  # repeated terms would collapse in qmeta — fall back
     neg_vals = shape.neg
     pvals = [t for tids, _s, _b, _sc in shape.phrases for t in tids]
+    ovals = [v for v, _b in shape.opts]
     spark = index.docs.sparkSession
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
         return spark.createDataFrame([], "docid long, score double")
-    meta = index.lookup_terms(vals + neg_vals + pvals)
+    meta = index.lookup_terms(vals + neg_vals + pvals + ovals)
     if shape.mode == "and" and (
         any(v not in meta for v in vals) or any(t not in meta for t in pvals)
     ):
@@ -990,6 +1097,16 @@ def wand_candidates(
             )
     if not qmeta and not phrase_specs and not termset_specs:
         return spark.createDataFrame([], "docid long, score double")
+    # optional (should) terms: out-of-vocabulary ones match nothing —
+    # they just stop counting toward minimum_should_match.  If fewer
+    # remain than msm requires, NO doc can qualify
+    opt_meta = {}
+    for v, boost in shape.opts:
+        if v in meta:
+            tid, df = meta[v]
+            opt_meta[int(tid)] = (idf_fn(n_docs, df) * boost, boost)
+    if shape.opt_msm > len(opt_meta):
+        return spark.createDataFrame([], "docid long, score double")
     # must_not terms absent from the dictionary exclude nothing; a term
     # that is both required and excluded stays in BOTH sets (the kernel
     # then scores and excludes it — "a AND NOT a" is naturally empty)
@@ -1000,12 +1117,14 @@ def wand_candidates(
         | set(neg_tids)
         | {t for legs, _s, _w in phrase_specs for t in legs}
         | {int(t) for tids, _c in termset_specs for t in tids}
+        | set(opt_meta)
     )
     blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
     kernel = _make_kernel(qmeta, shape.mode, shape.msm, k, avgdl, seg_size,
                           neg_tids, shape.ranges, phrases=phrase_specs,
-                          termsets=termset_specs)
+                          termsets=termset_specs,
+                          opts=opt_meta, opt_msm=shape.opt_msm)
     return _run_kernel(index, blocks, kernel)
 
 

@@ -178,6 +178,36 @@ def test_random_wand_or_maxscore_matches_oracle(
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
 
 
+# must + should mixed bools: the ReqOptSumScorer kernel path (round 4)
+# — optional-term scoring, minimum_should_match over optionals, and the
+# normalize() dup-merge must never change results vs the oracle
+_wand_mixed = st.builds(
+    lambda must, should, msm, neg: ast.Bool(
+        must=list(must), should=list(should),
+        minimum_should_match=min(msm, len(should)),
+        must_not=list(neg),
+    ),
+    st.lists(_term, min_size=1, max_size=2),
+    st.lists(_term, min_size=1, max_size=3),
+    st.integers(0, 2),
+    st.lists(_term, max_size=1),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_mixed, st.sampled_from([1, 5, 25]))
+def test_random_wand_req_opt_matches_oracle(
+    dv_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_wand_bool)

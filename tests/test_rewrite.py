@@ -1,0 +1,150 @@
+"""Query normalization (bzzz_spark/query/rewrite.py): every rule must
+be score-preserving under the engine's pinned Bool semantics — checked
+structurally (the rewritten tree is the flat form the kernels serve)
+and behaviorally (the pure-Python oracle returns identical ranked
+results for the original and the normalized tree).
+
+Reference motivation: the JSON DSL's implicit AND of a multi-key map
+(src/bzzz/query.clj:36-40) and the classic query parser both emit
+nested Bool trees whose semantics are flat; Lucene normalizes these in
+BooleanQuery#rewrite before scoring."""
+
+import math
+
+import pytest
+
+from bzzz_spark.fixtures import synth_transcripts_pdf
+from bzzz_spark.oracle.pyoracle import PyIndex
+from bzzz_spark.query import ast
+from bzzz_spark.query.rewrite import normalize
+from bzzz_spark.query.wand import classify
+
+
+def test_nested_must_flattens_to_kernel_shape():
+    node = ast.Bool(
+        must=[ast.Bool(must=[ast.Term("a"), ast.Term("b")]), ast.Term("c")]
+    )
+    out = normalize(node)
+    assert isinstance(out, ast.Bool)
+    assert [t.value for t in out.must] == ["a", "b", "c"]
+    assert classify(out) is not None
+    # and the inner must_not is lifted too
+    node2 = ast.Bool(
+        must=[
+            ast.Bool(must=[ast.Term("a")], must_not=[ast.Term("x")]),
+            ast.Term("b"),
+        ]
+    )
+    out2 = normalize(node2)
+    assert [t.value for t in out2.must] == ["a", "b"]
+    assert [t.value for t in out2.must_not] == ["x"]
+
+
+def test_nested_should_flattens_when_msm_safe():
+    node = ast.Bool(
+        should=[
+            ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+            ast.Term("c"),
+        ]
+    )
+    out = normalize(node)
+    assert [t.value for t in out.should] == ["a", "b", "c"]
+    # msm=2 on the outer CAN observe the splice — tree left alone
+    node2 = ast.Bool(
+        should=[
+            ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+            ast.Term("c"),
+        ],
+        minimum_should_match=2,
+    )
+    out2 = normalize(node2)
+    assert len(out2.should) == 2
+
+
+def test_single_clause_collapse_and_dup_merge():
+    assert normalize(ast.Bool(must=[ast.Term("a")])) == ast.Term("a")
+    assert normalize(ast.Bool(should=[ast.Term("a")])) == ast.Term("a")
+    # boost != 1 multiplies the sum — no collapse
+    assert isinstance(
+        normalize(ast.Bool(must=[ast.Term("a")], boost=2.0)), ast.Bool
+    )
+    # duplicate must terms merge by summing boosts (BM25 linear in boost)
+    out = normalize(
+        ast.Bool(must=[ast.Term("a"), ast.Term("a", boost=2.0),
+                       ast.Term("b")])
+    )
+    assert [(t.value, t.boost) for t in out.must] == [("a", 3.0), ("b", 1.0)]
+    # ... but SHOULD duplicates stay when msm counts occurrences
+    keep = normalize(
+        ast.Bool(should=[ast.Term("a"), ast.Term("a")],
+                 minimum_should_match=2)
+    )
+    assert len(keep.should) == 2
+
+
+def test_wrapper_rules():
+    assert normalize(
+        ast.Filtered(query=ast.Term("a"), filter=ast.MatchAll())
+    ) == ast.Term("a")
+    out = normalize(
+        ast.ConstantScore(ast.ConstantScore(ast.Term("a"), boost=5.0),
+                          boost=2.0)
+    )
+    assert out == ast.ConstantScore(ast.Term("a"), boost=2.0)
+    # idempotent
+    node = ast.Bool(
+        must=[ast.Bool(must=[ast.Term("a"), ast.Term("b")]), ast.Term("c")],
+        should=[ast.Term("d")],
+    )
+    once = normalize(node)
+    assert normalize(once) == once
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return PyIndex(
+        synth_transcripts_pdf(n_conv=25, seed=11).to_dict("records")
+    )
+
+
+def _assert_same(oracle, node, size=10):
+    want = oracle.search(node, size=size)
+    got = oracle.search(normalize(node), size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], node
+    for (_, g), (_, w) in zip(got, want):
+        assert math.isclose(g, w, rel_tol=1e-12), node
+
+
+def test_normalize_is_score_preserving_on_oracle(oracle):
+    shapes = [
+        ast.Bool(must=[ast.Bool(must=[ast.Term("scan"), ast.Term("the")]),
+                       ast.Term("data")]),
+        ast.Bool(
+            must=[ast.Bool(must=[ast.Term("merge")],
+                           must_not=[ast.Term("dup")])],
+            should=[ast.Term("error"), ast.Term("query")],
+        ),
+        ast.Bool(should=[
+            ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+            ast.Term("scan"),
+        ]),
+        ast.Bool(should=[
+            ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+            ast.Term("scan"),
+        ], minimum_should_match=1),
+        ast.Bool(must=[ast.Term("the"), ast.Term("the", boost=0.5)]),
+        ast.Filtered(query=ast.Bool(must=[ast.Term("merge")]),
+                     filter=ast.MatchAll()),
+        ast.Bool(must=[
+            ast.Bool(must=[
+                ast.Bool(must=[ast.Term("the"), ast.Term("data")]),
+                ast.Term("a"),
+            ]),
+        ]),
+        ast.DisMax(queries=[
+            ast.Bool(must=[ast.Term("merge")]),
+            ast.Term("error"),
+        ], tie_breaker=0.4),
+    ]
+    for node in shapes:
+        _assert_same(oracle, node)

@@ -770,3 +770,121 @@ def test_zigzag_roundtrip():
                  dtype=np.int64)
     z = (x << np.int64(1)) ^ (x >> np.int64(63))
     assert decode_zigzag(encode_varints(z), x.size).tolist() == x.tolist()
+
+
+# ---- mixed must+should (Lucene ReqOptSumScorer): the conjunction
+# drives candidates, optional terms add score and satisfy msm; results
+# must match the oracle AND the exhaustive executor at every k.
+
+REQ_OPT_QUERIES = [
+    ast.Bool(must=[ast.Term("merge")],
+             should=[ast.Term("scan"), ast.Term("error")]),
+    ast.Bool(must=[ast.Term("merge")],
+             should=[ast.Term("scan"), ast.Term("error")],
+             minimum_should_match=1),
+    ast.Bool(must=[ast.Term("merge")],
+             should=[ast.Term("scan"), ast.Term("error")],
+             minimum_should_match=2),
+    ast.Bool(must=[ast.Term("merge")],
+             should=[ast.Term("nosuchterm"), ast.Term("error")]),
+    # msm counts only in-vocabulary optionals: unsatisfiable -> empty
+    ast.Bool(must=[ast.Term("merge")],
+             should=[ast.Term("nosuchterm"), ast.Term("error")],
+             minimum_should_match=2),
+    ast.Bool(must=[ast.Term("merge")],
+             should=[ast.Term("error", boost=2.0)],
+             must_not=[ast.Term("dup")]),
+    ast.Bool(must=[ast.Term("scan"), ast.Term("filter")],
+             should=[ast.Term("the", boost=0.5)]),
+    # the optional term is also required: both contributions apply
+    ast.Bool(must=[ast.Term("error")], should=[ast.Term("error")]),
+]
+
+
+@pytest.mark.parametrize("i", range(len(REQ_OPT_QUERIES)))
+def test_req_opt_kernel_matches_oracle(small_index, small_oracle, i):
+    node = REQ_OPT_QUERIES[i]
+    assert classify(node) is not None, node  # rides the kernel
+    for size in (1, 5, 25):
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(small_index, node, size=size).collect()]
+        want = [(d, round(s, 9))
+                for d, s in small_oracle.search(node, size=size)]
+        assert got == want, (node, size)
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(small_index, node, size=size,
+                       use_wand=False).collect()]
+        assert got == slow, (node, size)
+
+
+def test_req_opt_filtered_wrap_rides_kernel(small_index, small_oracle):
+    node = ast.Filtered(
+        query=ast.Bool(must=[ast.Term("merge")], should=[ast.Term("error")]),
+        filter=ast.Term("scan"),
+    )
+    assert classify(node) is not None
+    got = [(r["docid"], round(r["score"], 9)) for r in
+           search(small_index, node, size=10).collect()]
+    want = [(d, round(s, 9)) for d, s in small_oracle.search(node, size=10)]
+    assert got == want
+
+
+def test_req_opt_kernel_prunes_optional_head_blocks(spark):
+    """'rare +must, head optional': the optional head term must decode
+    only the blocks overlapping the conjunction's candidates — never
+    its full posting list (the ReqExcl lazy-decode discipline applied
+    to ReqOptSum's optional side)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    texts = []
+    for i in range(400):
+        base = f"head filler{i % 7} head word{i % 13}"
+        if i in (60, 140):
+            base = "rare " + base
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["rare", "head"])
+    rare_tid = int(meta["rare"][0])
+    head_tid = int(meta["head"][0])
+    qmeta = {rare_tid: (idf_fn(n_docs, meta["rare"][1]), 1.0)}
+    opts = {head_tid: (idf_fn(n_docs, meta["head"][1]), 1.0)}
+    blocks = idx.postings.filter(
+        F.col("term_id").isin([rare_tid, head_tid])
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "and", 1, 10, avgdl, 1 << 14, stats=stats,
+                          opts=opts, opt_msm=0)
+    out = kernel(blocks)
+    assert sorted(out["docid"].tolist()) == [60, 140]
+    # parity with the full engine paths
+    node = ast.Bool(must=[ast.Term("rare")], should=[ast.Term("head")])
+    fast = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=10).collect()]
+    slow = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=10, use_wand=False).collect()]
+    assert fast == slow
+    assert sorted(d for d, _ in fast) == [60, 140]
+    # 400 docs / 8 per block = 50 head blocks total; 2 candidates ->
+    # at most 2 decode
+    assert stats["total_blocks"][f"opt:{head_tid}"] >= 50
+    assert stats["decoded_blocks"][f"opt:{head_tid}"] <= 2, stats
