@@ -275,7 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits(_index(spark, sf), ast.Fuzzy("scan", max_edits=1), size=10)
 
     def q_batch(spark, sf):
-        # batched multi-query execution: 5 queries, ONE postings scan,
+        # batched multi-query execution: 8 queries, ONE postings scan,
         # ONE shuffle, ONE Spark job (bzzz_spark/query/batch.py) — the
         # scale answer to Spark's fixed per-job overhead.  Each
         # query_id's rows are exactly what search() returns for it;
@@ -298,6 +298,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Range leaf → the batch's shared docs scan (score := boost)
             "b_range": ast.Bool(
                 must=[ast.Term("merge"), ast.Range("n_chars", min=200, max=400)]
+            ),
+            # mixed must+should (Lucene ReqOptSumScorer): required term
+            # drives matching, optionals add score, msm over optionals
+            "b_req_opt": ast.Bool(
+                must=[ast.Term("merge")],
+                should=[ast.Term("scan"), ast.Term("window")],
+                minimum_should_match=1,
+            ),
+            # nested-but-flat tree: rewrite.normalize flattens it onto
+            # the shared scan; scores equal the flat 3-term AND
+            "b_nested": ast.Bool(
+                must=[
+                    ast.Bool(must=[ast.Term("scan"), ast.Term("filter")]),
+                    ast.Term("merge"),
+                ]
             ),
         }
         return search_many(_index(spark, sf), batch, size=10).select(
@@ -1602,6 +1617,32 @@ FROM documents GROUP BY source"""
             10,
         )
     )
+    # b_req_opt: Bool(must=[merge], should=[scan, window], msm=1) —
+    # required term drives matching; optional terms add their BM25
+    # score where present and >= msm of them must match
+    b_req_opt = (
+        f"{_BASE}, {_term_scores(['merge'])},\n"
+        "opt AS (\n"
+        f"  SELECT tf.doc_id, sum({_score_expr()}) AS score,\n"
+        "         count(*) AS nmatch\n"
+        "  FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  CROSS JOIN stats WHERE tf.term IN ('scan', 'window')\n"
+        "  GROUP BY tf.doc_id\n"
+        ")\n"
+        + _topk(
+            "SELECT s.doc_id, s.score + coalesce(opt.score, 0.0) AS score "
+            "FROM scores s LEFT JOIN opt ON opt.doc_id = s.doc_id "
+            "WHERE coalesce(opt.nmatch, 0) >= 1",
+            10,
+        )
+    )
+    # b_nested: the nested Bool is semantically the flat 3-term AND
+    # (rewrite.normalize) — the oracle IS the flat form, so a rewrite
+    # bug that changed scores or matching would fail this row
+    b_nested = (
+        f"{_BASE}, {_term_scores(['scan', 'filter', 'merge'])}\n"
+        + _topk("SELECT doc_id, score FROM scores WHERE nmatch = 3", 10)
+    )
     o["q_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
         for name, sql in [
@@ -1611,6 +1652,8 @@ FROM documents GROUP BY source"""
             ("b_msm", o["q_should_msm2"]),
             ("b_field", o["q_field_term"]),
             ("b_range", b_range),
+            ("b_req_opt", b_req_opt),
+            ("b_nested", b_nested),
         ]
     )
     return o

@@ -93,6 +93,13 @@ TRANSCRIPT_QUERIES = {
     # kernel as a constant-score term set — decodes only blocks
     # overlapping the scored term's candidates
     "t_wild_and": ast.Bool(must=[ast.Term("error"), ast.Wildcard("tok04*")]),
+    # mixed must+should (ReqOptSumScorer): the required mid term drives
+    # candidates; the optional HEAD term decodes only blocks overlapping
+    # them instead of its full postings
+    "t_req_opt": ast.Bool(
+        must=[ast.Term("error")],
+        should=[ast.Term("the"), ast.Term("data")],
+    ),
 }
 
 # phrase queries run against a SEPARATE positions-bearing index (the
@@ -280,14 +287,14 @@ def main() -> None:
             tm[f"{prefix}d_spans_strip"] = timed(spans_strip)[0]
 
             # p50/p99 cover the BM25 latency set benchmarked since r2 —
-            # t_wild_and (constant-score dictionary-expansion shape,
-            # added r4) reports its own line but stays out of the
-            # distribution so the headline percentiles remain
-            # round-over-round comparable
+            # t_wild_and (constant-score dictionary-expansion shape)
+            # and t_req_opt (mixed must+should, both added r4) report
+            # their own lines but stay out of the distribution so the
+            # headline percentiles remain round-over-round comparable
             lat = sorted(
                 tm[f"{prefix}{name}"]
                 for name in TRANSCRIPT_QUERIES
-                if name != "t_wild_and"
+                if name not in ("t_wild_and", "t_req_opt")
             )
             summary = {
                 "turns": n_turns,
