@@ -102,7 +102,7 @@ class FlatShape:
              opt_msm of them must match for a doc to qualify
              (minimum_should_match over the should clauses)."""
 
-    mode: str  # 'term' | 'and' | 'or'
+    mode: str  # 'term' | 'and' | 'or' | 'dismax'
     terms: list = _dc_field(default_factory=list)
     phrases: list = _dc_field(default_factory=list)
     msm: int = 1
@@ -111,6 +111,7 @@ class FlatShape:
     multis: list = _dc_field(default_factory=list)
     opts: list = _dc_field(default_factory=list)
     opt_msm: int = 0
+    tie: float = 0.0  # dismax tie_breaker (node boost folded into terms)
 
 
 def _flat_conjuncts(nodes, scored: bool):
@@ -207,9 +208,34 @@ def classify(node: ast.Query) -> FlatShape | None:
                     [],
                 )
         return None
+    if isinstance(node, ast.DisMax):
+        # dis-max over plain terms (Q11): score = max + tie*(sum - max)
+        # = (1-tie)*max + tie*sum — the node boost folds into every
+        # clause weight (the combiner is linear in a uniform scale).
+        # The MaxScore discipline stays valid for tie in [0, 1]: both
+        # the admission and retirement bounds maximize max- and
+        # sum-parts independently.  Duplicate clause values fall back
+        # (each occurrence contributes to the sum separately)
+        if not node.queries or node.boost < 0:
+            return None
+        if not (0.0 <= node.tie_breaker <= 1.0):
+            return None
+        if not all(
+            isinstance(q, ast.Term) and q.boost >= 0 for q in node.queries
+        ):
+            return None
+        vals = [q.value for q in node.queries]
+        if len(set(vals)) != len(vals):
+            return None
+        return FlatShape(
+            "dismax",
+            [(q.value, q.boost * node.boost, True) for q in node.queries],
+            msm=1,
+            tie=float(node.tie_breaker),
+        )
     if isinstance(node, ast.Filtered) and node.boost == 1.0:
         base = classify(node.query)
-        if base is None or base.mode == "or":
+        if base is None or base.mode in ("or", "dismax"):
             return None
         f = node.filter
         if isinstance(f, ast.Bool) and f.boost == 1.0 and not f.should:
@@ -261,7 +287,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  ranges: list | None = None, stats: dict | None = None,
                  phrases: list | None = None,
                  termsets: list | None = None,
-                 opts: dict | None = None, opt_msm: int = 0):
+                 opts: dict | None = None, opt_msm: int = 0,
+                 tie: float = 0.0):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -787,10 +814,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 return empty
             return topk(np.concatenate(out_d), np.concatenate(out_s))
 
-        # mode == "or": MaxScore (Turtle & Flood) over a dense
-        # accumulator.  A doc first seen at term i (descending-UB
-        # order) can score at most suffix_ub[i] = Σ UB of terms i..end;
-        # once suffix_ub[i] < θ (the kth best score among candidates
+        # mode == "or" / "dismax": MaxScore (Turtle & Flood) over a
+        # dense accumulator.  A doc first seen at term i (descending-UB
+        # order) can score at most the remaining terms' combined bound;
+        # once that bound < θ (the kth best score among candidates
         # already satisfying msm and exclusions), remaining terms stop
         # admitting NEW docs and decode only blocks overlapping
         # surviving candidates — "rare OR the" decodes just the slice
@@ -798,6 +825,16 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         # ever underestimates the final kth-best (scores grow
         # monotonically; msm-qualification and exclusion are decided
         # eagerly before a candidate can contribute to θ).
+        #
+        # dismax combiner (Lucene DisjunctionMaxQuery): score =
+        # (1-tie)*max + tie*sum, tracked with a parallel max
+        # accumulator.  Monotonic in both parts for tie in [0,1], so
+        # the same discipline holds with bounds that maximize the max-
+        # and sum-parts independently: a new doc at term i is bounded
+        # by (1-tie)*UB_i + tie*suffix_sum_i (UB_i is the largest
+        # remaining — descending order), and a candidate's potential is
+        # (1-tie)*max(mx, UB_next) + tie*(acc + suffix_sum_next).
+        is_dismax = mode == "dismax"
         per_term = []
         for tid in qmeta:
             sub = blocks[blocks["term_id"] == tid]
@@ -810,16 +847,28 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         if not per_term:
             return empty
         per_term.sort(key=lambda x: -x[1])
-        suffix_ub = np.cumsum([ub for _, ub, _ in per_term][::-1])[::-1]
+        ubs = [ub for _, ub, _ in per_term]
+        suffix_ub = np.cumsum(ubs[::-1])[::-1]
+        if is_dismax:
+            admit_bound = [(1.0 - tie) * ubs[i] + tie * suffix_ub[i]
+                           for i in range(len(ubs))]
+        else:
+            admit_bound = suffix_ub
         pos_mask = blocks["term_id"].isin(list(qmeta))
         base = int(blocks.loc[pos_mask, "first_docid"].min())
         span = int(blocks.loc[pos_mask, "last_docid"].max()) - base + 1
         acc = np.zeros(span, dtype=np.float64)
+        mxa = np.zeros(span, dtype=np.float64) if is_dismax else None
         cnt = np.zeros(span, dtype=np.int32)
         excl = np.zeros(span, dtype=bool)
         dead = np.zeros(span, dtype=bool)
         msm_eff = max(msm, 1)
         theta = -np.inf
+
+        def combined(sel) -> np.ndarray:
+            if is_dismax:
+                return (1.0 - tie) * mxa[sel] + tie * acc[sel]
+            return acc[sel]
 
         def exclude_new(new_d: np.ndarray) -> None:
             """Mark admitted docids matched by any must_not term
@@ -831,7 +880,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
 
         def update_theta() -> None:
             nonlocal theta
-            qual = acc[(cnt >= msm_eff) & ~excl & ~dead]
+            qual = combined((cnt >= msm_eff) & ~excl & ~dead)
             if qual.size >= k:
                 theta = max(
                     theta, np.partition(qual, qual.size - k)[qual.size - k]
@@ -840,7 +889,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         closed = False
         for i, (tid, _ub, sub) in enumerate(per_term):
             w, _boost = qmeta[tid]
-            if not closed and suffix_ub[i] < theta:
+            if not closed and admit_bound[i] < theta:
                 closed = True  # no NEW doc can reach the top-k
             if closed:
                 cand_off = np.flatnonzero((cnt > 0) & ~excl & ~dead)
@@ -859,13 +908,19 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                               cand_d.size - 1)
                 hit = cand_d[idx] == d
                 off = d[hit] - base
-                acc[off] += w * _tfc(t[hit], dl[hit], avgdl)
+                c = w * _tfc(t[hit], dl[hit], avgdl)
+                acc[off] += c
+                if is_dismax:
+                    mxa[off] = np.maximum(mxa[off], c)
                 cnt[off] += 1
             else:
                 d, t, dl, _ = decode(sub)
                 off = d - base
                 new_d = d[cnt[off] == 0]
-                acc[off] += w * _tfc(t, dl, avgdl)
+                c = w * _tfc(t, dl, avgdl)
+                acc[off] += c
+                if is_dismax:
+                    mxa[off] = np.maximum(mxa[off], c)
                 cnt[off] += 1
                 exclude_new(new_d)
             if stats is not None:
@@ -877,11 +932,18 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 # retire candidates that cannot reach θ with the
                 # remaining terms' upper bounds — later terms' block
                 # sets shrink accordingly
-                dead |= (cnt > 0) & (acc + suffix_ub[i + 1] < theta)
+                seen_mask = cnt > 0
+                if is_dismax:
+                    pot_max = np.maximum(mxa, ubs[i + 1])
+                    pot = ((1.0 - tie) * pot_max
+                           + tie * (acc + suffix_ub[i + 1]))
+                else:
+                    pot = acc + suffix_ub[i + 1]
+                dead |= seen_mask & (pot < theta)
         ok = np.flatnonzero((cnt >= msm_eff) & ~excl & ~dead)
         if ok.size == 0:
             return empty
-        return topk(ok + base, acc[ok])
+        return topk(ok + base, combined(ok))
 
     return kernel
 
@@ -1124,7 +1186,8 @@ def wand_candidates(
     kernel = _make_kernel(qmeta, shape.mode, shape.msm, k, avgdl, seg_size,
                           neg_tids, shape.ranges, phrases=phrase_specs,
                           termsets=termset_specs,
-                          opts=opt_meta, opt_msm=shape.opt_msm)
+                          opts=opt_meta, opt_msm=shape.opt_msm,
+                          tie=shape.tie)
     return _run_kernel(index, blocks, kernel)
 
 

@@ -178,6 +178,33 @@ def test_random_wand_or_maxscore_matches_oracle(
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
 
 
+# dis-max over terms: the MaxScore-kernel dismax combiner (round 4) —
+# (1-tie)*max + tie*sum with independent max/sum bounds must never
+# change results vs the oracle at any tie or k
+_wand_dismax = st.builds(
+    lambda terms, tie, boost: ast.DisMax(
+        queries=list(terms), tie_breaker=tie, boost=boost
+    ),
+    st.lists(_term, min_size=1, max_size=4),
+    st.sampled_from([0.0, 0.3, 1.0]),
+    st.sampled_from([1.0, 2.0]),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_dismax, st.sampled_from([1, 5, 25]))
+def test_random_wand_dismax_matches_oracle(
+    dv_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+
+
 # must + should mixed bools: the ReqOptSumScorer kernel path (round 4)
 # — optional-term scoring, minimum_should_match over optionals, and the
 # normalize() dup-merge must never change results vs the oracle

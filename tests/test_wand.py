@@ -888,3 +888,107 @@ def test_req_opt_kernel_prunes_optional_head_blocks(spark):
     # at most 2 decode
     assert stats["total_blocks"][f"opt:{head_tid}"] >= 50
     assert stats["decoded_blocks"][f"opt:{head_tid}"] <= 2, stats
+
+
+# ---- dis-max on the MaxScore kernel (Lucene DisjunctionMaxQuery):
+# score = (1-tie)*max + tie*sum, same admission/retirement discipline
+# with bounds that maximize the max- and sum-parts independently.
+
+DISMAX_QUERIES = [
+    ast.DisMax(queries=[ast.Term("error"), ast.Term("merge")]),
+    ast.DisMax(queries=[ast.Term("error"), ast.Term("merge"),
+                        ast.Term("scan")], tie_breaker=0.3),
+    ast.DisMax(queries=[ast.Term("error"), ast.Term("the")],
+               tie_breaker=1.0),
+    ast.DisMax(queries=[ast.Term("error", boost=2.0), ast.Term("merge")],
+               tie_breaker=0.5, boost=3.0),
+    ast.DisMax(queries=[ast.Term("nosuchterm"), ast.Term("merge")],
+               tie_breaker=0.2),
+    ast.DisMax(queries=[ast.Term("the"), ast.Term("a")], tie_breaker=0.1),
+]
+
+
+@pytest.mark.parametrize("i", range(len(DISMAX_QUERIES)))
+def test_dismax_kernel_matches_oracle(small_index, small_oracle, i):
+    node = DISMAX_QUERIES[i]
+    assert classify(node) is not None, node
+    for size in (1, 5, 25):
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(small_index, node, size=size).collect()]
+        want = [(d, round(s, 9))
+                for d, s in small_oracle.search(node, size=size)]
+        assert got == want, (node, size)
+
+
+def test_dismax_duplicate_values_fall_back(small_index, small_oracle):
+    # each duplicate occurrence contributes to the SUM separately —
+    # the dict-keyed kernel cannot represent that, so it must decline
+    node = ast.DisMax(queries=[ast.Term("error"), ast.Term("error")],
+                      tie_breaker=0.3)
+    assert classify(node) is None
+    got = [(r["docid"], round(r["score"], 9)) for r in
+           search(small_index, node, size=10).collect()]
+    want = [(d, round(s, 9)) for d, s in small_oracle.search(node, size=10)]
+    assert got == want
+
+
+def test_dismax_kernel_prunes_head_blocks(spark):
+    """DisMax(rare, head): once the rare term's candidates establish θ
+    above the head term's dismax admission bound, the head term decodes
+    only candidate-overlapping blocks — never its full posting list."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    texts = []
+    for i in range(400):
+        base = f"head filler{i % 7} head word{i % 13}"
+        if i in (60, 140):
+            base = "rare " + base
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["rare", "head"])
+    rare_tid = int(meta["rare"][0])
+    head_tid = int(meta["head"][0])
+    qmeta = {
+        rare_tid: (idf_fn(n_docs, meta["rare"][1]), 1.0),
+        head_tid: (idf_fn(n_docs, meta["head"][1]), 1.0),
+    }
+    blocks = idx.postings.filter(
+        F.col("term_id").isin([rare_tid, head_tid])
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "dismax", 1, 2, avgdl, 1 << 14,
+                          stats=stats, tie=0.3)
+    out = kernel(blocks).sort_values(
+        ["score", "docid"], ascending=[False, True]
+    ).head(2)
+    node = ast.DisMax(queries=[ast.Term("rare"), ast.Term("head")],
+                      tie_breaker=0.3)
+    want = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=2, use_wand=False).collect()]
+    got = [(int(d), round(float(s), 9)) for d, s in
+           zip(out["docid"], out["score"])]
+    assert got == want
+    assert sorted(d for d, _ in got) == [60, 140]
+    assert stats["total_blocks"][head_tid] >= 40
+    assert stats["decoded_blocks"][head_tid] <= 2, stats
+    assert stats["decoded_blocks"][rare_tid] == stats["total_blocks"][rare_tid]
