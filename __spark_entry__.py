@@ -215,9 +215,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits(_index(spark, sf), node, size=10)
 
     def q_phrase(spark, sf):
-        # PhraseQuery: exact adjacency over positional postings; score =
-        # (Σ idf) × tfc(phrase_freq, dl) — Lucene's PhraseWeight model
-        return _hits(_index(spark, sf), ast.Phrase(["filter", "merge"]), size=10)
+        # part='exact' — PhraseQuery: exact adjacency over positional
+        # postings; score = (Σ idf) × tfc(phrase_freq, dl) — Lucene's
+        # PhraseWeight model.  part='opt' (r4) — the same phrase as an
+        # OPTIONAL clause of a required term (ReqOptSumScorer): every
+        # scan-doc matches, the phrase adds its score where present;
+        # the kernel runs the positional evaluation restricted to
+        # scan's candidates
+        idx = _index(spark, sf)
+        ex = _hits(idx, ast.Phrase(["filter", "merge"]), size=10).select(
+            F.lit("exact").alias("part"), "doc_id", "score"
+        )
+        op = _hits(
+            idx,
+            ast.Bool(must=[ast.Term("scan")],
+                     should=[ast.Phrase(["filter", "merge"])]),
+            size=10,
+        ).select(F.lit("opt").alias("part"), "doc_id", "score")
+        return ex.unionByName(op)
 
     def q_phrase_slop(spark, sf):
         # sloppy phrase "merge filter"~2 — Lucene SloppyPhraseScorer
@@ -963,7 +978,7 @@ def oracle_sql() -> dict[str, str]:
             10,
         )
     )
-    o["q_phrase"] = f"""{_BASE},
+    _phrase_ctes = f"""
 tok_pos AS (
   SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents)
@@ -978,15 +993,32 @@ widf AS (
   SELECT sum(ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS w
   FROM dfx CROSS JOIN stats WHERE dfx.term IN ('filter', 'merge')
 ),
-scores AS (
+ph AS (
   SELECT pf.doc_id,
          widf.w * (pf.ptf * {K1P1} / (pf.ptf + {BM25_K1} *
            (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS score
   FROM pf
   JOIN dl ON dl.doc_id = pf.doc_id
   CROSS JOIN stats CROSS JOIN widf
-)
-{_topk('SELECT doc_id, score FROM scores', 10)}"""
+)"""
+    phrase_exact_sql = (
+        f"{_BASE},{_phrase_ctes}\n"
+        + _topk("SELECT doc_id, score FROM ph", 10)
+    )
+    # opt part: Bool(must=[scan], should=[phrase]) — ReqOptSum: every
+    # scan-doc qualifies (msm 0), the phrase adds its score where present
+    phrase_opt_sql = (
+        f"{_BASE},{_phrase_ctes},\n{_term_scores(['scan'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score + coalesce(ph.score, 0.0) AS score "
+            "FROM scores s LEFT JOIN ph ON ph.doc_id = s.doc_id",
+            10,
+        )
+    )
+    o["q_phrase"] = (
+        f"SELECT 'exact' AS part, doc_id, score FROM ({phrase_exact_sql})\n"
+        f"UNION ALL\nSELECT 'opt', doc_id, score FROM ({phrase_opt_sql})"
+    )
     # sloppy phrase "merge filter"~2, Lucene SloppyPhraseScorer: terms
     # in ANY order, each match weighted 1/(1+matchLength).  The greedy
     # PQ walk has a closed form for 2 distinct terms — crossing points

@@ -100,6 +100,12 @@ TRANSCRIPT_QUERIES = {
         must=[ast.Term("error")],
         should=[ast.Term("the"), ast.Term("data")],
     ),
+    # dis-max over a mid + head term: the MaxScore kernel's dismax
+    # combiner ((1-tie)*max + tie*sum) — same head-block pruning as
+    # t_or2_head once the mid term's candidates establish θ
+    "t_dismax": ast.DisMax(
+        queries=[ast.Term("error"), ast.Term("the")], tie_breaker=0.3
+    ),
 }
 
 # phrase queries run against a SEPARATE positions-bearing index (the
@@ -287,14 +293,14 @@ def main() -> None:
             tm[f"{prefix}d_spans_strip"] = timed(spans_strip)[0]
 
             # p50/p99 cover the BM25 latency set benchmarked since r2 —
-            # t_wild_and (constant-score dictionary-expansion shape)
-            # and t_req_opt (mixed must+should, both added r4) report
-            # their own lines but stay out of the distribution so the
-            # headline percentiles remain round-over-round comparable
+            # t_wild_and (constant-score dictionary-expansion shape),
+            # t_req_opt (mixed must+should) and t_dismax (all added r4)
+            # report their own lines but stay out of the distribution so
+            # the headline percentiles remain round-over-round comparable
             lat = sorted(
                 tm[f"{prefix}{name}"]
                 for name in TRANSCRIPT_QUERIES
-                if name not in ("t_wild_and", "t_req_opt")
+                if name not in ("t_wild_and", "t_req_opt", "t_dismax")
             )
             summary = {
                 "turns": n_turns,

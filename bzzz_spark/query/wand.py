@@ -100,7 +100,10 @@ class FlatShape:
              both must and should: Lucene ReqOptSumScorer).  They never
              admit candidates; matching ones add their BM25 score, and
              opt_msm of them must match for a doc to qualify
-             (minimum_should_match over the should clauses)."""
+             (minimum_should_match over the should clauses).
+    opt_phrases: (term_values, slop, boost) — OPTIONAL phrases in the
+             same should list, evaluated by phrase_segment_kernel
+             restricted to the conjunction's survivors."""
 
     mode: str  # 'term' | 'and' | 'or' | 'dismax'
     terms: list = _dc_field(default_factory=list)
@@ -112,6 +115,7 @@ class FlatShape:
     opts: list = _dc_field(default_factory=list)
     opt_msm: int = 0
     tie: float = 0.0  # dismax tie_breaker (node boost folded into terms)
+    opt_phrases: list = _dc_field(default_factory=list)
 
 
 def _flat_conjuncts(nodes, scored: bool):
@@ -176,25 +180,32 @@ def classify(node: ast.Query) -> FlatShape | None:
             if (phrases or multis) and ranges:
                 return None
             # must + should: Lucene ReqOptSumScorer — the conjunction
-            # drives candidates, optional Terms add score where they
-            # match and opt_msm of them must match.  Duplicate should
-            # values fall back (the executor counts each occurrence
-            # toward msm; a dict-keyed kernel cannot)
+            # drives candidates, optional Terms/Phrases add score where
+            # they match and opt_msm of them must match.  Duplicate
+            # should clauses fall back (the executor counts each
+            # occurrence toward msm; a keyed kernel cannot)
             opts: list = []
+            opt_phr: list = []
             if node.should:
-                if not all(
-                    isinstance(q, ast.Term) and q.boost >= 0
-                    for q in node.should
-                ):
-                    return None
-                opts = [(q.value, q.boost) for q in node.should]
+                for q in node.should:
+                    if isinstance(q, ast.Term) and q.boost >= 0:
+                        opts.append((q.value, q.boost))
+                    elif isinstance(q, ast.Phrase) and q.boost >= 0:
+                        opt_phr.append((tuple(q.terms), q.slop, q.boost))
+                    else:
+                        return None
+                n_should = len(opts) + len(opt_phr)
                 if len({v for v, _b in opts}) != len(opts):
                     return None
-                if node.effective_msm() > len(opts):
+                if len({(t, s) for t, s, _b in opt_phr}) != len(opt_phr):
+                    return None
+                if node.effective_msm() > n_should:
                     return None  # unsatisfiable — executor returns empty
             return FlatShape("and", terms, phrases, len(terms), neg,
                              ranges, multis, opts,
-                             node.effective_msm() if opts else 0)
+                             node.effective_msm() if (opts or opt_phr)
+                             else 0,
+                             opt_phrases=opt_phr)
         if node.should and not node.must:
             if all(
                 isinstance(q, ast.Term) and q.boost >= 0 for q in node.should
@@ -270,6 +281,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             sum(1 for _, _, s in terms if s),
             base.neg + fneg, ranges, multis,
             base.opts, base.opt_msm,
+            opt_phrases=base.opt_phrases,
         )
     return None
 
@@ -288,7 +300,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  phrases: list | None = None,
                  termsets: list | None = None,
                  opts: dict | None = None, opt_msm: int = 0,
-                 tie: float = 0.0):
+                 tie: float = 0.0,
+                 opt_phrases: list | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -336,6 +349,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     phrases = list(phrases or [])
     termsets = list(termsets or [])
     opts = dict(opts or {})
+    opt_phrases = list(opt_phrases or [])  # (leg_tids, slop, weight)
     range_boost = float(sum(c for _r, c in ranges))
     dv_want = tuple(dict.fromkeys(r.field_name for r, _c in ranges))
 
@@ -422,7 +436,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         ub_opts = 0.0
         opt_present: list = []
         opt_all: dict = {}
-        if opts:
+        opt_phr_present: list = []
+        if opts or opt_phrases:
             for tid in opts:
                 sub = blocks[blocks["term_id"] == tid].sort_values(
                     "first_docid").reset_index(drop=True)
@@ -435,8 +450,18 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 if stats is not None:
                     tb = stats.setdefault("total_blocks", {})
                     tb[f"opt:{tid}"] = len(sub)
-            if opt_msm > len(opt_present):
-                # fewer optional terms have postings here than msm
+            if opt_phrases:
+                seg_tids = set(int(t) for t in blocks["term_id"].unique())
+                for spec in opt_phrases:
+                    legs, _slop, w_p = spec
+                    if all(int(t) in seg_tids for t in legs):
+                        opt_phr_present.append(spec)
+                        # a phrase block carries no positional upper
+                        # bound; tfc < k1+1 bounds its score (loose but
+                        # sound — pruning stays exact)
+                        ub_opts += w_p * (BM25_K1 + 1.0)
+            if opt_msm > len(opt_present) + len(opt_phr_present):
+                # fewer optional clauses can match here than msm
                 # requires: no doc in this segment can qualify
                 return empty
 
@@ -445,8 +470,9 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             a fresh fancy-indexed copy — in-place add is safe), then
             apply the minimum-should-match cut.  Optional blocks decode
             lazily, only where they overlap candidates, cached across
-            chunks."""
-            if not opt_present or cand.size == 0:
+            chunks; optional phrases run the positional kernel
+            restricted to the candidates."""
+            if (not opt_present and not opt_phr_present) or cand.size == 0:
                 return cand, acc
             ocnt = np.zeros(cand.size, dtype=np.int32)
             for tid in opt_present:
@@ -475,6 +501,23 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     w, _b = opts[tid]
                     acc[hit] += w * _tfc(t[pos[hit]], dl[pos[hit]], avgdl)
                     ocnt[hit] += 1
+            if opt_phr_present:
+                from bzzz_spark.query.phrase import phrase_segment_kernel
+
+                for legs, slop, w_p in opt_phr_present:
+                    res = phrase_segment_kernel(
+                        blocks, list(legs), slop, stats=stats, restrict=cand
+                    )
+                    d = res["docid"].to_numpy()
+                    if d.size == 0:
+                        continue
+                    ptf = res["ptf"].to_numpy()
+                    pdl = res["dl"].to_numpy().astype(np.float64)
+                    pdl = np.where(pdl == 0, avgdl, pdl)
+                    # restrict guarantees d ⊆ cand, both ascending
+                    idx = np.searchsorted(cand, d)
+                    acc[idx] += w_p * _tfc(ptf, pdl, avgdl)
+                    ocnt[idx] += 1
             if opt_msm > 0:
                 m = ocnt >= opt_msm
                 return cand[m], acc[m]
@@ -1089,7 +1132,9 @@ def wand_candidates(
             for r, _c in shape.ranges
         ):
             return None
-    if shape.phrases and "positions" not in index.postings.columns:
+    if (shape.phrases or shape.opt_phrases) and (
+        "positions" not in index.postings.columns
+    ):
         # the executor path raises the loud store_positions error
         return None
     if "dls" not in index.postings.columns:
@@ -1105,6 +1150,7 @@ def wand_candidates(
     neg_vals = shape.neg
     pvals = [t for tids, _s, _b, _sc in shape.phrases for t in tids]
     ovals = [v for v, _b in shape.opts]
+    ovals += [t for tids, _s, _b in shape.opt_phrases for t in tids]
     spark = index.docs.sparkSession
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
@@ -1159,15 +1205,23 @@ def wand_candidates(
             )
     if not qmeta and not phrase_specs and not termset_specs:
         return spark.createDataFrame([], "docid long, score double")
-    # optional (should) terms: out-of-vocabulary ones match nothing —
-    # they just stop counting toward minimum_should_match.  If fewer
-    # remain than msm requires, NO doc can qualify
+    # optional (should) terms/phrases: out-of-vocabulary ones match
+    # nothing — they just stop counting toward minimum_should_match.
+    # If fewer remain than msm requires, NO doc can qualify
     opt_meta = {}
     for v, boost in shape.opts:
         if v in meta:
             tid, df = meta[v]
             opt_meta[int(tid)] = (idf_fn(n_docs, df) * boost, boost)
-    if shape.opt_msm > len(opt_meta):
+    opt_phrase_specs = []
+    for tids, slop, boost in shape.opt_phrases:
+        if all(t in meta for t in tids):  # an OOV leg: matches nothing
+            opt_phrase_specs.append((
+                [int(meta[t][0]) for t in tids],
+                slop,
+                sum(idf_fn(n_docs, meta[t][1]) for t in tids) * boost,
+            ))
+    if shape.opt_msm > len(opt_meta) + len(opt_phrase_specs):
         return spark.createDataFrame([], "docid long, score double")
     # must_not terms absent from the dictionary exclude nothing; a term
     # that is both required and excluded stays in BOTH sets (the kernel
@@ -1180,6 +1234,7 @@ def wand_candidates(
         | {t for legs, _s, _w in phrase_specs for t in legs}
         | {int(t) for tids, _c in termset_specs for t in tids}
         | set(opt_meta)
+        | {t for legs, _s, _w in opt_phrase_specs for t in legs}
     )
     blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
@@ -1187,7 +1242,7 @@ def wand_candidates(
                           neg_tids, shape.ranges, phrases=phrase_specs,
                           termsets=termset_specs,
                           opts=opt_meta, opt_msm=shape.opt_msm,
-                          tie=shape.tie)
+                          tie=shape.tie, opt_phrases=opt_phrase_specs)
     return _run_kernel(index, blocks, kernel)
 
 

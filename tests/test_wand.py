@@ -992,3 +992,60 @@ def test_dismax_kernel_prunes_head_blocks(spark):
     assert stats["total_blocks"][head_tid] >= 40
     assert stats["decoded_blocks"][head_tid] <= 2, stats
     assert stats["decoded_blocks"][rare_tid] == stats["total_blocks"][rare_tid]
+
+
+def test_opt_phrase_kernel_matches_oracle(spark, small_transcripts,
+                                          small_oracle):
+    """Optional PHRASES in the should list ride the ReqOptSum kernel:
+    the positional kernel runs restricted to the conjunction's
+    survivors, adds the phrase's BM25 where it matches, and counts
+    toward minimum_should_match."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    nodes = [
+        ast.Bool(must=[ast.Term("merge")],
+                 should=[ast.Phrase(["the", "data"])]),
+        ast.Bool(must=[ast.Term("the")],
+                 should=[ast.Phrase(["the", "data"]), ast.Term("error")],
+                 minimum_should_match=1),
+        ast.Bool(must=[ast.Term("the")],
+                 should=[ast.Phrase(["the", "data"]), ast.Term("error")],
+                 minimum_should_match=2),
+        ast.Bool(must=[ast.Term("error")],
+                 should=[ast.Phrase(["the", "data"], slop=3, boost=2.0)]),
+        # an OOV phrase leg: that clause matches nothing, msm still
+        # satisfiable via the term clause
+        ast.Bool(must=[ast.Term("merge")],
+                 should=[ast.Phrase(["nosuchterm", "data"]),
+                         ast.Term("error")],
+                 minimum_should_match=1),
+    ]
+    for node in nodes:
+        assert classify(node) is not None, node
+        for size in (1, 5, 25):
+            got = [(r["docid"], round(r["score"], 9)) for r in
+                   search(idx, node, size=size).collect()]
+            want = [(d, round(s, 9))
+                    for d, s in small_oracle.search(node, size=size)]
+            assert got == want, (node, size)
+            slow = [(r["docid"], round(r["score"], 9)) for r in
+                    search(idx, node, size=size, use_wand=False).collect()]
+            assert got == slow, (node, size)
+
+
+def test_opt_phrase_requires_positions(small_index):
+    """small_index has no positions: the kernel declines (None) and the
+    executor raises the loud store_positions error."""
+    from bzzz_spark.query.wand import wand_candidates
+
+    node = ast.Bool(must=[ast.Term("merge")],
+                    should=[ast.Phrase(["the", "data"])])
+    assert wand_candidates(small_index, node, 10) is None
+    with pytest.raises(ValueError, match="store_positions"):
+        search(small_index, node, size=10).collect()
