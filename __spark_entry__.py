@@ -274,12 +274,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.unionByName(conj)
 
     def q_field_term(spark, sf):
-        # per-field index: keyword field term (norms disabled → score is
-        # the field term's idf) summed with the text BM25 score
-        node = ast.Bool(
-            must=[ast.Term("merge"), ast.Term("en", field_name="lang")]
-        )
-        return _hits(_index(spark, sf), node, size=10)
+        # part='scored' — per-field index: keyword field term (norms
+        # disabled → score is the field term's idf) summed with the
+        # text BM25 score (exhaustive plan: scored field terms own the
+        # no-norm scoring).  part='filter' (r4) — the same field term
+        # as a Filtered FILTER arm: membership only, so it rides the
+        # block-max kernel via its 'lang:en' dictionary key and the
+        # score is merge's BM25 alone
+        idx = _index(spark, sf)
+        sc = _hits(
+            idx,
+            ast.Bool(must=[ast.Term("merge"),
+                           ast.Term("en", field_name="lang")]),
+            size=10,
+        ).select(F.lit("scored").alias("part"), "doc_id", "score")
+        fl = _hits(
+            idx,
+            ast.Filtered(query=ast.Term("merge"),
+                         filter=ast.Term("en", field_name="lang")),
+            size=10,
+        ).select(F.lit("filter").alias("part"), "doc_id", "score")
+        return sc.unionByName(fl)
 
     def q_field_wildcard(spark, sf):
         # wildcard scoped to a keyword field's key space
@@ -1118,7 +1133,7 @@ scores AS (
         f"SELECT 'slop' AS part, doc_id, score FROM ({slop_part_sql})\n"
         f"UNION ALL\nSELECT 'repeat', doc_id, score FROM ({repeat_part_sql})"
     )
-    o["q_field_term"] = f"""{_BASE}, {_term_scores(['merge'])},
+    field_scored_sql = f"""{_BASE}, {_term_scores(['merge'])},
 fld AS (SELECT count(*) AS df FROM documents WHERE lower(lang) = 'en'),
 fs AS (
   SELECT d.doc_id,
@@ -1128,6 +1143,21 @@ fs AS (
 )
 {_topk("SELECT s.doc_id, s.score + fs.fscore AS score "
        "FROM scores s JOIN fs ON fs.doc_id = s.doc_id", 10)}"""
+    # filter part: the field term intersects without scoring — the hits
+    # are merge's BM25 over lang='en' docs (kernel filter-arm semantics)
+    field_filter_sql = (
+        f"{_BASE}, {_term_scores(['merge'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score FROM scores s "
+            "JOIN documents d ON d.doc_id = s.doc_id "
+            "WHERE lower(d.lang) = 'en'",
+            10,
+        )
+    )
+    o["q_field_term"] = (
+        f"SELECT 'scored' AS part, doc_id, score FROM ({field_scored_sql})\n"
+        f"UNION ALL\nSELECT 'filter', doc_id, score FROM ({field_filter_sql})"
+    )
     o["q_field_wildcard"] = _topk(
         "SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
         "WHERE lower(source) LIKE 'src1%'",
@@ -1682,7 +1712,7 @@ FROM documents GROUP BY source"""
             ("b_and2", o["q_and2"]),
             ("b_not", o["q_must_not"]),
             ("b_msm", o["q_should_msm2"]),
-            ("b_field", o["q_field_term"]),
+            ("b_field", field_scored_sql),
             ("b_range", b_range),
             ("b_req_opt", b_req_opt),
             ("b_nested", b_nested),

@@ -84,8 +84,12 @@ from dataclasses import dataclass, field as _dc_field
 class FlatShape:
     """A query shape the block-max kernels can serve directly.
 
-    terms:   (value, boost, scored) — scored=False for filter-arm
-             conjuncts (Filtered semantics: intersect, contribute 0).
+    terms:   (value, field, boost, scored) — scored=False for
+             filter-arm conjuncts (Filtered semantics: intersect,
+             contribute 0).  Scored terms must target the text field
+             (kernel scoring uses the text index's norms); UNSCORED
+             membership (filter arms, must_not) may target any indexed
+             field via its '<field>:<token>' dictionary key.
     phrases: (term_values, slop, boost, scored) — and-mode conjuncts
              served by phrase_segment_kernel as pseudo-terms.
     ranges:  (Range, contrib) — contrib is the score the predicate adds
@@ -126,7 +130,7 @@ def _flat_conjuncts(nodes, scored: bool):
         if isinstance(q, ast.Term):
             if q.boost < 0:
                 return None
-            terms.append((q.value, q.boost, scored))
+            terms.append((q.value, q.field_name, q.boost, scored))
         elif isinstance(q, ast.Range):
             if q.boost < 0:
                 return None
@@ -163,13 +167,15 @@ def classify(node: ast.Query) -> FlatShape | None:
     if isinstance(node, ast.Term):
         if node.boost < 0:
             return None
-        return FlatShape("term", [(node.value, node.boost, True)])
+        return FlatShape(
+            "term", [(node.value, node.field_name, node.boost, True)]
+        )
     if isinstance(node, ast.Bool) and node.boost == 1.0:
         if not all(isinstance(q, ast.Term) for q in node.must_not):
             return None
         if any(q.boost < 0 for q in node.must_not):
             return None
-        neg = [q.value for q in node.must_not]
+        neg = [(q.value, q.field_name) for q in node.must_not]
         if node.must:
             parts = _flat_conjuncts(node.must, scored=True)
             if parts is None:
@@ -189,13 +195,13 @@ def classify(node: ast.Query) -> FlatShape | None:
             if node.should:
                 for q in node.should:
                     if isinstance(q, ast.Term) and q.boost >= 0:
-                        opts.append((q.value, q.boost))
+                        opts.append((q.value, q.field_name, q.boost))
                     elif isinstance(q, ast.Phrase) and q.boost >= 0:
                         opt_phr.append((tuple(q.terms), q.slop, q.boost))
                     else:
                         return None
                 n_should = len(opts) + len(opt_phr)
-                if len({v for v, _b in opts}) != len(opts):
+                if len({(v, f) for v, f, _b in opts}) != len(opts):
                     return None
                 if len({(t, s) for t, s, _b in opt_phr}) != len(opt_phr):
                     return None
@@ -212,7 +218,8 @@ def classify(node: ast.Query) -> FlatShape | None:
             ):
                 return FlatShape(
                     "or",
-                    [(q.value, q.boost, True) for q in node.should],
+                    [(q.value, q.field_name, q.boost, True)
+                     for q in node.should],
                     [],
                     node.effective_msm(),
                     neg,
@@ -235,12 +242,13 @@ def classify(node: ast.Query) -> FlatShape | None:
             isinstance(q, ast.Term) and q.boost >= 0 for q in node.queries
         ):
             return None
-        vals = [q.value for q in node.queries]
+        vals = [(q.value, q.field_name) for q in node.queries]
         if len(set(vals)) != len(vals):
             return None
         return FlatShape(
             "dismax",
-            [(q.value, q.boost * node.boost, True) for q in node.queries],
+            [(q.value, q.field_name, q.boost * node.boost, True)
+             for q in node.queries],
             msm=1,
             tie=float(node.tie_breaker),
         )
@@ -258,7 +266,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             if not all(isinstance(q, ast.Term) for q in f.must_not):
                 return None
             fparts = _flat_conjuncts(f.must, scored=False)
-            fneg = [q.value for q in f.must_not]
+            fneg = [(q.value, q.field_name) for q in f.must_not]
         elif isinstance(f, (ast.Term, ast.Range, ast.Phrase,
                             ast.Wildcard, ast.Fuzzy)):
             fparts = _flat_conjuncts([f], scored=False)
@@ -278,7 +286,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             return None
         return FlatShape(
             "and", terms, phrases,
-            sum(1 for _, _, s in terms if s),
+            sum(1 for _, _, _, s in terms if s),
             base.neg + fneg, ranges, multis,
             base.opts, base.opt_msm,
             opt_phrases=base.opt_phrases,
@@ -1114,11 +1122,21 @@ def wand_candidates(
     # and score without norms — route them through the exhaustive
     # executor (which owns the key mapping) rather than mis-looking
     # them up here by bare value
+    # SCORED terms and phrases must target the text field: the kernel
+    # scores from the text index's norms stream.  UNSCORED membership
+    # (filter arms, must_not, the filter side of Filtered) may target
+    # any indexed field — its '<field>:<token>' dictionary key resolves
+    # to ordinary postings, and intersection needs no norms.  Unknown
+    # fields already raised in validate_fields.
     aliases = {"text", index.config.text_col}
     if any(
-        isinstance(n, (ast.Term, ast.Phrase)) and n.field_name not in aliases
+        isinstance(n, ast.Phrase) and n.field_name not in aliases
         for n in ast.iter_nodes(node)
     ):
+        return None
+    if any(f not in aliases for _v, f, _b, s in shape.terms if s):
+        return None
+    if any(f not in aliases for _v, f, _b in shape.opts):
         return None
     if shape.ranges:
         # range predicates ride the kernel only when the index inlines
@@ -1144,13 +1162,17 @@ def wand_candidates(
         # path).  Checked BEFORE any dictionary/expansion job so the
         # fallback costs zero Spark work.
         return None
-    vals = [v for v, _b, _s in shape.terms]
+    from bzzz_spark.query.executor import term_key
+
+    vals = [term_key(index, f, v) for v, f, _b, _s in shape.terms]
     if len(set(vals)) != len(vals):
         return None  # repeated terms would collapse in qmeta — fall back
-    neg_vals = shape.neg
+    neg_vals = [term_key(index, f, v) for v, f in shape.neg]
     pvals = [t for tids, _s, _b, _sc in shape.phrases for t in tids]
-    ovals = [v for v, _b in shape.opts]
-    ovals += [t for tids, _s, _b in shape.opt_phrases for t in tids]
+    okeys = [term_key(index, f, v) for v, f, _b in shape.opts]
+    ovals = okeys + [
+        t for tids, _s, _b in shape.opt_phrases for t in tids
+    ]
     spark = index.docs.sparkSession
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
@@ -1162,9 +1184,9 @@ def wand_candidates(
         # a required conjunct term (or phrase leg) is out of vocabulary
         return spark.createDataFrame([], "docid long, score double")
     qmeta = {}
-    for v, boost, scored in shape.terms:
-        if v in meta:
-            tid, df = meta[v]
+    for (v, f, boost, scored), key in zip(shape.terms, vals):
+        if key in meta:
+            tid, df = meta[key]
             # filter-arm conjuncts intersect but contribute no score
             # (and no upper bound): weight and boost pinned to 0
             if scored:
@@ -1209,9 +1231,9 @@ def wand_candidates(
     # nothing — they just stop counting toward minimum_should_match.
     # If fewer remain than msm requires, NO doc can qualify
     opt_meta = {}
-    for v, boost in shape.opts:
-        if v in meta:
-            tid, df = meta[v]
+    for (v, f, boost), key in zip(shape.opts, okeys):
+        if key in meta:
+            tid, df = meta[key]
             opt_meta[int(tid)] = (idf_fn(n_docs, df) * boost, boost)
     opt_phrase_specs = []
     for tids, slop, boost in shape.opt_phrases:

@@ -145,3 +145,50 @@ def test_query_parser_field_syntax_end_to_end(field_index, field_oracle):
         "bzzz_spark.query.parser", fromlist=["parse_query_string"]
     ).parse_query_string("error AND role:user")
     _parity(field_index, field_oracle, node)
+
+
+def test_field_filter_arms_ride_kernel(field_index, field_oracle):
+    """UNSCORED field-term membership (filter arms, must_not) rides the
+    block-max kernel via the '<field>:<token>' dictionary key —
+    intersection needs no norms, so the text-field-only restriction
+    applies solely to SCORED terms (r4).  Results must match the oracle
+    and the exhaustive plan."""
+    from bzzz_spark.query.wand import wand_candidates
+
+    kernel_nodes = [
+        ast.Filtered(query=ast.Term("merge"),
+                     filter=ast.Term("user", field_name="role")),
+        ast.Filtered(
+            query=ast.Bool(must=[ast.Term("error"), ast.Term("query")]),
+            filter=ast.Term("assistant", field_name="role"),
+        ),
+        ast.Filtered(
+            query=ast.Term("merge"),
+            filter=ast.Bool(
+                must=[ast.Term("user", field_name="role")],
+                must_not=[ast.Term("nosuchtool", field_name="tool")],
+            ),
+        ),
+        ast.Bool(must=[ast.Term("merge")],
+                 must_not=[ast.Term("assistant", field_name="role")]),
+        # term_key lowercases keyword values — parity with the executor
+        ast.Filtered(query=ast.Term("merge"),
+                     filter=ast.Term("USER", field_name="role")),
+        # an out-of-vocabulary filter value matches nothing
+        ast.Filtered(query=ast.Term("merge"),
+                     filter=ast.Term("nosuchrole", field_name="role")),
+    ]
+    for node in kernel_nodes:
+        assert wand_candidates(field_index, node, 10) is not None, node
+        _parity(field_index, field_oracle, node)
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(field_index, node, size=10).collect()]
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(field_index, node, size=10, use_wand=False).collect()]
+        assert got == slow, node
+    # SCORED field terms keep falling back (norms-disabled scoring is
+    # the executor's job)
+    scored = ast.Bool(must=[ast.Term("merge"),
+                            ast.Term("user", field_name="role")])
+    assert wand_candidates(field_index, scored, 10) is None
+    _parity(field_index, field_oracle, scored)
