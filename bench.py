@@ -106,6 +106,13 @@ TRANSCRIPT_QUERIES = {
     "t_dismax": ast.DisMax(
         queries=[ast.Term("error"), ast.Term("the")], tie_breaker=0.3
     ),
+    # filtered disjunction: normalize() lowers Filtered to a zero-boost
+    # must clause, so the RARE filter term anchors the conjunction and
+    # both head/mid shoulds decode only candidate-overlapping blocks
+    "t_filt_or": ast.Filtered(
+        query=ast.Bool(should=[ast.Term("error"), ast.Term("the")]),
+        filter=ast.Term("tok04321"),
+    ),
 }
 
 # phrase queries run against a SEPARATE positions-bearing index (the
@@ -300,7 +307,8 @@ def main() -> None:
             lat = sorted(
                 tm[f"{prefix}{name}"]
                 for name in TRANSCRIPT_QUERIES
-                if name not in ("t_wild_and", "t_req_opt", "t_dismax")
+                if name not in ("t_wild_and", "t_req_opt", "t_dismax",
+                                "t_filt_or")
             )
             summary = {
                 "turns": n_turns,

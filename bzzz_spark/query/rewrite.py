@@ -21,7 +21,16 @@ msm not perturbed); anything else is left untouched.
 
 from __future__ import annotations
 
+from dataclasses import replace as _dc_replace
+
 from bzzz_spark.query import ast
+
+# node types whose score scales linearly with their boost — setting
+# boost=0 zeroes the score without changing the match set, which is
+# exactly a Filtered filter arm's contract
+_ZEROABLE = (ast.Term, ast.Range, ast.MatchAll, ast.Wildcard, ast.Fuzzy,
+             ast.Phrase, ast.Bool, ast.DisMax, ast.ConstantScore,
+             ast.Filtered)
 
 
 def _merge_dup_terms(clauses: list, allow: bool) -> list:
@@ -129,6 +138,38 @@ def normalize(node: ast.Query) -> ast.Query:
         f = normalize(node.filter)
         if isinstance(f, ast.MatchAll) and node.boost == 1.0:
             return q  # semi-join against every doc is the identity
+        # Filtered(q, f) ≡ Bool(must=[q, zero_boost(f)]): the must list
+        # intersects the match sets and the score sum is score(q) + 0 —
+        # the same lowering Lucene performs when it folds a
+        # FilteredQuery into a BooleanQuery FILTER clause.  This puts
+        # filtered disjunctions on the ReqOptSum kernel (the filter
+        # drives candidates, the shoulds score) and lets the batch
+        # module share one scan across filtered queries.  Requires a
+        # boost-scalable filter (_ZEROABLE) and node boost 1.
+        if node.boost == 1.0 and isinstance(f, _ZEROABLE):
+            fz = _dc_replace(f, boost=0.0)
+            if (
+                isinstance(q, ast.Bool)
+                and q.boost == 1.0
+                and (q.must or q.should)
+                # msm > 0 with no should clauses is the executor/oracle
+                # edge normalize stays away from (see the Bool rules)
+                and not (q.minimum_should_match > 0 and not q.should)
+            ):
+                return normalize(ast.Bool(
+                    must=list(q.must) + [fz],
+                    must_not=list(q.must_not),
+                    should=list(q.should),
+                    # the lowered Bool gains a must clause, which drops
+                    # a should-only query's implicit msm=1 — pin the
+                    # original effective value explicitly
+                    minimum_should_match=q.effective_msm(),
+                    boost=1.0,
+                ))
+            if not isinstance(q, ast.Bool):
+                # any other query type is an opaque must clause: its
+                # own evaluation keeps its semantics, the sum adds 0
+                return normalize(ast.Bool(must=[q, fz]))
         return ast.Filtered(query=q, filter=f, boost=node.boost)
     if isinstance(node, ast.ConstantScore):
         q = normalize(node.query)

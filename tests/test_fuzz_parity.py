@@ -178,6 +178,42 @@ def test_random_wand_or_maxscore_matches_oracle(
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
 
 
+# Filtered shapes: normalize() lowers Filtered(q, f) to
+# Bool(must=[q, f@boost=0]) (round 4) — filtered conjunctions ride the
+# and-kernel and filtered disjunctions the ReqOptSum kernel; the
+# lowering plus kernel must never change results vs the oracle
+_wand_filtered = st.builds(
+    lambda q, f: ast.Filtered(query=q, filter=f),
+    st.one_of(
+        _term,
+        st.builds(lambda m: ast.Bool(must=m), st.lists(_term, min_size=1,
+                                                       max_size=2)),
+        st.builds(
+            lambda s, msm: ast.Bool(
+                should=s, minimum_should_match=min(msm, len(s))
+            ),
+            st.lists(_term, min_size=1, max_size=3),
+            st.integers(0, 2),
+        ),
+    ),
+    st.one_of(_term, _range, st.just(ast.MatchAll())),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_filtered, st.sampled_from([1, 5, 25]))
+def test_random_wand_filtered_matches_oracle(
+    dv_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+
+
 # dis-max over terms: the MaxScore-kernel dismax combiner (round 4) —
 # (1-tie)*max + tie*sum with independent max/sum bounds must never
 # change results vs the oracle at any tie or k

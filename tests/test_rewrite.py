@@ -148,3 +148,74 @@ def test_normalize_is_score_preserving_on_oracle(oracle):
     ]
     for node in shapes:
         _assert_same(oracle, node)
+
+
+def test_filtered_lowers_to_zero_boost_bool():
+    # Filtered(q, f) == Bool(must=[q, f@boost=0]) — Lucene's
+    # FilteredQuery -> BooleanQuery FILTER clause folding
+    out = normalize(
+        ast.Filtered(query=ast.Term("a"), filter=ast.Term("b"))
+    )
+    assert isinstance(out, ast.Bool)
+    assert [(t.value, t.boost) for t in out.must] == [("a", 1.0), ("b", 0.0)]
+    # filtered DISJUNCTION becomes a kernel-servable must+should shape
+    # with the implicit msm=1 pinned explicitly
+    out2 = normalize(
+        ast.Filtered(
+            query=ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+            filter=ast.Term("f"),
+        )
+    )
+    assert isinstance(out2, ast.Bool)
+    assert [(t.value, t.boost) for t in out2.must] == [("f", 0.0)]
+    assert [t.value for t in out2.should] == ["a", "b"]
+    assert out2.minimum_should_match == 1
+    assert classify(out2) is not None
+    # non-unit Filtered boost scales the QUERY score only — no lowering
+    kept = normalize(
+        ast.Filtered(query=ast.Term("a"), filter=ast.Term("b"), boost=2.0)
+    )
+    assert isinstance(kept, ast.Filtered)
+
+
+def test_filtered_lowering_is_score_preserving_on_oracle(oracle):
+    shapes = [
+        ast.Filtered(query=ast.Term("merge"), filter=ast.Term("scan")),
+        ast.Filtered(
+            query=ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+            filter=ast.Term("the"),
+        ),
+        ast.Filtered(
+            query=ast.Bool(
+                should=[ast.Term("error"), ast.Term("merge"),
+                        ast.Term("scan")],
+                minimum_should_match=2,
+            ),
+            filter=ast.Term("the"),
+        ),
+        ast.Filtered(
+            query=ast.Filtered(query=ast.Term("merge"),
+                               filter=ast.Term("scan")),
+            filter=ast.Term("the"),
+        ),
+        ast.Filtered(query=ast.MatchAll(boost=3.0), filter=ast.Term("dup")),
+        ast.Filtered(query=ast.Term("merge"), filter=ast.Term("merge")),
+        ast.Filtered(
+            query=ast.DisMax(queries=[ast.Term("error"), ast.Term("merge")],
+                             tie_breaker=0.4),
+            filter=ast.Term("the"),
+        ),
+        # zero-boosting a BOOL filter must zero its whole sum without
+        # perturbing its match set (must + msm over should)
+        ast.Filtered(
+            query=ast.Term("merge"),
+            filter=ast.Bool(
+                must=[ast.Term("the")],
+                should=[ast.Term("error"), ast.Term("scan")],
+            ),
+        ),
+        # constant-score filter arms (wildcard) zero the same way
+        ast.Filtered(query=ast.Term("merge"), filter=ast.Wildcard("sca*")),
+    ]
+    for node in shapes:
+        _assert_same(oracle, node)
