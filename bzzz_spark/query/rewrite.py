@@ -111,6 +111,36 @@ def normalize(node: ast.Query) -> ast.Query:
                     flat_should.append(q)
             should = flat_should
 
+        # De Morgan splice for exclusions: NOT (a OR b) ≡ NOT a AND
+        # NOT b, and must_not arms never SCORE, so an inner should-only
+        # disjunction with effective msm <= 1 splices into the parent's
+        # exclusion list regardless of its boost (unlike the scoring
+        # should-flatten above, which must require boost 1).  An inner
+        # Bool that can match NOTHING — only must_not clauses, the
+        # Lucene all-prohibited-matches-no-docs rule the executor and
+        # oracle share — excludes nothing and drops out.  Worklist
+        # (not one-pass) so non-unit-boost disjunction members that
+        # survived the scoring flatten still splice here: keeps
+        # normalize idempotent.
+        flat_not: list = []
+        stack_not = list(must_not)
+        while stack_not:
+            q = stack_not.pop(0)
+            if isinstance(q, ast.Bool) and not q.must:
+                if q.should and not q.must_not and q.effective_msm() <= 1:
+                    stack_not = list(q.should) + stack_not
+                    continue
+                if (
+                    not q.should
+                    and q.must_not
+                    # msm > 0 with no should is the strict-oracle edge
+                    # every other rule also stays away from
+                    and q.minimum_should_match == 0
+                ):
+                    continue
+            flat_not.append(q)
+        must_not = flat_not
+
         msm_safe = node.effective_msm() <= 1
         must = _merge_dup_terms(must, allow=True)
         should = _merge_dup_terms(should, allow=msm_safe)

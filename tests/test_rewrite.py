@@ -219,3 +219,105 @@ def test_filtered_lowering_is_score_preserving_on_oracle(oracle):
     ]
     for node in shapes:
         _assert_same(oracle, node)
+
+
+def test_must_not_demorgan_splice():
+    # NOT (a OR b) == NOT a AND NOT b — exclusion arms never score, so
+    # the splice ignores the inner Bool's boost (unlike should-flatten)
+    out = normalize(ast.Bool(
+        must=[ast.Term("x")],
+        must_not=[ast.Bool(should=[ast.Term("a"), ast.Term("b")],
+                           boost=2.0)],
+    ))
+    assert [t.value for t in out.must_not] == ["a", "b"]
+    assert classify(out) is not None
+    # msm=2 on the inner disjunction CAN observe the splice — kept
+    kept = normalize(ast.Bool(
+        must=[ast.Term("x")],
+        must_not=[ast.Bool(should=[ast.Term("a"), ast.Term("b"),
+                                   ast.Term("c")],
+                           minimum_should_match=2)],
+    ))
+    assert isinstance(kept.must_not[0], ast.Bool)
+    # an all-prohibited inner Bool matches nothing -> excludes nothing
+    dropped = normalize(ast.Bool(
+        must=[ast.Term("x")],
+        must_not=[ast.Bool(must_not=[ast.Term("a")])],
+    ))
+    assert dropped == ast.Term("x")
+
+
+def test_must_not_rules_score_preserving_on_oracle(oracle):
+    shapes = [
+        ast.Bool(must=[ast.Term("the")],
+                 must_not=[ast.Bool(should=[ast.Term("error"),
+                                            ast.Term("merge")])]),
+        ast.Bool(should=[ast.Term("error"), ast.Term("scan")],
+                 must_not=[ast.Bool(should=[ast.Term("dup"),
+                                            ast.Bool(should=[
+                                                ast.Term("merge"),
+                                                ast.Term("query"),
+                                            ], boost=3.0)])]),
+        ast.Bool(must=[ast.Term("the")],
+                 must_not=[ast.Bool(must_not=[ast.Term("error")])]),
+        ast.Bool(must=[ast.Term("the")],
+                 must_not=[ast.Bool(should=[ast.Term("error"),
+                                            ast.Term("merge")],
+                                    minimum_should_match=2)]),
+    ]
+    for node in shapes:
+        _assert_same(oracle, node)
+
+
+# ---- random-tree fuzz: EVERY rule, composed arbitrarily, must be ----
+# ---- score-preserving under the pure-Python oracle ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vocab = st.sampled_from(
+    ["the", "a", "error", "merge", "scan", "data", "query", "dup",
+     "zzznothere"]
+)
+_fz_term = st.builds(
+    ast.Term, _vocab, st.just("text"), st.sampled_from([0.5, 1.0, 2.0])
+)
+
+
+def _fz_trees(children):
+    return st.one_of(
+        st.builds(
+            lambda m, s, mn, msm, b: ast.Bool(
+                must=m, should=s, must_not=mn,
+                minimum_should_match=msm, boost=b,
+            ),
+            st.lists(children, max_size=2),
+            st.lists(children, max_size=2),
+            st.lists(children, max_size=2),
+            st.integers(0, 2),
+            st.sampled_from([1.0, 2.0]),
+        ).filter(lambda n: n.must or n.should or n.must_not),
+        st.builds(
+            lambda q, f, b: ast.Filtered(query=q, filter=f, boost=b),
+            children, children, st.sampled_from([1.0, 2.0]),
+        ),
+        st.builds(
+            lambda q, b: ast.ConstantScore(q, boost=b),
+            children, st.sampled_from([0.5, 1.5]),
+        ),
+        st.builds(
+            lambda qs, t: ast.DisMax(queries=qs, tie_breaker=t),
+            st.lists(children, min_size=1, max_size=2),
+            st.sampled_from([0.0, 0.4]),
+        ),
+    )
+
+
+_random_tree = st.recursive(_fz_term, _fz_trees, max_leaves=8)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_random_tree)
+def test_normalize_score_preserving_on_random_trees(oracle, node):
+    _assert_same(oracle, node)
