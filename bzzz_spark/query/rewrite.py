@@ -206,6 +206,12 @@ def normalize(node: ast.Query) -> ast.Query:
         # the outer constant wins regardless of the inner score
         while isinstance(q, ast.ConstantScore):
             q = q.query
+        # Wildcard/Fuzzy/MatchAll are ALREADY constant-score nodes in
+        # this engine (score := boost — Lucene CONSTANT_SCORE_REWRITE
+        # for multi-term queries) — the wrapper folds into their boost,
+        # which keeps top-level patterns on the 'any' kernel
+        if isinstance(q, (ast.Wildcard, ast.Fuzzy, ast.MatchAll)):
+            return _dc_replace(q, boost=node.boost)
         return ast.ConstantScore(query=q, boost=node.boost)
     if isinstance(node, ast.DisMax):
         return ast.DisMax(

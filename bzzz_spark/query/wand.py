@@ -1102,6 +1102,49 @@ def _multiterm_candidates(
     return _run_kernel(index, blocks, kernel)
 
 
+def _constant_candidates(
+    index: BzzzIndex, node: "ast.ConstantScore", k: int
+) -> DataFrame | None:
+    """Top-level ConstantScore over a Term or a should-only Bool of
+    Terms (effective msm <= 1): every match scores node.boost, so — as
+    with Lucene's CONSTANT_SCORE_REWRITE for multi-term queries — the
+    top-k is the k smallest matching docids and the 'any' kernel stops
+    decoding once k docids precede every remaining block.  A
+    filter-context head term ("give me ANY k docs containing X")
+    decodes O(k) docids instead of the term's full postings.  Needs no
+    norms (constant score), so any indexed field serves.  Other inner
+    shapes return None → exhaustive executor."""
+    inner = node.query
+    if isinstance(inner, ast.Term):
+        members = [(inner.value, inner.field_name)]
+    elif (
+        isinstance(inner, ast.Bool)
+        and inner.should
+        and not inner.must
+        and not inner.must_not
+        and inner.effective_msm() <= 1
+        and all(isinstance(q, ast.Term) for q in inner.should)
+    ):
+        members = [(q.value, q.field_name) for q in inner.should]
+    else:
+        return None
+    from bzzz_spark.query.executor import term_key
+
+    spark = index.docs.sparkSession
+    empty = spark.createDataFrame([], "docid long, score double")
+    keys = sorted({term_key(index, f, v) for v, f in members})
+    meta = index.lookup_terms(keys)
+    tids = sorted(int(tid) for tid, _df in meta.values())
+    if not tids:
+        return empty
+    qmeta = {tid: (0.0, float(node.boost)) for tid in tids}
+    blocks = index.postings.filter(F.col("term_id").isin(tids))
+    kernel = _make_kernel(
+        qmeta, "any", 1, k, 1.0, index.config.segment_size
+    )
+    return _run_kernel(index, blocks, kernel)
+
+
 def wand_candidates(
     index: BzzzIndex, node: ast.Query, k: int
 ) -> DataFrame | None:
@@ -1115,6 +1158,10 @@ def wand_candidates(
     validate_fields(index, node)
     if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
         return _multiterm_candidates(index, node, k)
+    if isinstance(node, ast.ConstantScore):
+        got = _constant_candidates(index, node, k)
+        if got is not None:
+            return got
     shape = classify(node)
     if shape is None:
         return None

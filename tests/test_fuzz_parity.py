@@ -214,6 +214,55 @@ def test_random_wand_filtered_matches_oracle(
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
 
 
+# ConstantScore over a Term / should-only Bool of Terms rides the
+# constant-score 'any' kernel (round 4, Lucene CONSTANT_SCORE_REWRITE
+# discipline): every match scores boost, top-k = k smallest docids —
+# the kernel's output must match the oracle at every k and boost
+_wand_const = st.builds(
+    lambda q, b: ast.ConstantScore(q, boost=b),
+    st.one_of(
+        _term,
+        st.builds(
+            lambda s: ast.Bool(should=s),
+            st.lists(_term, min_size=1, max_size=3),
+        ),
+    ),
+    st.sampled_from([0.5, 1.0, 2.5]),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_const, st.sampled_from([1, 5, 25]))
+def test_random_wand_constant_score_matches_oracle(
+    dv_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+
+
+def test_constant_score_rides_the_any_kernel(dv_index):
+    from bzzz_spark.query.wand import wand_candidates
+
+    for node in (
+        ast.ConstantScore(ast.Term("the"), boost=2.0),
+        ast.ConstantScore(
+            ast.Bool(should=[ast.Term("the"), ast.Term("error")])
+        ),
+    ):
+        assert wand_candidates(dv_index, node, k=5) is not None, node
+    # conjunction inners stay on the exhaustive plan
+    assert wand_candidates(
+        dv_index,
+        ast.ConstantScore(ast.Bool(must=[ast.Term("the")])),
+        k=5,
+    ) is None
+
+
 # dis-max over terms: the MaxScore-kernel dismax combiner (round 4) —
 # (1-tie)*max + tie*sum with independent max/sum bounds must never
 # change results vs the oracle at any tie or k

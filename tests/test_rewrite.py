@@ -221,6 +221,27 @@ def test_filtered_lowering_is_score_preserving_on_oracle(oracle):
         _assert_same(oracle, node)
 
 
+def test_constant_score_folds_into_constant_nodes():
+    # Wildcard/Fuzzy/MatchAll already score := boost, so the wrapper
+    # folds into their boost (keeps patterns on the 'any' kernel)
+    out = normalize(ast.ConstantScore(ast.Wildcard("sca*"), boost=2.5))
+    assert out == ast.Wildcard("sca*", boost=2.5)
+    out2 = normalize(ast.ConstantScore(ast.MatchAll(boost=9.0), boost=3.0))
+    assert out2 == ast.MatchAll(boost=3.0)
+    # scored inners keep the wrapper (score really is replaced)
+    kept = normalize(ast.ConstantScore(ast.Term("a"), boost=2.0))
+    assert isinstance(kept, ast.ConstantScore)
+
+
+def test_constant_score_fold_score_preserving_on_oracle(oracle):
+    for node in (
+        ast.ConstantScore(ast.Wildcard("sca*"), boost=2.5),
+        ast.ConstantScore(ast.MatchAll(), boost=3.0),
+        ast.ConstantScore(ast.Fuzzy("merge"), boost=0.5),
+    ):
+        _assert_same(oracle, node)
+
+
 def test_must_not_demorgan_splice():
     # NOT (a OR b) == NOT a AND NOT b — exclusion arms never score, so
     # the splice ignores the inner Bool's boost (unlike should-flatten)
