@@ -26,11 +26,23 @@ from dataclasses import replace as _dc_replace
 from bzzz_spark.query import ast
 
 # node types whose score scales linearly with their boost — setting
-# boost=0 zeroes the score without changing the match set, which is
-# exactly a Filtered filter arm's contract
+# boost=0 zeroes the score without changing the match set (a Filtered
+# filter arm's contract), and scaling boost by c scales the score by c
+# exactly (boost distribution into Bool/Filtered clauses).  Excludes
+# RandomScore (score = base + rand, affine not linear), CustomScore
+# (replace mode ignores boost semantics), NoZeroScore/NoNorm (wrappers
+# without their own boost).
 _ZEROABLE = (ast.Term, ast.Range, ast.MatchAll, ast.Wildcard, ast.Fuzzy,
              ast.Phrase, ast.Bool, ast.DisMax, ast.ConstantScore,
              ast.Filtered)
+
+
+def _scale(q: ast.Query, factor: float) -> ast.Query | None:
+    """factor × q's score, folded into q's own boost.  None when q's
+    score is not provably linear in its boost."""
+    if isinstance(q, _ZEROABLE):
+        return _dc_replace(q, boost=q.boost * factor)
+    return None
 
 
 def _merge_dup_terms(clauses: list, allow: bool) -> list:
@@ -156,6 +168,21 @@ def normalize(node: ast.Query) -> ast.Query:
                 return must[0]
             if not must and len(should) == 1 and node.effective_msm() <= 1:
                 return should[0]
+        # boost distribution: score(Bool) = boost × (Σ must + Σ matched
+        # should) = Σ (boost-scaled clauses) — exact for ANY boost sign
+        # (plain linear sum; msm counts matches, not scores).  Kernels
+        # serve boost-1 Bools only, so "(a b)^2" reaches them this way.
+        if node.boost != 1.0:
+            s_must = [_scale(q, node.boost) for q in must]
+            s_should = [_scale(q, node.boost) for q in should]
+            if all(s is not None for s in s_must + s_should):
+                return normalize(ast.Bool(
+                    must=s_must,
+                    must_not=must_not,
+                    should=s_should,
+                    minimum_should_match=node.minimum_should_match,
+                    boost=1.0,
+                ))
         return ast.Bool(
             must=must,
             must_not=must_not,
@@ -168,6 +195,15 @@ def normalize(node: ast.Query) -> ast.Query:
         f = normalize(node.filter)
         if isinstance(f, ast.MatchAll) and node.boost == 1.0:
             return q  # semi-join against every doc is the identity
+        # boost distribution: score(Filtered) = boost × score(query) on
+        # the filtered match set — fold the boost into the query arm
+        # when it is boost-linear, unlocking the boost-1 lowering below
+        if node.boost != 1.0:
+            qs = _scale(q, node.boost)
+            if qs is not None:
+                return normalize(
+                    ast.Filtered(query=qs, filter=f, boost=1.0)
+                )
         # Filtered(q, f) ≡ Bool(must=[q, zero_boost(f)]): the must list
         # intersects the match sets and the score sum is score(q) + 0 —
         # the same lowering Lucene performs when it folds a

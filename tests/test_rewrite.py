@@ -64,10 +64,11 @@ def test_nested_should_flattens_when_msm_safe():
 def test_single_clause_collapse_and_dup_merge():
     assert normalize(ast.Bool(must=[ast.Term("a")])) == ast.Term("a")
     assert normalize(ast.Bool(should=[ast.Term("a")])) == ast.Term("a")
-    # boost != 1 multiplies the sum — no collapse
-    assert isinstance(
-        normalize(ast.Bool(must=[ast.Term("a")], boost=2.0)), ast.Bool
-    )
+    # boost != 1 multiplies the sum — distribution folds it into the
+    # clause, so the single-clause bool still collapses, boost intact
+    assert normalize(
+        ast.Bool(must=[ast.Term("a")], boost=2.0)
+    ) == ast.Term("a", boost=2.0)
     # duplicate must terms merge by summing boosts (BM25 linear in boost)
     out = normalize(
         ast.Bool(must=[ast.Term("a"), ast.Term("a", boost=2.0),
@@ -171,9 +172,21 @@ def test_filtered_lowers_to_zero_boost_bool():
     assert [t.value for t in out2.should] == ["a", "b"]
     assert out2.minimum_should_match == 1
     assert classify(out2) is not None
-    # non-unit Filtered boost scales the QUERY score only — no lowering
-    kept = normalize(
+    # non-unit Filtered boost distributes into the query arm first,
+    # then the boost-1 lowering applies
+    out3 = normalize(
         ast.Filtered(query=ast.Term("a"), filter=ast.Term("b"), boost=2.0)
+    )
+    assert isinstance(out3, ast.Bool)
+    assert [(t.value, t.boost) for t in out3.must] == [("a", 2.0),
+                                                       ("b", 0.0)]
+    # a boost-nonlinear query arm blocks distribution AND lowering
+    kept = normalize(
+        ast.Filtered(
+            query=ast.RandomScore(query=ast.Term("a"), base=1.0, seed=3),
+            filter=ast.Term("b"),
+            boost=2.0,
+        )
     )
     assert isinstance(kept, ast.Filtered)
 
@@ -216,6 +229,58 @@ def test_filtered_lowering_is_score_preserving_on_oracle(oracle):
         ),
         # constant-score filter arms (wildcard) zero the same way
         ast.Filtered(query=ast.Term("merge"), filter=ast.Wildcard("sca*")),
+    ]
+    for node in shapes:
+        _assert_same(oracle, node)
+
+
+def test_boost_distribution():
+    # score(Bool) is linear in boost, so "(a b)^2" distributes into the
+    # clauses and the boost-1 result classifies for the kernel
+    out = normalize(ast.Bool(must=[ast.Term("a"), ast.Term("b")],
+                             boost=2.0))
+    assert isinstance(out, ast.Bool) and out.boost == 1.0
+    assert [(t.value, t.boost) for t in out.must] == [("a", 2.0),
+                                                      ("b", 2.0)]
+    assert classify(out) is not None
+    # distribution composes with the Filtered lowering: a boosted
+    # filtered disjunction ends up a kernel-servable must+should Bool
+    out2 = normalize(ast.Filtered(
+        query=ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+        filter=ast.Term("f"),
+        boost=3.0,
+    ))
+    assert isinstance(out2, ast.Bool) and out2.boost == 1.0
+    assert [t.boost for t in out2.should] == [3.0, 3.0]
+    assert [(t.value, t.boost) for t in out2.must] == [("f", 0.0)]
+    assert classify(out2) is not None
+    # non-linear clauses (RandomScore) block distribution
+    kept = normalize(ast.Bool(
+        must=[ast.RandomScore(query=ast.Term("a"), base=1.0, seed=7)],
+        boost=2.0,
+    ))
+    assert isinstance(kept, ast.Bool) and kept.boost == 2.0
+
+
+def test_boost_distribution_score_preserving_on_oracle(oracle):
+    shapes = [
+        ast.Bool(must=[ast.Term("the"), ast.Term("data")], boost=2.0),
+        ast.Bool(should=[ast.Term("error"), ast.Term("merge")],
+                 must_not=[ast.Term("dup")], boost=0.5),
+        ast.Bool(must=[ast.Term("the")],
+                 should=[ast.Term("error"), ast.Term("scan")],
+                 minimum_should_match=1, boost=3.0),
+        # negative boost: plain linear sum, still exact (executor path)
+        ast.Bool(must=[ast.Term("the"), ast.Term("a")], boost=-1.5),
+        ast.Filtered(query=ast.Term("merge"), filter=ast.Term("the"),
+                     boost=2.0),
+        ast.Filtered(query=ast.Bool(should=[ast.Term("error"),
+                                            ast.Term("merge")]),
+                     filter=ast.Term("the"), boost=4.0),
+        ast.Filtered(query=ast.Term("merge"), filter=ast.MatchAll(),
+                     boost=2.0),
+        ast.Bool(must=[ast.Bool(must=[ast.Term("the")], boost=2.0),
+                       ast.Term("data")], boost=3.0),
     ]
     for node in shapes:
         _assert_same(oracle, node)
@@ -316,11 +381,11 @@ def _fz_trees(children):
             st.lists(children, max_size=2),
             st.lists(children, max_size=2),
             st.integers(0, 2),
-            st.sampled_from([1.0, 2.0]),
+            st.sampled_from([1.0, 2.0, -0.5]),
         ).filter(lambda n: n.must or n.should or n.must_not),
         st.builds(
             lambda q, f, b: ast.Filtered(query=q, filter=f, boost=b),
-            children, children, st.sampled_from([1.0, 2.0]),
+            children, children, st.sampled_from([1.0, 2.0, -0.5]),
         ),
         st.builds(
             lambda q, b: ast.ConstantScore(q, boost=b),
