@@ -29,9 +29,10 @@ from bzzz_spark.query import ast
 # boost=0 zeroes the score without changing the match set (a Filtered
 # filter arm's contract), and scaling boost by c scales the score by c
 # exactly (boost distribution into Bool/Filtered clauses).  Excludes
-# RandomScore (score = base + rand, affine not linear), CustomScore
-# (replace mode ignores boost semantics), NoZeroScore/NoNorm (wrappers
-# without their own boost).
+# RandomScore / NoZeroScore / NoNorm (no boost field of their own) and
+# CustomScore (boost-linear in both modes, but excluded conservatively:
+# rare as a filter arm or distribution target, and its doc-value
+# expression keeps it off every kernel anyway).
 _ZEROABLE = (ast.Term, ast.Range, ast.MatchAll, ast.Wildcard, ast.Fuzzy,
              ast.Phrase, ast.Bool, ast.DisMax, ast.ConstantScore,
              ast.Filtered)

@@ -124,25 +124,33 @@ class FlatShape:
 
 def _flat_conjuncts(nodes, scored: bool):
     """Term/Range/Phrase/Wildcard/Fuzzy nodes → FlatShape component
-    lists, or None if any node is out of kernel scope."""
+    lists, or None if any node is out of kernel scope.
+
+    A boost-0 conjunct contributes exactly 0 score, so it is classified
+    as UNSCORED membership regardless of `scored` — this is how the
+    rewrite pass's Filtered → Bool(must=[q, f@boost=0]) lowering keeps
+    field-scoped filter arms on the kernel (unscored membership needs
+    no norms and may target any indexed field; a scored=True zero-boost
+    term would trip wand_candidates' text-field-only check)."""
     terms, phrases, ranges, multis = [], [], [], []
     for q in nodes:
+        s = scored and q.boost != 0.0
         if isinstance(q, ast.Term):
             if q.boost < 0:
                 return None
-            terms.append((q.value, q.field_name, q.boost, scored))
+            terms.append((q.value, q.field_name, q.boost, s))
         elif isinstance(q, ast.Range):
             if q.boost < 0:
                 return None
-            ranges.append((q, q.boost if scored else 0.0))
+            ranges.append((q, q.boost if s else 0.0))
         elif isinstance(q, ast.Phrase):
             if q.boost < 0:
                 return None
-            phrases.append((tuple(q.terms), q.slop, q.boost, scored))
+            phrases.append((tuple(q.terms), q.slop, q.boost, s))
         elif isinstance(q, (ast.Wildcard, ast.Fuzzy)):
             if q.boost < 0:
                 return None
-            multis.append((q, scored))
+            multis.append((q, s))
         else:
             return None
     return terms, phrases, ranges, multis
@@ -253,6 +261,12 @@ def classify(node: ast.Query) -> FlatShape | None:
             tie=float(node.tie_breaker),
         )
     if isinstance(node, ast.Filtered) and node.boost == 1.0:
+        # NOTE: the search()/batch() paths never reach this branch —
+        # rewrite.normalize() lowers every Filtered this branch accepts
+        # to Bool(must=[q, f@boost=0]) first, and the Bool branch
+        # classifies boost-0 conjuncts as unscored membership (the same
+        # scored=False treatment applied here).  Kept for DIRECT
+        # wand_search/wand_candidates callers, who get raw ASTs.
         base = classify(node.query)
         if base is None or base.mode in ("or", "dismax"):
             return None
@@ -1077,29 +1091,35 @@ def _expand_scoped(index: BzzzIndex, node) -> list[str]:
     return _expand_scoped_many(index, [node])[0]
 
 
-def _multiterm_candidates(
-    index: BzzzIndex, node: ast.Query, k: int
+def _any_topk(
+    index: BzzzIndex, keys: list[str], boost: float, k: int
 ) -> DataFrame:
-    """Top-level Wildcard/Fuzzy: Lucene CONSTANT_SCORE_REWRITE — every
-    match scores node.boost, so per segment the top-k is the k smallest
-    matching docids; the 'any' kernel stops decoding expansion blocks
-    once k docids precede every remaining block's range."""
-
+    """Constant-score 'any' kernel over explicit dictionary keys: every
+    matching doc scores `boost`, so per segment the top-k is the k
+    smallest matching docids and decoding stops once k docids precede
+    every remaining block's range.  Needs no norms (constant score)."""
     spark = index.docs.sparkSession
     empty = spark.createDataFrame([], "docid long, score double")
-    exp = _expand_scoped(index, node)
-    if not exp:
+    if not keys:
         return empty
-    meta = index.lookup_terms(exp)
+    meta = index.lookup_terms(keys)
     tids = sorted(int(tid) for tid, _df in meta.values())
     if not tids:
         return empty
-    qmeta = {tid: (0.0, float(node.boost)) for tid in tids}
+    qmeta = {tid: (0.0, float(boost)) for tid in tids}
     blocks = index.postings.filter(F.col("term_id").isin(tids))
     kernel = _make_kernel(
         qmeta, "any", 1, k, 1.0, index.config.segment_size
     )
     return _run_kernel(index, blocks, kernel)
+
+
+def _multiterm_candidates(
+    index: BzzzIndex, node: ast.Query, k: int
+) -> DataFrame:
+    """Top-level Wildcard/Fuzzy: Lucene CONSTANT_SCORE_REWRITE — the
+    dictionary expansion feeds the constant-score 'any' kernel."""
+    return _any_topk(index, _expand_scoped(index, node), node.boost, k)
 
 
 def _constant_candidates(
@@ -1130,19 +1150,8 @@ def _constant_candidates(
         return None
     from bzzz_spark.query.executor import term_key
 
-    spark = index.docs.sparkSession
-    empty = spark.createDataFrame([], "docid long, score double")
     keys = sorted({term_key(index, f, v) for v, f in members})
-    meta = index.lookup_terms(keys)
-    tids = sorted(int(tid) for tid, _df in meta.values())
-    if not tids:
-        return empty
-    qmeta = {tid: (0.0, float(node.boost)) for tid in tids}
-    blocks = index.postings.filter(F.col("term_id").isin(tids))
-    kernel = _make_kernel(
-        qmeta, "any", 1, k, 1.0, index.config.segment_size
-    )
-    return _run_kernel(index, blocks, kernel)
+    return _any_topk(index, keys, node.boost, k)
 
 
 def wand_candidates(

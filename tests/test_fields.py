@@ -178,8 +178,16 @@ def test_field_filter_arms_ride_kernel(field_index, field_oracle):
         ast.Filtered(query=ast.Term("merge"),
                      filter=ast.Term("nosuchrole", field_name="role")),
     ]
+    from bzzz_spark.query.rewrite import normalize
+
     for node in kernel_nodes:
         assert wand_candidates(field_index, node, 10) is not None, node
+        # the PRODUCTION path normalizes first (Filtered lowers to a
+        # zero-boost-must Bool) — the lowered form must still classify
+        # as kernel-servable, or search() silently pays the exhaustive
+        # decode while this test stays green
+        assert wand_candidates(field_index, normalize(node), 10) \
+            is not None, ("normalized form off the kernel", node)
         _parity(field_index, field_oracle, node)
         got = [(r["docid"], round(r["score"], 9)) for r in
                search(field_index, node, size=10).collect()]
