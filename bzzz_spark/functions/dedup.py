@@ -423,3 +423,72 @@ def strip_repeated_spans(
         "repeated_token_frac",
         F.coalesce(F.col("repeated_token_frac"), F.lit(0.0)),
     ).drop("__bzzz_spans")
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Training-corpus decontamination against a held-out benchmark /
+    evaluation set: the n-gram collision filter used by large-scale LM
+    data pipelines (GPT-3 appendix C, PaLM, Llama — typically 8-13
+    token grams).
+
+    A training document is contaminated when any of its distinct token
+    n-grams also occurs in the benchmark's n-gram set.  Returns one row
+    per input doc:
+
+      (doc_id, n_grams, hit_grams, contaminated_frac, contaminated)
+
+    where n_grams counts the doc's DISTINCT n-grams, hit_grams how many
+    of those collide with the benchmark, contaminated_frac their ratio
+    (0.0 for docs shorter than n tokens), contaminated = hit_grams > 0.
+
+    Scale shape (~10^11 training docs vs ~10^5-10^7 benchmark grams):
+    the benchmark gram set is DISTINCT'd and BROADCAST — the corpus
+    side is never shuffled for the membership test; the only corpus
+    shuffle is the uniform-key doc_id groupBy.  Docs with no grams
+    survive via the left join back onto the input ids (a doc too short
+    to have an n-gram cannot be contaminated at that n)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(bench_text_col, n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("gram"),
+    )
+    hits = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("__bzzz_hit", F.lit(1))),
+        "gram",
+        "left",
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("__bzzz_hit"), F.lit(0)).alias("hit_grams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("hit_grams"), F.lit(0)).alias("hit_grams"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                    F.col("hit_grams").cast("double") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contaminated_frac"),
+            (F.coalesce(F.col("hit_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -424,3 +424,58 @@ def test_strip_repeated_spans(spark):
     assert out["C"]["text_clean"] == "completely unique document body"
     assert out["C"]["repeated_token_frac"] == 0.0
     assert out["A"]["repeated_token_frac"] > 0.5
+
+
+def test_decontaminate_hand_checked(spark):
+    """n-gram collision decontamination: hand-computed hit counts,
+    short-doc safety, and the no-collision case."""
+    from bzzz_spark.functions.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            # 6 toks → 3 distinct 4-grams; grams 1 and 2 hit the bench
+            ("A", "q1 q2 q3 q4 q5 q6"),
+            # clean doc, same length
+            ("B", "c1 c2 c3 c4 c5 c6"),
+            # shorter than n → 0 grams, never contaminated
+            ("C", "q1 q2 q3"),
+            # exact benchmark copy → every gram hits
+            ("D", "q2 q3 q4 q5"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("eval-1", "q2 q3 q4 q5")], "bid string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert set(out) == {"A", "B", "C", "D"}
+    a = out["A"]
+    assert (a["n_grams"], a["hit_grams"], a["contaminated"]) == (3, 1, True)
+    assert math.isclose(a["contaminated_frac"], round(1 / 3, 6))
+    b = out["B"]
+    assert (b["n_grams"], b["hit_grams"], b["contaminated"]) == (3, 0, False)
+    c = out["C"]
+    assert (c["n_grams"], c["hit_grams"], c["contaminated"]) == (0, 0, False)
+    assert c["contaminated_frac"] == 0.0
+    d = out["D"]
+    assert (d["n_grams"], d["hit_grams"], d["contaminated"]) == (1, 1, True)
+    assert d["contaminated_frac"] == 1.0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Scale shape: the benchmark gram set must reach the corpus join as
+    a broadcast — the corpus side is never shuffled for the membership
+    test."""
+    from bzzz_spark.functions.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(str(i), f"tok{i} a b c d e f g h") for i in range(50)],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame([("e", "a b c d e f g h")],
+                                  "bid string, text string")
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
