@@ -90,8 +90,10 @@ class FlatShape:
              (kernel scoring uses the text index's norms); UNSCORED
              membership (filter arms, must_not) may target any indexed
              field via its '<field>:<token>' dictionary key.
-    phrases: (term_values, slop, boost, scored) — and-mode conjuncts
-             served by phrase_segment_kernel as pseudo-terms.
+    phrases: (term_values, slop, boost, scored) — phrase pseudo-terms:
+             and-mode conjuncts, or or/dismax-mode clauses (MaxScore
+             with the loose-but-sound w_p*(k1+1) upper bound), all
+             served by phrase_segment_kernel.
     ranges:  (Range, contrib) — contrib is the score the predicate adds
              per match (node.boost for Bool must-ranges, 0.0 for
              Filtered filter-ranges).
@@ -221,18 +223,25 @@ def classify(node: ast.Query) -> FlatShape | None:
                              else 0,
                              opt_phrases=opt_phr)
         if node.should and not node.must:
-            if all(
-                isinstance(q, ast.Term) and q.boost >= 0 for q in node.should
-            ):
-                return FlatShape(
-                    "or",
-                    [(q.value, q.field_name, q.boost, True)
-                     for q in node.should],
-                    [],
-                    node.effective_msm(),
-                    neg,
-                    [],
-                )
+            # pure disjunction over Terms and/or Phrases: MaxScore with
+            # phrases as pseudo-terms (bounded by w_p*(k1+1) — a phrase
+            # block carries no positional upper bound, so the bound is
+            # loose but sound).  Duplicate clauses fall back (the
+            # executor counts each occurrence toward msm)
+            sterms: list = []
+            sphr: list = []
+            for q in node.should:
+                if isinstance(q, ast.Term) and q.boost >= 0:
+                    sterms.append((q.value, q.field_name, q.boost, True))
+                elif isinstance(q, ast.Phrase) and q.boost >= 0:
+                    sphr.append((tuple(q.terms), q.slop, q.boost, True))
+                else:
+                    return None
+            if len({(t, s) for t, s, _b, _sc in sphr}) != len(sphr):
+                return None
+            return FlatShape(
+                "or", sterms, sphr, node.effective_msm(), neg, []
+            )
         return None
     if isinstance(node, ast.DisMax):
         # dis-max over plain terms (Q11): score = max + tie*(sum - max)
@@ -246,17 +255,28 @@ def classify(node: ast.Query) -> FlatShape | None:
             return None
         if not (0.0 <= node.tie_breaker <= 1.0):
             return None
-        if not all(
-            isinstance(q, ast.Term) and q.boost >= 0 for q in node.queries
-        ):
-            return None
-        vals = [(q.value, q.field_name) for q in node.queries]
+        dterms: list = []
+        dphr: list = []
+        for q in node.queries:
+            if isinstance(q, ast.Term) and q.boost >= 0:
+                dterms.append(
+                    (q.value, q.field_name, q.boost * node.boost, True)
+                )
+            elif isinstance(q, ast.Phrase) and q.boost >= 0:
+                dphr.append(
+                    (tuple(q.terms), q.slop, q.boost * node.boost, True)
+                )
+            else:
+                return None
+        vals = [(v, f) for v, f, _b, _s in dterms]
         if len(set(vals)) != len(vals):
+            return None
+        if len({(t, s) for t, s, _b, _sc in dphr}) != len(dphr):
             return None
         return FlatShape(
             "dismax",
-            [(q.value, q.field_name, q.boost * node.boost, True)
-             for q in node.queries],
+            dterms,
+            dphr,
             msm=1,
             tie=float(node.tie_breaker),
         )
@@ -899,27 +919,44 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         # by (1-tie)*UB_i + tie*suffix_sum_i (UB_i is the largest
         # remaining — descending order), and a candidate's potential is
         # (1-tie)*max(mx, UB_next) + tie*(acc + suffix_sum_next).
+        # clauses are Terms AND/OR Phrase pseudo-terms: a phrase clause
+        # is bounded by w_p*(k1+1) (no positional upper bound exists in
+        # block metadata — loose but sound, so pruning stays exact);
+        # while admitting it evaluates phrase_segment_kernel over the
+        # whole segment (itself rarest-leg block-pruned), and once
+        # admission closes it evaluates restricted to the surviving
+        # candidates only.
         is_dismax = mode == "dismax"
-        per_term = []
+        entries: list = []  # ("t", tid, ub, sub) | ("p", spec, ub, None)
+        involved: list = list(qmeta)
         for tid in qmeta:
             sub = blocks[blocks["term_id"] == tid]
             if len(sub) == 0:
                 continue
             ub = qmeta[tid][1] * float(sub["block_max_score"].max())
-            per_term.append((tid, ub, sub))
+            entries.append(("t", tid, ub, sub))
             if stats is not None:
                 stats.setdefault("total_blocks", {})[tid] = len(sub)
-        if not per_term:
+        if phrases:
+            seg_tids = set(int(t) for t in blocks["term_id"].unique())
+            for legs, slop_p, w_p in phrases:
+                if not all(int(t) in seg_tids for t in legs):
+                    continue  # a leg has no postings here: cannot match
+                entries.append(
+                    ("p", (legs, slop_p, w_p), w_p * (BM25_K1 + 1.0), None)
+                )
+                involved.extend(int(t) for t in legs)
+        if not entries:
             return empty
-        per_term.sort(key=lambda x: -x[1])
-        ubs = [ub for _, ub, _ in per_term]
+        entries.sort(key=lambda x: -x[2])
+        ubs = [ub for _kind, _key, ub, _sub in entries]
         suffix_ub = np.cumsum(ubs[::-1])[::-1]
         if is_dismax:
             admit_bound = [(1.0 - tie) * ubs[i] + tie * suffix_ub[i]
                            for i in range(len(ubs))]
         else:
             admit_bound = suffix_ub
-        pos_mask = blocks["term_id"].isin(list(qmeta))
+        pos_mask = blocks["term_id"].isin(involved)
         base = int(blocks.loc[pos_mask, "first_docid"].min())
         span = int(blocks.loc[pos_mask, "last_docid"].max()) - base + 1
         acc = np.zeros(span, dtype=np.float64)
@@ -952,48 +989,71 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 )
 
         closed = False
-        for i, (tid, _ub, sub) in enumerate(per_term):
-            w, _boost = qmeta[tid]
+        for i, (kind, keyx, _ub, sub) in enumerate(entries):
             if not closed and admit_bound[i] < theta:
                 closed = True  # no NEW doc can reach the top-k
+            cand_d = None
             if closed:
                 cand_off = np.flatnonzero((cnt > 0) & ~excl & ~dead)
                 if cand_off.size == 0:
                     break
                 cand_d = cand_off + base  # ascending — flatnonzero order
-                lo = np.searchsorted(cand_d, sub["first_docid"].to_numpy(),
-                                     "left")
-                hi = np.searchsorted(cand_d, sub["last_docid"].to_numpy(),
-                                     "right")
-                sub = sub[hi > lo]
-                if len(sub) == 0:
-                    continue
-                d, t, dl, _ = decode(sub)
-                idx = np.clip(np.searchsorted(cand_d, d), 0,
-                              cand_d.size - 1)
-                hit = cand_d[idx] == d
-                off = d[hit] - base
-                c = w * _tfc(t[hit], dl[hit], avgdl)
-                acc[off] += c
-                if is_dismax:
-                    mxa[off] = np.maximum(mxa[off], c)
-                cnt[off] += 1
-            else:
-                d, t, dl, _ = decode(sub)
-                off = d - base
-                new_d = d[cnt[off] == 0]
-                c = w * _tfc(t, dl, avgdl)
-                acc[off] += c
-                if is_dismax:
-                    mxa[off] = np.maximum(mxa[off], c)
-                cnt[off] += 1
-                exclude_new(new_d)
-            if stats is not None:
-                stats.setdefault("decoded_blocks", {})[tid] = (
-                    stats.get("decoded_blocks", {}).get(tid, 0) + len(sub)
+            if kind == "p":
+                from bzzz_spark.query.phrase import phrase_segment_kernel
+
+                legs, slop_p, w_p = keyx
+                res = phrase_segment_kernel(
+                    blocks, list(legs), slop_p, stats=stats,
+                    restrict=cand_d,
                 )
+                d = res["docid"].to_numpy()
+                if d.size == 0:
+                    continue
+                ptf = res["ptf"].to_numpy()
+                pdl = res["dl"].to_numpy().astype(np.float64)
+                pdl = np.where(pdl == 0, avgdl, pdl)
+                c = w_p * _tfc(ptf, pdl, avgdl)
+                off = d - base
+                new_d = None if closed else d[cnt[off] == 0]
+            else:
+                tid = keyx
+                w, _boost = qmeta[tid]
+                if closed:
+                    lo = np.searchsorted(
+                        cand_d, sub["first_docid"].to_numpy(), "left"
+                    )
+                    hi = np.searchsorted(
+                        cand_d, sub["last_docid"].to_numpy(), "right"
+                    )
+                    sub = sub[hi > lo]
+                    if len(sub) == 0:
+                        continue
+                    d, t, dl, _ = decode(sub)
+                    idx = np.clip(np.searchsorted(cand_d, d), 0,
+                                  cand_d.size - 1)
+                    hit = cand_d[idx] == d
+                    d, t, dl = d[hit], t[hit], dl[hit]
+                    new_d = None
+                else:
+                    d, t, dl, _ = decode(sub)
+                    new_d = None  # set below from cnt
+                off = d - base
+                if not closed:
+                    new_d = d[cnt[off] == 0]
+                c = w * _tfc(t, dl, avgdl)
+                if stats is not None:
+                    stats.setdefault("decoded_blocks", {})[tid] = (
+                        stats.get("decoded_blocks", {}).get(tid, 0)
+                        + len(sub)
+                    )
+            acc[off] += c
+            if is_dismax:
+                mxa[off] = np.maximum(mxa[off], c)
+            cnt[off] += 1
+            if new_d is not None:
+                exclude_new(new_d)
             update_theta()
-            if theta > -np.inf and i + 1 < len(per_term):
+            if theta > -np.inf and i + 1 < len(entries):
                 # retire candidates that cannot reach θ with the
                 # remaining terms' upper bounds — later terms' block
                 # sets shrink accordingly
@@ -1251,6 +1311,13 @@ def wand_candidates(
                 qmeta[tid] = (0.0, 0.0)
     phrase_specs = []
     for tids, slop, boost, scored in shape.phrases:
+        if shape.mode in ("or", "dismax") and any(
+            t not in meta for t in tids
+        ):
+            # an out-of-vocabulary leg in a disjunction clause: the
+            # phrase matches nothing — drop the clause (it still counts
+            # toward msm infeasibility below, like an OOV term)
+            continue
         leg_tids = [int(meta[t][0]) for t in tids]
         w_p = (
             sum(idf_fn(n_docs, meta[t][1]) for t in tids) * boost

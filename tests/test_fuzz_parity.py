@@ -335,3 +335,67 @@ def test_random_wand_range_exclusion_matches_oracle(
     slow = [(r["docid"], round(r["score"], 9)) for r in
             search(dv_index, node, size=10, use_wand=False).collect()]
     assert [(d, round(s, 9)) for d, s in got] == slow, node
+
+
+# Phrase clauses inside pure disjunctions and dis-max (round 4): the
+# MaxScore kernel treats a phrase as a pseudo-term bounded by
+# w_p*(k1+1) — admission evaluates the positional kernel over the
+# segment, closed-phase evaluation restricts to surviving candidates.
+# Pruning must never change results vs the oracle.
+@pytest.fixture(scope="module")
+def pos_index(spark, small_transcripts):
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    return idx
+
+
+_phrase = st.builds(
+    lambda t1, t2, slop, boost: ast.Phrase([t1, t2], slop=slop, boost=boost),
+    st.sampled_from(VOCAB),
+    st.sampled_from(VOCAB),
+    st.sampled_from([0, 1, 3]),
+    st.sampled_from([1.0, 2.0]),
+)
+
+_wand_phrase_or = st.one_of(
+    st.builds(
+        lambda phr, terms, msm, neg: ast.Bool(
+            should=[phr] + terms,
+            minimum_should_match=min(msm, 1 + len(terms)),
+            must_not=list(neg),
+        ),
+        _phrase,
+        st.lists(_term, max_size=3, unique_by=lambda t: t.value),
+        st.integers(0, 2),
+        st.lists(_term, max_size=1),
+    ),
+    st.builds(
+        lambda phr, terms, tie: ast.DisMax(
+            queries=[phr] + terms, tie_breaker=tie
+        ),
+        _phrase,
+        st.lists(_term, min_size=1, max_size=2,
+                 unique_by=lambda t: t.value),
+        st.sampled_from([0.0, 0.3, 1.0]),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_phrase_or, st.sampled_from([1, 5, 25]))
+def test_random_phrase_disjunction_matches_oracle(
+    pos_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(pos_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node

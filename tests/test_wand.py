@@ -1049,3 +1049,139 @@ def test_opt_phrase_requires_positions(small_index):
     assert wand_candidates(small_index, node, 10) is None
     with pytest.raises(ValueError, match="store_positions"):
         search(small_index, node, size=10).collect()
+
+
+def test_phrase_in_disjunction_rides_kernel(spark, small_transcripts,
+                                            small_oracle):
+    """Pure disjunctions and dis-max over Phrase clauses ride the
+    MaxScore kernel: a phrase clause is a pseudo-term bounded by
+    w_p*(k1+1); admission runs the (rarest-leg-pruned) positional
+    kernel over the segment, and once admission closes the phrase
+    evaluates restricted to surviving candidates only."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    nodes = [
+        # phrase OR term
+        ast.Bool(should=[ast.Phrase(["the", "data"]), ast.Term("error")]),
+        # phrase-only disjunction
+        ast.Bool(should=[ast.Phrase(["the", "data"]),
+                         ast.Phrase(["stack", "trace"])]),
+        # msm=2: doc must match both clauses
+        ast.Bool(should=[ast.Phrase(["the", "data"]), ast.Term("the")],
+                 minimum_should_match=2),
+        # sloppy + boosted phrase clause, plus an exclusion
+        ast.Bool(should=[ast.Phrase(["the", "data"], slop=3, boost=2.0),
+                         ast.Term("error")],
+                 must_not=[ast.Term("merge")]),
+        # OOV phrase leg: that clause matches nothing
+        ast.Bool(should=[ast.Phrase(["nosuchterm", "data"]),
+                         ast.Term("error")]),
+        # dis-max over a phrase and a term, tie-broken
+        ast.DisMax(queries=[ast.Phrase(["the", "data"]),
+                            ast.Term("error")], tie_breaker=0.3),
+        ast.DisMax(queries=[ast.Phrase(["the", "data"], slop=2),
+                            ast.Term("the", boost=0.5)],
+                   tie_breaker=0.0, boost=2.0),
+    ]
+    for node in nodes:
+        assert classify(node) is not None, node
+        for size in (1, 5, 25):
+            got = [(r["docid"], round(r["score"], 9)) for r in
+                   search(idx, node, size=size).collect()]
+            want = [(d, round(s, 9))
+                    for d, s in small_oracle.search(node, size=size)]
+            assert got == want, (node, size)
+            slow = [(r["docid"], round(r["score"], 9)) for r in
+                    search(idx, node, size=size, use_wand=False).collect()]
+            assert got == slow, (node, size)
+
+
+def test_phrase_disjunction_requires_positions(small_index):
+    """Positions-free index: the kernel declines and the executor
+    raises the loud store_positions error."""
+    from bzzz_spark.query.wand import wand_candidates
+
+    node = ast.Bool(should=[ast.Phrase(["the", "data"]),
+                            ast.Term("error")])
+    assert wand_candidates(small_index, node, 10) is None
+
+
+def test_phrase_disjunction_duplicate_clause_falls_back(small_index):
+    """Duplicate phrase clauses fall back (the executor counts each
+    occurrence toward msm; a keyed kernel cannot)."""
+    node = ast.Bool(should=[ast.Phrase(["the", "data"]),
+                            ast.Phrase(["the", "data"])])
+    assert classify(node) is None
+
+
+def test_phrase_or_kernel_prunes_head_blocks(spark):
+    """'rare-phrase OR head-term' with small k must NOT decode the head
+    term's full postings: the phrase clause (high upper bound — sum of
+    rare-leg idfs) admits first and establishes θ above the head term's
+    bound, so the head term decodes only candidate-overlapping blocks."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    texts = []
+    for i in range(400):
+        base = f"head filler{i % 7} head word{i % 13}"
+        if i in (60, 140):
+            base = "alpha beta " + base
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1,
+                    store_positions=True),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["alpha", "beta", "head"])
+    head_tid = int(meta["head"][0])
+    leg_tids = [int(meta["alpha"][0]), int(meta["beta"][0])]
+    qmeta = {head_tid: (idf_fn(n_docs, meta["head"][1]), 1.0)}
+    w_p = sum(idf_fn(n_docs, meta[t][1]) for t in ("alpha", "beta"))
+    blocks = idx.postings.filter(
+        F.col("term_id").isin(sorted([head_tid] + leg_tids))
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "or", 1, 2, avgdl, 1 << 14, stats=stats,
+                          phrases=[(leg_tids, 0, w_p)])
+    out = kernel(blocks).sort_values(
+        ["score", "docid"], ascending=[False, True]
+    ).head(2)
+    want = [
+        (r["docid"], round(r["score"], 9))
+        for r in search(
+            idx,
+            ast.Bool(should=[ast.Phrase(["alpha", "beta"]),
+                             ast.Term("head")]),
+            size=2,
+            use_wand=False,
+        ).collect()
+    ]
+    got = [(int(d), round(float(s), 9)) for d, s in
+           zip(out["docid"], out["score"])]
+    assert got == want
+    assert stats["total_blocks"][head_tid] >= 40  # 400 docs / 8 per block
+    # 2 phrase-candidate docs -> at most 2 head blocks decoded
+    assert stats["decoded_blocks"][head_tid] <= 2, stats
