@@ -232,7 +232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      should=[ast.Phrase(["filter", "merge"])]),
             size=10,
         ).select(F.lit("opt").alias("part"), "doc_id", "score")
-        return ex.unionByName(op)
+        # part='or' (r4) — the phrase as a DISJUNCTION clause next to a
+        # term (MaxScore kernel with the phrase as a pseudo-term):
+        # score = phrase BM25 + term BM25 over docs matching either
+        orp = _hits(
+            idx,
+            ast.Bool(should=[ast.Phrase(["filter", "merge"]),
+                             ast.Term("dup")]),
+            size=10,
+        ).select(F.lit("or").alias("part"), "doc_id", "score")
+        return ex.unionByName(op).unionByName(orp)
 
     def q_phrase_slop(spark, sf):
         # sloppy phrase "merge filter"~2 — Lucene SloppyPhraseScorer
@@ -378,24 +387,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = parse_query_string("scan AND (dup OR window)")
         return _hits(_index(spark, sf), node, size=10)
 
-    def q_sort_field(spark, sf):
-        # T3: top-k by stored field, not by score
+    def q_sorts(spark, sf):
+        # T3 + T4 as ONE contract entry (50-row budget; same UNION-ALL
+        # pattern as e_batch): part='field' = top-k by stored field,
+        # part='expr' = top-k by a SQL expression over stored fields
         from bzzz_spark.query.executor import sorted_search
 
-        return sorted_search(
+        by_field = sorted_search(
             _index(spark, sf), ast.Term("merge"), sort=[("n_chars", "desc")],
             size=10, fields=["n_chars"],
-        ).select(F.col("docid").alias("doc_id"), "n_chars")
-
-    def q_sort_expr(spark, sf):
-        # T4: top-k by a SQL expression over stored fields
-        from bzzz_spark.query.executor import sorted_search
-
-        return sorted_search(
+        ).select(
+            F.lit("field").alias("part"),
+            F.col("docid").alias("doc_id"), "n_chars",
+        )
+        by_expr = sorted_search(
             _index(spark, sf), ast.Term("scan"),
             sort=[{"expression": "n_chars % 7", "order": "asc"}],
             size=10, fields=["n_chars"],
-        ).select(F.col("docid").alias("doc_id"), "n_chars")
+        ).select(
+            F.lit("expr").alias("part"),
+            F.col("docid").alias("doc_id"), "n_chars",
+        )
+        return by_field.unionByName(by_expr)
 
     def q_explain(spark, sf):
         # R3: per-hit per-term BM25 component breakdown
@@ -583,6 +596,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(clean_rows)
             .unionByName(intra_rows)
         )
+
+    def d_decontam(spark, sf):
+        # LLM-pipeline decontamination (GPT-3 appendix C style n-gram
+        # collision filter): the benchmark is synthesized
+        # deterministically from the corpus itself — a 12-token window
+        # lifted from every 13th doc — so collisions are non-vacuous
+        # and the oracle can rebuild the exact same benchmark in SQL.
+        from bzzz_spark.analysis.tokenizer import standard_tokenize
+        from bzzz_spark.functions.dedup import decontaminate
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 13 == 2).select(
+            F.array_join(
+                F.slice(standard_tokenize(F.col("text")), 4, 12), " "
+            ).alias("text")
+        )
+        return decontaminate(docs, bench, n=8)
 
     def s_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -821,7 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_custom_score=q_custom_score,
         q_no_norm=q_no_norm, q_expr_score=q_expr_score,
         q_random_score=q_random_score, q_parser=q_parser,
-        q_sort_field=q_sort_field, q_sort_expr=q_sort_expr,
+        q_sorts=q_sorts,
         q_explain=q_explain, q_highlight=q_highlight,
         q_facet_lang=q_facet_lang,
         q_facet_multi=q_facet_multi, q_facet_tokens=q_facet_tokens,
@@ -831,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
         d_minhash_lsh=d_minhash_lsh,
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
+        d_decontam=d_decontam,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -1030,9 +1061,21 @@ ph AS (
             10,
         )
     )
+    # or part: Bool(should=[phrase, dup]) — disjunction: docs matching
+    # either clause, scores additive where both match
+    phrase_or_sql = (
+        f"{_BASE},{_phrase_ctes},\n{_term_scores(['dup'])}\n"
+        + _topk(
+            "SELECT coalesce(s.doc_id, ph.doc_id) AS doc_id, "
+            "coalesce(s.score, 0.0) + coalesce(ph.score, 0.0) AS score "
+            "FROM scores s FULL OUTER JOIN ph ON ph.doc_id = s.doc_id",
+            10,
+        )
+    )
     o["q_phrase"] = (
         f"SELECT 'exact' AS part, doc_id, score FROM ({phrase_exact_sql})\n"
-        f"UNION ALL\nSELECT 'opt', doc_id, score FROM ({phrase_opt_sql})"
+        f"UNION ALL\nSELECT 'opt', doc_id, score FROM ({phrase_opt_sql})\n"
+        f"UNION ALL\nSELECT 'or', doc_id, score FROM ({phrase_or_sql})"
     )
     # sloppy phrase "merge filter"~2, Lucene SloppyPhraseScorer: terms
     # in ANY order, each match weighted 1/(1+matchLength).  The greedy
@@ -1235,15 +1278,15 @@ agg AS (
   FROM ts GROUP BY doc_id
 )
 {_topk("SELECT doc_id, score FROM agg WHERE has_must = 1 AND has_should = 1", 10)}"""
-    o["q_sort_field"] = f"""{_BASE}
-SELECT doc_id, n_chars FROM (
+    o["q_sorts"] = f"""{_BASE}
+SELECT 'field' AS part, doc_id, n_chars FROM (
   SELECT d.doc_id, d.n_chars,
          row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rn
   FROM documents d
   WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
-) WHERE rn <= 10"""
-    o["q_sort_expr"] = f"""{_BASE}
-SELECT doc_id, n_chars FROM (
+) WHERE rn <= 10
+UNION ALL
+SELECT 'expr' AS part, doc_id, n_chars FROM (
   SELECT d.doc_id, d.n_chars,
          row_number() OVER (ORDER BY d.n_chars % 7 ASC, d.doc_id) AS rn
   FROM documents d
@@ -1540,6 +1583,44 @@ SELECT 'clean', doc_id::VARCHAR, frac, text_clean FROM clean
 WHERE frac > 0 OR doc_id < 5
 UNION ALL
 SELECT 'intra', doc_id::VARCHAR, v, '' FROM intra"""
+
+    # decontamination: distinct corpus 8-grams vs the 8-gram set of a
+    # benchmark rebuilt exactly as the Spark entry builds it (12-token
+    # window, 1-based elements 4..15, of every doc_id % 13 == 2 doc)
+    o["d_decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(l, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, greatest(len(l) - 7, 0))) AS i
+        FROM toks)
+),
+btoks AS (
+  SELECT list_slice(l, 4, 15) AS bl FROM toks WHERE doc_id % 13 = 2
+),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(bl, i, i + 7), ' ') AS gram
+  FROM (SELECT bl,
+               unnest(generate_series(1, greatest(len(bl) - 7, 0))) AS i
+        FROM btoks)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN gram IN (SELECT gram FROM bg)
+                  THEN 1 ELSE 0 END) AS hit_grams
+  FROM dg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.hit_grams, 0)::BIGINT AS hit_grams,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN coalesce(a.hit_grams, 0)::DOUBLE / a.n_grams
+                  ELSE 0.0 END, 6) AS contaminated_frac,
+       coalesce(a.hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     o["s_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

@@ -129,6 +129,12 @@ PHRASE_QUERIES = {
     "t_phrase_and": ast.Bool(
         must=[ast.Phrase(["error", "query"], slop=3), ast.Term("the")]
     ),
+    # phrase as a DISJUNCTION clause (r4): MaxScore with the phrase as
+    # a pseudo-term — its high upper bound (sum of leg idfs) admits
+    # first, so the head term decodes only candidate-overlapping blocks
+    "t_phrase_or": ast.Bool(
+        should=[ast.Phrase(["error", "query"], slop=3), ast.Term("the")]
+    ),
 }
 
 
@@ -299,6 +305,33 @@ def main() -> None:
 
             tm[f"{prefix}d_spans_strip"] = timed(spans_strip)[0]
 
+            # decontamination (r4): distinct corpus 8-grams vs a
+            # broadcast benchmark gram set (~1% of docs' token windows)
+            # — the corpus side sees one gram explode + one uniform
+            # doc_id groupBy, so growth should track corpus tokens
+            def decontam():
+                from pyspark.sql import functions as F
+
+                from bzzz_spark.analysis.tokenizer import standard_tokenize
+                from bzzz_spark.functions.dedup import decontaminate
+
+                base = tdf.select(
+                    F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+                )
+                bench = base.filter(
+                    F.abs(F.col("doc_id")) % 101 == 3
+                ).select(
+                    F.array_join(
+                        F.slice(standard_tokenize(F.col("text")), 4, 12), " "
+                    ).alias("text")
+                )
+                decontaminate(base, bench, n=8).agg(
+                    F.sum("hit_grams"),
+                    F.sum(F.col("contaminated").cast("long")),
+                ).collect()
+
+            tm[f"{prefix}d_decontam"] = timed(decontam)[0]
+
             # p50/p99 cover the BM25 latency set benchmarked since r2 —
             # t_wild_and (constant-score dictionary-expansion shape),
             # t_req_opt (mixed must+should) and t_dismax (all added r4)
@@ -343,7 +376,7 @@ def main() -> None:
     # sublinear in corpus size (VERDICT r2 #5)
     growth_keys = (
         list(TRANSCRIPT_QUERIES) + list(PHRASE_QUERIES)
-        + ["batch_all", "d_spans_strip"]
+        + ["batch_all", "d_spans_strip", "d_decontam"]
     )
     n_turns2 = int(os.environ.get("BZZZ_BENCH_TURNS2", "2000000"))
     scale2 = None

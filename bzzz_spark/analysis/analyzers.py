@@ -27,6 +27,8 @@ delimited-payload) need per-token side data and live in
 from __future__ import annotations
 
 from pyspark.sql import Column
+import re
+
 from pyspark.sql import functions as F
 
 from bzzz_spark.analysis.tokenizer import TOKEN_PATTERN_JVM
@@ -156,10 +158,62 @@ def flt_edge_ngram(tokens: Column, min_gram: int, max_gram: int) -> Column:
     )
 
 
+
+
+# UAX#29-closer word segmentation (opt-in).  The pinned default
+# tokenizer (tokenizer.standard_tokenize) stays the engine-wide,
+# oracle-shared spec; this tokenizer closes the documented gaps vs
+# Lucene's StandardTokenizer (UAX#29 word break, reference
+# src/bzzz/analyzer.clj:119) for users who need them:
+#   - apostrophes/dots/commas JOIN alphanumerics when flanked by them
+#     on BOTH sides (UAX#29 MidLetter/MidNum/MidNumLet: "o'brien",
+#     "u.s.a", "3,000.5" are each ONE token; trailing mids drop);
+#   - CJK: Han and Hiragana emit one token PER CHARACTER (UAX#29
+#     ideographic / WB999 behavior), Katakana emits runs (WB13);
+#   - mixed alphanumerics and underscore join as before (ExtendNumLet).
+# Implemented as ONE Java regex so it runs JVM-side inside codegen; the
+# CPython mirror below is pinned token-identical by
+# tests/test_tokenizer.py::test_uax29_spark_python_parity.  Not
+# RE2-expressible (char-class intersection + lookahead), so it is NOT
+# used by any DuckDB-checked contract row.
+_UAX29_HAN = "\\u4e00-\\u9fff\\u3400-\\u4dbf\\uf900-\\ufaff"
+_UAX29_HIRA = "\\u3041-\\u309f"
+_UAX29_KATA = "\\u30a0-\\u30ff\\u31f0-\\u31ff"
+_UAX29_CJK = _UAX29_HAN + _UAX29_HIRA + _UAX29_KATA
+_UAX29_W_JVM = "[\\p{L}\\p{N}_&&[^" + _UAX29_CJK + "]]"
+UAX29_PATTERN_JVM = (
+    _UAX29_W_JVM
+    + "(?:" + _UAX29_W_JVM + "|['\u2019.,](?=" + _UAX29_W_JVM + "))*"
+    + "|[" + _UAX29_KATA + "]+"
+    + "|[" + _UAX29_HAN + _UAX29_HIRA + "]"
+)
+_UAX29_W_PY = "(?:(?![" + _UAX29_CJK + "])\\w)"
+UAX29_PATTERN_PY = re.compile(
+    _UAX29_W_PY
+    + "(?:" + _UAX29_W_PY + "|['\u2019.,](?=" + _UAX29_W_PY + "))*"
+    + "|[" + _UAX29_KATA + "]+"
+    + "|[" + _UAX29_HAN + _UAX29_HIRA + "]",
+    re.UNICODE,
+)
+
+
+def tok_uax29(col: Column) -> Column:
+    """UAX#29-closer word segmentation, lowercased, JVM-side."""
+    return F.regexp_extract_all(F.lower(col), F.lit(UAX29_PATTERN_JVM), 0)
+
+
+def py_uax29_tokenize(text: str) -> list:
+    """CPython mirror of :func:`tok_uax29` for query-time parity."""
+    if text is None:
+        return []
+    return UAX29_PATTERN_PY.findall(text.lower())
+
+
 # ---------------------------------------------------------------- composition
 
 _TOKENIZERS = {
     "standard": tok_standard,
+    "uax29": tok_uax29,
     "whitespace": tok_whitespace,
     "keyword": tok_keyword,
     "letter": tok_letter,

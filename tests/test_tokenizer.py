@@ -98,3 +98,53 @@ def test_filter_chain(spark):
 def test_reverse_filter(spark):
     a = build_analyzer({"tokenizer": "whitespace", "filter": [{"type": "reverse"}]})
     assert _run(spark, a, "abc def") == ["cba", "fed"]
+
+
+UAX29_TEXTS = TEXTS + [
+    "O'Brien's U.S.A. 3,000.5 foo_bar http://x",
+    "don’t can't M*A*S*H I.B.M. 1,2 a,b",       # curly + straight apostrophes
+    "日本語テスト です カタカナ run 漢字と ひらがな",
+    "trailing' mid.dot. comma, 'leading",
+    "a.b.c a..b a'b' 'a'",
+]
+
+
+def test_uax29_spark_python_parity(spark):
+    """The opt-in UAX#29-closer tokenizer: JVM regex and the CPython
+    mirror must be token-identical on the torture fixture + the
+    apostrophe/CJK/mixed-alnum cases it exists for."""
+    from bzzz_spark.analysis.analyzers import py_uax29_tokenize, tok_uax29
+
+    df = spark.createDataFrame(pd.DataFrame({"text": UAX29_TEXTS}))
+    got = df.select(tok_uax29(F.col("text")).alias("toks")).collect()
+    for row, text in zip(got, UAX29_TEXTS):
+        assert row["toks"] == py_uax29_tokenize(text), f"mismatch on {text!r}"
+
+
+def test_uax29_segmentation_rules():
+    """Hand-pinned UAX#29 behaviors the default tokenizer lacks:
+    mid-token apostrophes/dots/commas join, trailing mids drop, Han and
+    Hiragana emit per-character, Katakana emits runs."""
+    from bzzz_spark.analysis.analyzers import py_uax29_tokenize as tk
+
+    assert tk("O'Brien's") == ["o'brien's"]
+    assert tk("U.S.A.") == ["u.s.a"]
+    assert tk("3,000.5") == ["3,000.5"]
+    assert tk("don’t") == ["don’t"]
+    assert tk("http://x") == ["http", "x"]       # ':' and '/' never join
+    assert tk("snake_case") == ["snake_case"]
+    assert tk("trailing. x") == ["trailing", "x"]  # trailing mid drops
+    assert tk("a,b 1,2") == ["a,b", "1,2"]
+    assert tk("日本語") == ["日", "本", "語"]     # Han: one per character
+    assert tk("テスト") == ["テスト"]             # Katakana: runs
+    assert tk("です") == ["で", "す"]             # Hiragana: one per char
+    assert tk("") == []
+    assert tk(None) == []
+
+
+def test_uax29_analyzer_spec(spark):
+    """'uax29' is a registered tokenizer for custom analyzer chains."""
+    a = build_analyzer({"type": "custom", "tokenizer": "uax29"})
+    assert _run(spark, a, "O'Brien met 日本 people") == [
+        "o'brien", "met", "日", "本", "people",
+    ]
