@@ -193,8 +193,8 @@ def classify(node: ast.Query) -> FlatShape | None:
             terms, phrases, ranges, multis = parts
             if not (terms or phrases or multis):
                 return None  # pure-range conjunction: docs-table plan
-            if (phrases or multis) and ranges:
-                return None
+            if (phrases or multis) and ranges and not terms:
+                return None  # no term conjunct to carry the dv stream
             # must + should: Lucene ReqOptSumScorer — the conjunction
             # drives candidates, optional Terms/Phrases add score where
             # they match and opt_msm of them must match.  Duplicate
@@ -223,24 +223,35 @@ def classify(node: ast.Query) -> FlatShape | None:
                              else 0,
                              opt_phrases=opt_phr)
         if node.should and not node.must:
-            # pure disjunction over Terms and/or Phrases: MaxScore with
-            # phrases as pseudo-terms (bounded by w_p*(k1+1) — a phrase
-            # block carries no positional upper bound, so the bound is
-            # loose but sound).  Duplicate clauses fall back (the
-            # executor counts each occurrence toward msm)
+            # pure disjunction over Terms, Phrases and/or Wildcard/Fuzzy
+            # clauses: MaxScore with phrases as pseudo-terms (bounded by
+            # w_p*(k1+1) — a phrase block carries no positional upper
+            # bound, so the bound is loose but sound) and multi-term
+            # clauses as constant-score term SETS (Lucene
+            # CONSTANT_SCORE_REWRITE: contribution = boost if ANY
+            # expansion term matches, bounded by boost).  Duplicate
+            # term/phrase clauses fall back (the executor counts each
+            # occurrence toward msm; multis are per-entry, so their
+            # duplicates are naturally correct)
             sterms: list = []
             sphr: list = []
+            smul: list = []
             for q in node.should:
                 if isinstance(q, ast.Term) and q.boost >= 0:
                     sterms.append((q.value, q.field_name, q.boost, True))
                 elif isinstance(q, ast.Phrase) and q.boost >= 0:
                     sphr.append((tuple(q.terms), q.slop, q.boost, True))
+                elif isinstance(q, (ast.Wildcard, ast.Fuzzy)) and (
+                    q.boost >= 0
+                ):
+                    smul.append((q, True))
                 else:
                     return None
             if len({(t, s) for t, s, _b, _sc in sphr}) != len(sphr):
                 return None
             return FlatShape(
-                "or", sterms, sphr, node.effective_msm(), neg, []
+                "or", sterms, sphr, node.effective_msm(), neg, [],
+                multis=smul,
             )
         return None
     if isinstance(node, ast.DisMax):
@@ -257,6 +268,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             return None
         dterms: list = []
         dphr: list = []
+        dmul: list = []
         for q in node.queries:
             if isinstance(q, ast.Term) and q.boost >= 0:
                 dterms.append(
@@ -265,6 +277,15 @@ def classify(node: ast.Query) -> FlatShape | None:
             elif isinstance(q, ast.Phrase) and q.boost >= 0:
                 dphr.append(
                     (tuple(q.terms), q.slop, q.boost * node.boost, True)
+                )
+            elif isinstance(q, (ast.Wildcard, ast.Fuzzy)) and q.boost >= 0:
+                # constant-score set clause; the node boost folds into
+                # the clause boost (the combiner is linear in a uniform
+                # scale), via a copy — never mutate the caller's AST
+                from dataclasses import replace as _dc_replace
+
+                dmul.append(
+                    (_dc_replace(q, boost=q.boost * node.boost), True)
                 )
             else:
                 return None
@@ -279,6 +300,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             dphr,
             msm=1,
             tie=float(node.tie_breaker),
+            multis=dmul,
         )
     if isinstance(node, ast.Filtered) and node.boost == 1.0:
         # NOTE: the search()/batch() paths never reach this branch —
@@ -316,8 +338,8 @@ def classify(node: ast.Query) -> FlatShape | None:
         multis = base.multis + fmultis
         if not (terms or phrases or multis):
             return None
-        if (phrases or multis) and ranges:
-            return None
+        if (phrases or multis) and ranges and not terms:
+            return None  # no term conjunct to carry the dv stream
         return FlatShape(
             "and", terms, phrases,
             sum(1 for _, _, _, s in terms if s),
@@ -663,6 +685,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 conj.append((est, "s", si))
             conj.sort(key=lambda x: x[0])
             cand = acc = None
+            # doc-value range predicates ride the FIRST term conjunct's
+            # decode (classify guarantees one exists when ranges mix
+            # with phrase/set conjuncts): its inline dv streams carry
+            # the values, and the mask prunes candidates right there
+            dv_pending = bool(ranges)
             for _est, kind, key in conj:
                 if kind == "p":
                     tids, slop, w_p = phrases[key]
@@ -741,14 +768,30 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     if stats is not None:
                         db = stats.setdefault("decoded_blocks", {})
                         db[tid] = db.get(tid, 0) + len(sub)
-                    d, t, dl, _dv = decode(sub)
+                    d, t, dl, dvv = decode(
+                        sub, dv_want if dv_pending else ()
+                    )
+                    if dv_pending:
+                        m = np.ones(d.size, dtype=bool)
+                        for rg, _c in ranges:
+                            v = dvv[rg.field_name]
+                            if rg.min is not None:
+                                m &= ((v >= rg.min) if rg.min_inclusive
+                                      else (v > rg.min))
+                            if rg.max is not None:
+                                m &= ((v <= rg.max) if rg.max_inclusive
+                                      else (v < rg.max))
+                        d, t, dl = d[m], t[m], dl[m]
+                        dv_pending = False
+                        if d.size == 0:
+                            return empty
                     w, _b = qmeta[tid]
                     if cand is None:
                         cand = d
                         acc = w * _tfc(t, dl, avgdl)
                     else:
                         pos = np.clip(np.searchsorted(d, cand), 0,
-                                      d.size - 1)
+                                      max(d.size - 1, 0))
                         hit = d[pos] == cand
                         if not hit.any():
                             return empty
@@ -761,7 +804,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             km = keep_sorted(cand)
             if not km.any():
                 return empty
-            kd, ka = add_opts(cand[km], acc[km])
+            kd, ka = add_opts(cand[km], acc[km] + range_boost)
             if kd.size == 0:
                 return empty
             return topk(kd, ka)
@@ -937,15 +980,29 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             entries.append(("t", tid, ub, sub))
             if stats is not None:
                 stats.setdefault("total_blocks", {})[tid] = len(sub)
-        if phrases:
+        if phrases or termsets:
             seg_tids = set(int(t) for t in blocks["term_id"].unique())
-            for legs, slop_p, w_p in phrases:
+            for legs, slop_p, w_p in (phrases or []):
                 if not all(int(t) in seg_tids for t in legs):
                     continue  # a leg has no postings here: cannot match
                 entries.append(
                     ("p", (legs, slop_p, w_p), w_p * (BM25_K1 + 1.0), None)
                 )
                 involved.extend(int(t) for t in legs)
+            # constant-score term-set clauses (Wildcard/Fuzzy
+            # expansions): contribution = contrib if ANY member term
+            # matches, so the upper bound IS contrib
+            for si, (tids, contrib) in enumerate(termsets or []):
+                member = [int(t) for t in tids if int(t) in seg_tids]
+                if not member:
+                    continue  # no member has postings here
+                entries.append(("s", (si, member, contrib), contrib, None))
+                involved.extend(member)
+                if stats is not None:
+                    tb = stats.setdefault("total_blocks", {})
+                    tb[f"set:{si}"] = int(
+                        blocks["term_id"].isin(member).sum()
+                    )
         if not entries:
             return empty
         entries.sort(key=lambda x: -x[2])
@@ -1015,6 +1072,39 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 c = w_p * _tfc(ptf, pdl, avgdl)
                 off = d - base
                 new_d = None if closed else d[cnt[off] == 0]
+            elif kind == "s":
+                si, member, contrib = keyx
+                sub = blocks[blocks["term_id"].isin(member)].sort_values(
+                    "first_docid"
+                )
+                if closed:
+                    lo = np.searchsorted(
+                        cand_d, sub["first_docid"].to_numpy(), "left"
+                    )
+                    hi = np.searchsorted(
+                        cand_d, sub["last_docid"].to_numpy(), "right"
+                    )
+                    sub = sub[hi > lo]
+                    if len(sub) == 0:
+                        continue
+                if stats is not None:
+                    db = stats.setdefault("decoded_blocks", {})
+                    skey = f"set:{si}"
+                    db[skey] = db.get(skey, 0) + len(sub)
+                d, _t, _dl, _ = decode(sub)
+                d = np.unique(d)  # one constant contribution per doc
+                if closed:
+                    idx = np.clip(np.searchsorted(d, cand_d), 0,
+                                  d.size - 1)
+                    hit = d[idx] == cand_d
+                    d = cand_d[hit]
+                    new_d = None
+                else:
+                    new_d = None  # set below from cnt
+                off = d - base
+                if not closed:
+                    new_d = d[cnt[off] == 0]
+                c = np.full(d.size, float(contrib))
             else:
                 tid = keyx
                 w, _boost = qmeta[tid]
@@ -1338,6 +1428,10 @@ def wand_candidates(
                 int(mmeta[t][0]) for t in exp if t in mmeta
             )
             if not mtids:
+                if shape.mode in ("or", "dismax"):
+                    # a disjunction clause whose pattern matches NO
+                    # vocabulary term matches nothing — drop the clause
+                    continue
                 # a required (or filter) multi-term conjunct whose
                 # pattern matches NO vocabulary term: the conjunction
                 # matches nothing (Lucene: a must clause rewritten to

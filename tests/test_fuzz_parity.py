@@ -399,3 +399,34 @@ def test_random_phrase_disjunction_matches_oracle(
     assert [d for d, _ in got] == [d for d, _ in want], (node, size)
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node
+
+
+# Wildcard/Fuzzy clauses in disjunctions (round 4, late): constant-score
+# term SETS on the MaxScore kernel — contribution = boost if any
+# expansion matches, bound = boost; closed-phase decodes only
+# candidate-overlapping member blocks.
+_wand_multi_or = st.builds(
+    lambda mult, terms, msm, neg: ast.Bool(
+        should=[mult] + terms,
+        minimum_should_match=min(msm, 1 + len(terms)),
+        must_not=list(neg),
+    ),
+    _multiterm,
+    st.lists(_term, max_size=3, unique_by=lambda t: t.value),
+    st.integers(0, 2),
+    st.lists(_term, max_size=1),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_multi_or, st.sampled_from([1, 5, 25]))
+def test_random_multiterm_disjunction_matches_oracle(
+    dv_index, small_oracle, node, size
+):
+    got = [(r["docid"], r["score"]) for r in
+           search(dv_index, node, size=size).collect()]
+    want = small_oracle.search(node, size=size)
+    assert [d for d, _ in got] == [d for d, _ in want], (node, size)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), node

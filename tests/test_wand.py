@@ -83,7 +83,8 @@ def test_unsupported_shapes_fall_back(small_index):
         ast.Filtered(ast.Bool(should=[ast.Term("a")]), ast.Term("b"))
     ) is None
     # multi-term conjuncts ride the kernel as constant-score term SETS
-    # (round 4); in should-position they still fall back
+    # (round 4); in should-position they ride the MaxScore kernel as
+    # set clauses too (round 4, late)
     assert classify(ast.Filtered(ast.Term("a"), ast.Wildcard("b*"))) is not None
     assert classify(
         ast.Bool(must=[ast.Term("a"), ast.Wildcard("b*")])
@@ -91,11 +92,16 @@ def test_unsupported_shapes_fall_back(small_index):
     assert classify(
         ast.Bool(must=[ast.Term("a"), ast.Fuzzy("bc")])
     ) is not None
-    assert classify(ast.Bool(should=[ast.Wildcard("b*")])) is None
+    assert classify(ast.Bool(should=[ast.Wildcard("b*")])) is not None
     assert classify(
         ast.Filtered(ast.Term("a"), ast.Bool(must_not=[ast.Term("b")]))
     ) is None
-    # phrase + range in one conjunction falls back (no dv on phrase path)
+    # phrase + range now rides the kernel WHEN a term conjunct carries
+    # the dv stream (round 4, late); without one it still falls back
+    assert classify(
+        ast.Bool(must=[ast.Phrase(["a", "b"]), ast.Term("c"),
+                       ast.Range("turn_idx", min=1)])
+    ) is not None
     assert classify(
         ast.Bool(must=[ast.Phrase(["a", "b"]), ast.Range("turn_idx", min=1)])
     ) is None
@@ -1185,3 +1191,164 @@ def test_phrase_or_kernel_prunes_head_blocks(spark):
     assert stats["total_blocks"][head_tid] >= 40  # 400 docs / 8 per block
     # 2 phrase-candidate docs -> at most 2 head blocks decoded
     assert stats["decoded_blocks"][head_tid] <= 2, stats
+
+
+def test_multiterm_in_disjunction_rides_kernel(spark, small_transcripts,
+                                               small_oracle):
+    """Wildcard/Fuzzy clauses in pure disjunctions and dis-max ride the
+    MaxScore kernel as constant-score term SETS (Lucene
+    CONSTANT_SCORE_REWRITE): contribution = boost if ANY expansion term
+    matches, upper bound = boost."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    nodes = [
+        ast.Bool(should=[ast.Wildcard("tok04*"), ast.Term("error")]),
+        # msm=2: the doc must match the set AND the term
+        ast.Bool(should=[ast.Wildcard("err*"), ast.Term("the", boost=0.5)],
+                 minimum_should_match=2),
+        # fuzzy set clause + exclusion
+        ast.Bool(should=[ast.Fuzzy("merge", max_edits=1),
+                         ast.Term("data")],
+                 must_not=[ast.Term("scan")]),
+        # a pattern matching NO vocabulary term: clause matches nothing
+        ast.Bool(should=[ast.Wildcard("zzz_no_match*"),
+                         ast.Term("error")]),
+        # set clause + phrase clause in one disjunction
+        ast.Bool(should=[ast.Wildcard("tok04*"),
+                         ast.Phrase(["the", "data"])]),
+        # dis-max over a set clause and a term, node boost folded
+        ast.DisMax(queries=[ast.Wildcard("tok04*"), ast.Term("error")],
+                   tie_breaker=0.3, boost=2.0),
+    ]
+    for node in nodes:
+        assert classify(node) is not None, node
+        for size in (1, 5, 25):
+            got = [(r["docid"], round(r["score"], 9)) for r in
+                   search(idx, node, size=size).collect()]
+            want = [(d, round(s, 9))
+                    for d, s in small_oracle.search(node, size=size)]
+            assert got == want, (node, size)
+            slow = [(r["docid"], round(r["score"], 9)) for r in
+                    search(idx, node, size=size, use_wand=False).collect()]
+            assert got == slow, (node, size)
+
+
+def test_multiterm_disjunction_prunes_set_blocks(spark):
+    """'rare OR head-pattern' with small k: once the rare term's
+    candidates establish θ above the pattern's constant boost, the set
+    clause decodes only candidate-overlapping blocks."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    texts = []
+    for i in range(400):
+        base = f"head{i % 5} filler{i % 7} head{(i + 1) % 5} word{i % 13}"
+        if i in (60, 140):
+            base = "rare " + base
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    n_docs, avgdl = idx.scalar_stats()
+    heads = [f"head{i}" for i in range(5)]
+    meta = idx.lookup_terms(["rare"] + heads)
+    rare_tid = int(meta["rare"][0])
+    set_tids = tuple(int(meta[h][0]) for h in heads)
+    qmeta = {rare_tid: (idf_fn(n_docs, meta["rare"][1]), 1.0)}
+    blocks = idx.postings.filter(
+        F.col("term_id").isin(sorted([rare_tid, *set_tids]))
+    ).toPandas()
+    stats: dict = {}
+    # constant boost 0.1 far below the rare term's scores: the set
+    # clause processes after θ is established and stops admitting
+    kernel = _make_kernel(qmeta, "or", 1, 2, avgdl, 1 << 14, stats=stats,
+                          termsets=[(set_tids, 0.1)])
+    out = kernel(blocks).sort_values(
+        ["score", "docid"], ascending=[False, True]
+    ).head(2)
+    want = [
+        (r["docid"], round(r["score"], 9))
+        for r in search(
+            idx,
+            ast.Bool(should=[ast.Term("rare"),
+                             ast.Wildcard("head*", boost=0.1)]),
+            size=2,
+            use_wand=False,
+        ).collect()
+    ]
+    got = [(int(d), round(float(s), 9)) for d, s in
+           zip(out["docid"], out["score"])]
+    assert got == want
+    assert stats["total_blocks"]["set:0"] >= 40
+    # 2 rare-candidate docs -> at most 2 blocks per member term decoded
+    assert stats["decoded_blocks"]["set:0"] <= 2 * len(set_tids), stats
+    assert (stats["decoded_blocks"]["set:0"]
+            < stats["total_blocks"]["set:0"] / 4), stats
+
+
+def test_phrase_with_range_rides_kernel(spark, small_transcripts,
+                                        small_oracle):
+    """Phrase/Wildcard conjunctions WITH doc-value ranges ride the mixed
+    kernel: the range mask applies at the first term conjunct's decode
+    (its inline dv stream carries the values), so the shape needs at
+    least one term conjunct — phrase-only + range falls back."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True, docvalue_cols=("turn_idx",)),
+    )
+    idx.postings.cache().count()
+    nodes = [
+        ast.Bool(must=[ast.Phrase(["the", "data"]), ast.Term("the"),
+                       ast.Range("turn_idx", min=1, max=6)]),
+        ast.Bool(must=[ast.Phrase(["the", "data"], slop=2),
+                       ast.Term("error"),
+                       ast.Range("turn_idx", min=2, max=None,
+                                 min_inclusive=False)]),
+        ast.Bool(must=[ast.Wildcard("tok04*"), ast.Term("the"),
+                       ast.Range("turn_idx", min=0, max=4)]),
+        ast.Filtered(
+            query=ast.Bool(must=[ast.Phrase(["the", "data"]),
+                                 ast.Term("the")]),
+            filter=ast.Range("turn_idx", min=1, max=8),
+        ),
+    ]
+    for node in nodes:
+        for size in (1, 5, 25):
+            got = [(r["docid"], round(r["score"], 9)) for r in
+                   search(idx, node, size=size).collect()]
+            want = [(d, round(s, 9))
+                    for d, s in small_oracle.search(node, size=size)]
+            assert got == want, (node, size)
+            slow = [(r["docid"], round(r["score"], 9)) for r in
+                    search(idx, node, size=size, use_wand=False).collect()]
+            assert got == slow, (node, size)
+    # phrase-only + range: no term conjunct to carry the dv stream
+    assert classify(
+        ast.Bool(must=[ast.Phrase(["the", "data"]),
+                       ast.Range("turn_idx", min=1, max=6)])
+    ) is None
