@@ -66,6 +66,11 @@ def _index(spark: SparkSession, sf_dir: str) -> BzzzIndex:
                 key_cols=("doc_id",), text_col="text", ts_col=None,
                 block_size=128, segment_size=1024, store_positions=True,
                 extra_fields=(("lang", "keyword"), ("source", "keyword")),
+                # inline n_chars doc-values (r4, late): contract ranges
+                # (q_filtered_range, q_batch/b_range) ride the kernel's
+                # inline-dv path instead of the docs-table plan — same
+                # results, the plan the engine serves at scale
+                docvalue_cols=("n_chars",),
             ),
         )
         idx.docs.cache().count()
@@ -280,7 +285,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Bool(must=[ast.Term("merge"), ast.Wildcard("s*")]),
             size=10,
         ).select(F.lit("and").alias("part"), "doc_id", "score")
-        return top.unionByName(conj)
+        # part='or' (r4, late): the glob as a DISJUNCTION clause — the
+        # MaxScore kernel serves it as a constant-score term set
+        # (contribution 1.0 if any s* term matches) next to BM25(merge)
+        disj = _hits(
+            idx,
+            ast.Bool(should=[ast.Wildcard("s*"), ast.Term("merge")]),
+            size=10,
+        ).select(F.lit("or").alias("part"), "doc_id", "score")
+        return top.unionByName(conj).unionByName(disj)
 
     def q_field_term(spark, sf):
         # part='scored' — per-field index: keyword field term (norms
@@ -1224,9 +1237,23 @@ fs AS (
             10,
         )
     )
+    # glob as a disjunction clause: 1.0 for any-s%-match, plus
+    # BM25(merge) where merge matches, docs matching either
+    wc_or_sql = (
+        f"{_BASE}, {_term_scores(['merge'])},\n"
+        "wmatch AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's%')\n"
+        + _topk(
+            "SELECT coalesce(s.doc_id, w.doc_id) AS doc_id, "
+            "coalesce(s.score, 0.0) + "
+            "CASE WHEN w.doc_id IS NULL THEN 0.0 ELSE 1.0 END AS score "
+            "FROM scores s FULL OUTER JOIN wmatch w ON w.doc_id = s.doc_id",
+            10,
+        )
+    )
     o["q_wildcard"] = (
         f"SELECT 'top' AS part, doc_id, score FROM ({wc_top_sql})\n"
-        f"UNION ALL\nSELECT 'and', doc_id, score FROM ({wc_and_sql})"
+        f"UNION ALL\nSELECT 'and', doc_id, score FROM ({wc_and_sql})\n"
+        f"UNION ALL\nSELECT 'or', doc_id, score FROM ({wc_or_sql})"
     )
     o["q_fuzzy"] = (
         f"{_BASE}\n"
