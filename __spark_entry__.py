@@ -366,6 +366,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     ast.Term("merge"),
                 ]
             ),
+            # phrase leaf on the batch's SHARED positional scan (r4,
+            # late): one mapInPandas evaluates every phrase in the
+            # batch; score = BM25(scan) + (Σ leg idf)·tfc(ptf, dl)
+            "b_phrase": ast.Bool(
+                must=[ast.Term("scan"),
+                      ast.Phrase(["filter", "merge"])]
+            ),
         }
         return search_many(_index(spark, sf), batch, size=10).select(
             "query_id",
@@ -1813,6 +1820,16 @@ FROM documents GROUP BY source"""
         f"{_BASE}, {_term_scores(['scan', 'filter', 'merge'])}\n"
         + _topk("SELECT doc_id, score FROM scores WHERE nmatch = 3", 10)
     )
+    # phrase leaf in a conjunction: BM25(scan) + phrase score on docs
+    # matching BOTH (the ph CTE is the q_phrase machinery)
+    b_phrase = (
+        f"{_BASE},{_phrase_ctes},\n{_term_scores(['scan'])}\n"
+        + _topk(
+            "SELECT s.doc_id, s.score + ph.score AS score "
+            "FROM scores s JOIN ph ON ph.doc_id = s.doc_id",
+            10,
+        )
+    )
     o["q_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
         for name, sql in [
@@ -1824,6 +1841,7 @@ FROM documents GROUP BY source"""
             ("b_range", b_range),
             ("b_req_opt", b_req_opt),
             ("b_nested", b_nested),
+            ("b_phrase", b_phrase),
         ]
     )
     return o

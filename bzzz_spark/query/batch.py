@@ -24,13 +24,15 @@ independent of how many queries share it.  Per-query semantics are
 rank-identical to executor._execute with scores equal within FP
 tolerance (the batched path sums score contributions in one groupBy
 while the executor sums must/should stages separately, so float
-addition order differs; parity-tested in tests/test_batch.py): Term / Range / MatchAll leaves under Bool
-(must / should / must_not / minimum_should_match, per-leaf and
-per-query boosts, no-norm extra-field terms) and dis-max over terms
-(score = max + tie*(sum - max), executor parity) run on the
-shared-scan path; any other AST shape falls back to the per-query
-executor plan and is unioned into the same single action, so callers
-get one DataFrame either way.
+addition order differs; parity-tested in tests/test_batch.py): Term / Range / MatchAll / Phrase
+leaves under Bool (must / should / must_not / minimum_should_match,
+per-leaf and per-query boosts, no-norm extra-field terms) and dis-max
+over terms (score = max + tie*(sum - max), executor parity) run on the
+shared-scan path — every distinct (terms, slop) phrase in the batch
+evaluates inside ONE shared positional mapInPandas, each rarest-leg
+block-pruned (_phrase_contribs); any other AST shape falls back to the
+per-query executor plan and is unioned into the same single action, so
+callers get one DataFrame either way.
 
 At 100 TB the shared scan is also the *correct* plan, not just the
 cheap one: the posting blocks for hot terms are read once per batch
@@ -55,17 +57,27 @@ from bzzz_spark.query.executor import (
 from bzzz_spark.query.scoring import score_col
 
 
-_LEAF = (ast.Term, ast.Range, ast.MatchAll)
+_LEAF = (ast.Term, ast.Range, ast.MatchAll, ast.Phrase)
 
 
-def _as_bool(node: ast.Query) -> ast.Bool | None:
-    """Normalize a batchable node to a Bool of Term/Range/MatchAll
-    leaves, else None."""
+def _as_bool(node: ast.Query, text_aliases: set) -> ast.Bool | None:
+    """Normalize a batchable node to a Bool of Term/Range/MatchAll/
+    Phrase leaves, else None.  Phrase leaves ride a SHARED positional
+    scan (one job for every phrase in the batch); in must_not their
+    match rows carry role 'n' and the n_cnt == 0 cut excludes exactly
+    the matching docs (an OOV-leg phrase emits nothing and so excludes
+    nothing — Lucene semantics either way).  Extra-field phrases score
+    without norms in the executor — that rarity falls back."""
     if isinstance(node, _LEAF):
-        return ast.Bool(must=[node])
+        node = ast.Bool(must=[node])
     if isinstance(node, ast.Bool):
         kids = list(node.must) + list(node.should) + list(node.must_not)
         if kids and all(isinstance(k, _LEAF) for k in kids):
+            if any(
+                isinstance(k, ast.Phrase) and k.field_name not in text_aliases
+                for k in kids
+            ):
+                return None
             return node
     return None
 
@@ -78,6 +90,100 @@ def _range_cond(node: ast.Range):
     if node.max is not None:
         cond = cond & (c <= node.max if node.max_inclusive else c < node.max)
     return cond
+
+
+def _phrase_contribs(index, spark, phrase_defs, phrase_spec_rows,
+                     n_docs, avgdl):
+    """Per-(qid, docid, role) contributions for every phrase leaf in
+    the batch from ONE shared positional scan.
+
+    All distinct (terms, slop) phrases evaluate inside a single
+    mapInPandas over the union of their legs' posting blocks — each
+    segment task runs phrase_segment_kernel once per phrase (each
+    rarest-leg block-pruned), so N phrase queries cost one job and one
+    scan of the touched blocks, not N.  A phrase with an
+    out-of-vocabulary leg emits no rows: in must that doc-count cut
+    makes the query empty, in should it just never matches, in must_not
+    it excludes nothing — Lucene semantics in every role."""
+    import pandas as pd
+
+    from bzzz_spark.query.phrase import phrase_segment_kernel
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.scoring import tfc_col
+
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "this index stores no positions — build it with "
+            "IndexConfig(store_positions=True) to answer phrase queries"
+        )
+    legs_needed = sorted(
+        {t for terms, _s in phrase_defs.values() for t in terms}
+    )
+    meta = index.lookup_terms(legs_needed)
+    specs: list[tuple[str, list[int], int]] = []
+    wp_rows: list[tuple[str, float]] = []
+    for pkey, (terms, slop) in phrase_defs.items():
+        if any(t not in meta for t in terms):
+            continue  # OOV leg: matches nothing
+        specs.append((pkey, [int(meta[t][0]) for t in terms], slop))
+        wp_rows.append(
+            (pkey, sum(idf_fn(n_docs, meta[t][1]) for t in terms))
+        )
+    if not specs:
+        return None
+    all_leg_tids = sorted({t for _k, legs, _s in specs for t in legs})
+    blocks = index.postings.filter(F.col("term_id").isin(all_leg_tids))
+    schema = "pkey string, docid long, ptf double, dl long"
+
+    cols = ["pkey", "docid", "ptf", "dl"]
+
+    def eval_segment(g: pd.DataFrame) -> list[pd.DataFrame]:
+        outs = []
+        for pkey, legs, slop in specs:
+            res = phrase_segment_kernel(g, legs, slop)
+            if len(res):
+                outs.append(res.assign(pkey=pkey)[cols])
+        return outs
+
+    if getattr(index, "segment_aligned", False):
+        def run(it):
+            parts = [p for p in it if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for _, g in pdf.groupby("segment", sort=False):
+                yield from eval_segment(g)
+
+        matches = blocks.mapInPandas(run, schema)
+    else:
+        empty = pd.DataFrame(
+            {"pkey": pd.Series(dtype="object"),
+             "docid": pd.Series(dtype="int64"),
+             "ptf": pd.Series(dtype="float64"),
+             "dl": pd.Series(dtype="int64")}
+        )
+
+        def seg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = eval_segment(pdf)
+            if not outs:
+                return empty
+            return pd.concat(outs, ignore_index=True)
+
+        matches = blocks.groupby("segment").applyInPandas(seg_fn, schema)
+    pspec_df = spark.createDataFrame(
+        phrase_spec_rows, "qid string, pkey string, role string, "
+                          "tboost double",
+    )
+    wp_df = spark.createDataFrame(wp_rows, "pkey string, wp double")
+    dl_eff = F.when(F.col("dl") == 0, F.lit(avgdl)).otherwise(F.col("dl"))
+    pscore = tfc_col(F.col("ptf"), dl_eff, avgdl) * F.col("wp") * F.col(
+        "tboost"
+    )
+    return (
+        matches.join(F.broadcast(wp_df), "pkey")
+        .join(F.broadcast(pspec_df), "pkey")
+        .select("qid", "docid", "role", pscore.alias("tscore"))
+    )
 
 
 def search_many(
@@ -111,10 +217,11 @@ def search_many(
         and n.queries
         and all(isinstance(q, ast.Term) for q in n.queries)
     }
+    text_aliases = {"text", index.config.text_col}
     batchable = {
         qid: b
         for qid, n in nodes.items()
-        if qid not in dismaxable and (b := _as_bool(n))
+        if qid not in dismaxable and (b := _as_bool(n, text_aliases))
     }
     rest = {
         qid: n
@@ -138,6 +245,11 @@ def search_many(
         consts_rows: list[tuple] = []
         doc_leaves: list[tuple] = []  # (qid, role, leaf node)
         keys: set[str] = set()
+        # phrase leaves: pkey -> (terms, slop); every occurrence gets a
+        # spec row, all occurrences of one (terms, slop) share ONE
+        # evaluation in the shared positional scan
+        phrase_defs: dict[str, tuple] = {}
+        phrase_spec_rows: list[tuple] = []
         for qid, node in batchable.items():
             for role, kids in (
                 ("m", node.must), ("s", node.should), ("n", node.must_not)
@@ -149,6 +261,12 @@ def search_many(
                         spec_rows.append(
                             (qid, key, role, float(t.boost),
                              t.field_name in efields)
+                        )
+                    elif isinstance(t, ast.Phrase):
+                        pkey = f"ph:{' '.join(t.terms)}~{t.slop}"
+                        phrase_defs[pkey] = (tuple(t.terms), t.slop)
+                        phrase_spec_rows.append(
+                            (qid, pkey, role, float(t.boost))
                         )
                     else:  # Range / MatchAll
                         doc_leaves.append((qid, role, t))
@@ -228,6 +346,12 @@ def search_many(
                     ).alias("c"),
                 ).select("c.qid", "docid", "c.role", "c.tscore")
             )
+        if phrase_defs:
+            pc = _phrase_contribs(
+                index, spark, phrase_defs, phrase_spec_rows, n_docs, avgdl
+            )
+            if pc is not None:
+                contribs.append(pc)
         if contribs:
             allc = contribs[0]
             for c in contribs[1:]:

@@ -197,3 +197,56 @@ def test_batch_dismax_fast_path_parity(small_index, small_oracle):
         for (_, a), (_, b), (_, c) in zip(g, single, oracle):
             assert math.isclose(a, b, rel_tol=1e-9)
             assert math.isclose(a, c, rel_tol=1e-6)
+
+
+def test_batch_phrases_share_one_positional_scan(spark, small_transcripts):
+    """Phrase leaves ride the batch's shared scan (r4, late): every
+    distinct (terms, slop) phrase in the batch evaluates inside ONE
+    positional mapInPandas job, with per-query parity vs search() in
+    every role (must / should / must_not, boosts, slop, OOV legs)."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.query.batch import _as_bool
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    queries = {
+        "ph_only": ast.Phrase(["the", "data"]),
+        "ph_slop": ast.Phrase(["error", "query"], slop=3, boost=2.0),
+        "ph_and_term": ast.Bool(
+            must=[ast.Phrase(["the", "data"]), ast.Term("error")]
+        ),
+        "ph_should": ast.Bool(
+            should=[ast.Phrase(["the", "data"]), ast.Term("error")],
+            minimum_should_match=1,
+        ),
+        "ph_not": ast.Bool(
+            must=[ast.Term("the")],
+            must_not=[ast.Phrase(["the", "data"])],
+        ),
+        "ph_oov": ast.Bool(
+            must=[ast.Term("the"), ast.Phrase(["nosuchterm", "data"])]
+        ),
+        "ph_oov_not": ast.Bool(
+            must=[ast.Term("error")],
+            must_not=[ast.Phrase(["nosuchterm", "data"])],
+        ),
+        "ph_dup": ast.Bool(
+            must=[ast.Phrase(["the", "data"]), ast.Phrase(["the", "data"])]
+        ),
+        "plain": ast.Term("error"),
+    }
+    # all these shapes are on the shared scan, not the fallback union
+    aliases = {"text", idx.config.text_col}
+    for qid, node in queries.items():
+        assert _as_bool(node, aliases) is not None, qid
+    _assert_batch_matches(idx, queries)
+    # an extra-field phrase falls back (no-norm scoring)
+    assert _as_bool(
+        ast.Bool(must=[ast.Phrase(["a", "b"], field_name="role")]),
+        aliases,
+    ) is None
+    idx.postings.unpersist()
