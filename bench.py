@@ -137,6 +137,29 @@ PHRASE_QUERIES = {
     ),
 }
 
+# batched phrases (r4): every distinct (terms, slop) phrase in the
+# batch evaluates inside ONE shared positional mapInPandas
+# (query/batch._phrase_contribs), each rarest-leg block-pruned, so a
+# mixed phrase+term workload pays one job — the per-query cost to
+# compare against the isolated t_phrase_* lines above
+PHRASE_BATCH = {
+    "pb_exact": ast.Phrase(["the", "error"]),
+    "pb_slop": ast.Phrase(["error", "query"], slop=3),
+    "pb_and": ast.Bool(
+        must=[ast.Phrase(["error", "query"], slop=3), ast.Term("the")]
+    ),
+    "pb_not": ast.Bool(
+        must=[ast.Term("error")], must_not=[ast.Phrase(["the", "data"])]
+    ),
+    "pb_term_mid": ast.Term("error"),
+    "pb_term_head": ast.Term("data"),
+    "pb_and2": ast.Bool(must=[ast.Term("error"), ast.Term("query")]),
+    "pb_msm": ast.Bool(
+        should=[ast.Term("error"), ast.Term("query"), ast.Term("data")],
+        minimum_should_match=2,
+    ),
+}
+
 
 def timed(fn):
     t0 = time.perf_counter()
@@ -283,6 +306,12 @@ def main() -> None:
                 )
                 for name, node in PHRASE_QUERIES.items()
             }
+            # batched phrases: the whole PHRASE_BATCH as one action —
+            # phrases share one positional scan, terms share the
+            # postings scan (query/batch.py)
+            p_jobs[f"{prefix}batch_phrases"] = lambda: search_many(
+                pidx, PHRASE_BATCH, size=10
+            ).collect()
             tm.update(min_of_interleaved(p_jobs, N_QUERY_REPS))
 
             # span-level dedup pipeline (Lee et al. exact-substring at
@@ -376,7 +405,7 @@ def main() -> None:
     # sublinear in corpus size (VERDICT r2 #5)
     growth_keys = (
         list(TRANSCRIPT_QUERIES) + list(PHRASE_QUERIES)
-        + ["batch_all", "d_spans_strip", "d_decontam"]
+        + ["batch_all", "batch_phrases", "d_spans_strip", "d_decontam"]
     )
     n_turns2 = int(os.environ.get("BZZZ_BENCH_TURNS2", "2000000"))
     scale2 = None
