@@ -373,6 +373,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 must=[ast.Term("scan"),
                       ast.Phrase(["filter", "merge"])]
             ),
+            # wildcard leaf in a conjunction (r4, late): the dictionary
+            # expansion rides the batch's shared postings decode as a
+            # constant-score term set — score = BM25(merge) + 1.0 on
+            # docs matching ANY 'du*' term
+            "b_wild": ast.Bool(
+                must=[ast.Term("merge"), ast.Wildcard("du*")]
+            ),
         }
         return search_many(_index(spark, sf), batch, size=10).select(
             "query_id",
@@ -1830,6 +1837,18 @@ FROM documents GROUP BY source"""
             10,
         )
     )
+    # wildcard leaf in a conjunction (constant-score term set): the
+    # DISTINCT dedupes docs matching several 'du%' expansions — each
+    # matching doc gains exactly 1.0 (the leaf boost), executor parity
+    b_wild = (
+        f"{_BASE}, {_term_scores(['merge'])},\n"
+        "wmatch AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'du%')\n"
+        + _topk(
+            "SELECT s.doc_id, s.score + 1.0 AS score "
+            "FROM scores s JOIN wmatch w ON w.doc_id = s.doc_id",
+            10,
+        )
+    )
     o["q_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
         for name, sql in [
@@ -1842,6 +1861,7 @@ FROM documents GROUP BY source"""
             ("b_req_opt", b_req_opt),
             ("b_nested", b_nested),
             ("b_phrase", b_phrase),
+            ("b_wild", b_wild),
         ]
     )
     return o

@@ -158,6 +158,9 @@ PHRASE_BATCH = {
         should=[ast.Term("error"), ast.Term("query"), ast.Term("data")],
         minimum_should_match=2,
     ),
+    # wildcard leaf: the expansion shares the batch's postings decode
+    # as a constant-score term set (query/batch.py, r4 late)
+    "pb_wild": ast.Bool(must=[ast.Term("error"), ast.Wildcard("tok04*")]),
 }
 
 

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from bzzz_spark.build.indexer import BzzzIndex
 from bzzz_spark.query import ast
 from bzzz_spark.query.executor import (
+    _mt_key,
     decode_postings,
     extra_field_map,
     term_key,
@@ -57,17 +58,23 @@ from bzzz_spark.query.executor import (
 from bzzz_spark.query.scoring import score_col
 
 
-_LEAF = (ast.Term, ast.Range, ast.MatchAll, ast.Phrase)
+_LEAF = (ast.Term, ast.Range, ast.MatchAll, ast.Phrase, ast.Wildcard,
+         ast.Fuzzy)
 
 
 def _as_bool(node: ast.Query, text_aliases: set) -> ast.Bool | None:
     """Normalize a batchable node to a Bool of Term/Range/MatchAll/
-    Phrase leaves, else None.  Phrase leaves ride a SHARED positional
-    scan (one job for every phrase in the batch); in must_not their
-    match rows carry role 'n' and the n_cnt == 0 cut excludes exactly
-    the matching docs (an OOV-leg phrase emits nothing and so excludes
-    nothing — Lucene semantics either way).  Extra-field phrases score
-    without norms in the executor — that rarity falls back."""
+    Phrase/Wildcard/Fuzzy leaves, else None.  Phrase leaves ride a
+    SHARED positional scan (one job for every phrase in the batch); in
+    must_not their match rows carry role 'n' and the n_cnt == 0 cut
+    excludes exactly the matching docs (an OOV-leg phrase emits nothing
+    and so excludes nothing — Lucene semantics either way).
+    Wildcard/Fuzzy leaves are constant-score term SETS (executor
+    semantics: contribution = boost if ANY dictionary expansion
+    matches): their expansions share the batch's one postings decode,
+    deduped per (pattern, doc) so multi-expansion matches count once.
+    Extra-field phrases score without norms in the executor — that
+    rarity falls back."""
     if isinstance(node, _LEAF):
         node = ast.Bool(must=[node])
     if isinstance(node, ast.Bool):
@@ -250,6 +257,12 @@ def search_many(
         # evaluation in the shared positional scan
         phrase_defs: dict[str, tuple] = {}
         phrase_spec_rows: list[tuple] = []
+        # wildcard/fuzzy leaves: mkey -> AST node; their dictionary
+        # expansions ride the batch's shared postings decode as
+        # constant-score term sets (executor parity: boost per doc
+        # matching ANY expansion, deduped per pattern)
+        multi_defs: dict[str, ast.Query] = {}
+        multi_spec_rows: list[tuple] = []
         for qid, node in batchable.items():
             for role, kids in (
                 ("m", node.must), ("s", node.should), ("n", node.must_not)
@@ -267,6 +280,12 @@ def search_many(
                         phrase_defs[pkey] = (tuple(t.terms), t.slop)
                         phrase_spec_rows.append(
                             (qid, pkey, role, float(t.boost))
+                        )
+                    elif isinstance(t, (ast.Wildcard, ast.Fuzzy)):
+                        mkey = str(_mt_key(t))
+                        multi_defs[mkey] = t
+                        multi_spec_rows.append(
+                            (qid, mkey, role, float(t.boost))
                         )
                     else:  # Range / MatchAll
                         doc_leaves.append((qid, role, t))
@@ -287,8 +306,35 @@ def search_many(
             )
 
         meta = index.lookup_terms(keys) if keys else {}
-        # per-(qid, docid, role) score contributions, from two shared scans
+        # wildcard/fuzzy expansions: ONE dictionary job for every
+        # pattern in the batch (memoized on the index snapshot), the
+        # expansion term_ids folded into the same postings decode as
+        # the plain term leaves
+        mt_tids: dict[str, list[int]] = {}
+        if multi_defs:
+            from bzzz_spark.query.wand import _expand_scoped_many
+
+            mkeys = list(multi_defs)
+            exps = _expand_scoped_many(
+                index, [multi_defs[k] for k in mkeys]
+            )
+            exp_keys = sorted({t for e in exps for t in e})
+            exp_meta = index.lookup_terms(exp_keys) if exp_keys else {}
+            for mk, e in zip(mkeys, exps):
+                mt_tids[mk] = [
+                    int(exp_meta[t][0]) for t in e if t in exp_meta
+                ]
+        all_tids = sorted(
+            {int(tid) for tid, _df in meta.values()}
+            | {t for v in mt_tids.values() for t in v}
+        )
+        # per-(qid, docid, role) score contributions, from shared scans
         contribs: list[DataFrame] = []
+        decoded = None
+        if all_tids:
+            decoded = decode_postings(index.postings, all_tids)
+            if "dl" not in decoded.columns:  # legacy layout: join norms
+                decoded = decoded.join(index.docs.select("docid", "dl"), "docid")
         if meta:
             meta_df = spark.createDataFrame(
                 [(t, tid, df) for t, (tid, df) in meta.items()],
@@ -298,12 +344,6 @@ def search_many(
                 spec_rows, "qid string, term string, role string, "
                            "tboost double, nonorm boolean",
             )
-
-            decoded = decode_postings(
-                index.postings, [tid for tid, _ in meta.values()]
-            )
-            if "dl" not in decoded.columns:  # legacy layout: join norms
-                decoded = decoded.join(index.docs.select("docid", "dl"), "docid")
             dl_eff = F.when(F.col("dl") == 0, F.lit(avgdl)).otherwise(
                 F.col("dl")
             )
@@ -319,6 +359,29 @@ def search_many(
                 decoded.join(F.broadcast(meta_df), "term_id")
                 .join(F.broadcast(spec_df), "term")
                 .select("qid", "docid", "role", tscore.alias("tscore"))
+            )
+        if any(mt_tids.values()):
+            # constant-score term sets: a doc matching ANY expansion of
+            # a pattern scores that leaf's boost ONCE, so matches dedupe
+            # per (pattern, doc) before the spec join (a pattern with no
+            # in-dictionary expansion emits nothing: its must leaves can
+            # never satisfy m_cnt, its must_not leaves exclude nothing —
+            # executor/Lucene semantics)
+            mt_map = spark.createDataFrame(
+                [(t, mk) for mk, tids in mt_tids.items() for t in tids],
+                "term_id long, mkey string",
+            )
+            mspec_df = spark.createDataFrame(
+                multi_spec_rows,
+                "qid string, mkey string, role string, tboost double",
+            )
+            contribs.append(
+                decoded.join(F.broadcast(mt_map), "term_id")
+                .select("mkey", "docid")
+                .distinct()
+                .join(F.broadcast(mspec_df), "mkey")
+                .select("qid", "docid", "role",
+                        F.col("tboost").alias("tscore"))
             )
         if doc_leaves:
             # every Range/MatchAll leaf in the batch, one docs scan:

@@ -47,7 +47,11 @@ FALLBACK = {
     "dismax": ast.DisMax(
         queries=[ast.Term("error"), ast.Term("query")], tie_breaker=0.3
     ),
-    "wildcard": ast.Wildcard("err*"),
+    "nested": ast.Bool(
+        must=[ast.Bool(should=[ast.Term("error"), ast.DisMax(
+            queries=[ast.Term("the"), ast.Term("data")]
+        )])]
+    ),
     "constant": ast.ConstantScore(ast.Term("the"), boost=2.0),
     "range": ast.Bool(
         must=[ast.Term("error"), ast.Range("turn_idx", min=1, max=5)]
@@ -250,3 +254,46 @@ def test_batch_phrases_share_one_positional_scan(spark, small_transcripts):
         aliases,
     ) is None
     idx.postings.unpersist()
+
+
+def test_batch_multiterm_shared_scan_parity(small_index):
+    """Wildcard/Fuzzy leaves ride the batch's shared postings decode as
+    constant-score term sets (r4, late): per-query parity vs search()
+    in every role (must / should / must_not), with boosts, duplicates,
+    fuzzy edit distance, and OOV patterns (which must match nothing in
+    must and exclude nothing in must_not)."""
+    from bzzz_spark.query.batch import _as_bool
+
+    queries = {
+        "w_only": ast.Wildcard("err*"),
+        "w_boost": ast.Wildcard("err*", boost=2.5),
+        "w_and_term": ast.Bool(
+            must=[ast.Term("the"), ast.Wildcard("err*")]
+        ),
+        "w_should": ast.Bool(
+            should=[ast.Wildcard("err*"), ast.Term("query")],
+            minimum_should_match=1,
+        ),
+        "w_not": ast.Bool(
+            must=[ast.Term("the")], must_not=[ast.Wildcard("err*")]
+        ),
+        "w_oov": ast.Bool(
+            must=[ast.Term("the"), ast.Wildcard("zzzznope*")]
+        ),
+        "w_oov_not": ast.Bool(
+            must=[ast.Term("the")], must_not=[ast.Wildcard("zzzznope*")]
+        ),
+        "w_dup": ast.Bool(
+            must=[ast.Wildcard("err*"), ast.Wildcard("err*")]
+        ),
+        "fz": ast.Fuzzy("erorr", max_edits=2),
+        "fz_and": ast.Bool(
+            must=[ast.Fuzzy("queyr", max_edits=2), ast.Term("the")]
+        ),
+        "plain": ast.Term("error"),
+    }
+    # all these shapes are on the shared scan, not the fallback union
+    aliases = {"text", small_index.config.text_col}
+    for qid, node in queries.items():
+        assert _as_bool(node, aliases) is not None, qid
+    _assert_batch_matches(small_index, queries)
