@@ -215,16 +215,25 @@ def search_many(
         # exhaustive fallback (score-preserving, rewrite.py)
         nodes[qid] = normalize(node)
 
-    # dis-max of plain terms rides the shared scan too: role "d"
-    # contributions, score = max + tie*(sum - max) (executor parity)
+    # dis-max rides the shared scan too: every member emits role "d"
+    # contributions and the combiner max + tie*(sum - max) runs in the
+    # one groupBy (executor parity).  Members may be Terms, text-field
+    # Phrases (shared positional scan) or Wildcard/Fuzzy patterns
+    # (constant-score term sets on the shared decode) — the same
+    # machinery the Bool roles use
+    text_aliases = {"text", index.config.text_col}
+    _DM_LEAF = (ast.Term, ast.Phrase, ast.Wildcard, ast.Fuzzy)
     dismaxable = {
         qid: n
         for qid, n in nodes.items()
         if isinstance(n, ast.DisMax)
         and n.queries
-        and all(isinstance(q, ast.Term) for q in n.queries)
+        and all(isinstance(q, _DM_LEAF) for q in n.queries)
+        and not any(
+            isinstance(q, ast.Phrase) and q.field_name not in text_aliases
+            for q in n.queries
+        )
     }
-    text_aliases = {"text", index.config.text_col}
     batchable = {
         qid: b
         for qid, n in nodes.items()
@@ -295,11 +304,21 @@ def search_many(
             )
         for qid, node in dismaxable.items():
             for t in node.queries:
-                key = term_key(index, t.field_name, t.value)
-                keys.add(key)
-                spec_rows.append(
-                    (qid, key, "d", float(t.boost), t.field_name in efields)
-                )
+                if isinstance(t, ast.Term):
+                    key = term_key(index, t.field_name, t.value)
+                    keys.add(key)
+                    spec_rows.append(
+                        (qid, key, "d", float(t.boost),
+                         t.field_name in efields)
+                    )
+                elif isinstance(t, ast.Phrase):
+                    pkey = f"ph:{' '.join(t.terms)}~{t.slop}"
+                    phrase_defs[pkey] = (tuple(t.terms), t.slop)
+                    phrase_spec_rows.append((qid, pkey, "d", float(t.boost)))
+                else:  # Wildcard / Fuzzy
+                    mkey = str(_mt_key(t))
+                    multi_defs[mkey] = t
+                    multi_spec_rows.append((qid, mkey, "d", float(t.boost)))
             consts_rows.append(
                 (qid, 0, 0, len(node.queries), float(node.boost),
                  float(node.tie_breaker))

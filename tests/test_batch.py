@@ -297,3 +297,44 @@ def test_batch_multiterm_shared_scan_parity(small_index):
     for qid, node in queries.items():
         assert _as_bool(node, aliases) is not None, qid
     _assert_batch_matches(small_index, queries)
+
+
+def test_batch_dismax_mixed_members(spark, small_transcripts):
+    """Dis-max members beyond plain terms ride the shared scan (r4,
+    late): Phrase members evaluate in the shared positional scan,
+    Wildcard/Fuzzy members as constant-score term sets — combiner
+    max + tie*(sum - max) parity vs the per-query executor."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    idx = build_index(
+        small_transcripts,
+        IndexConfig(block_size=16, segment_size=64, num_partitions=4,
+                    store_positions=True),
+    )
+    idx.postings.cache().count()
+    queries = {
+        "dm_phrase": ast.DisMax(
+            queries=[ast.Phrase(["the", "data"]), ast.Term("error")],
+            tie_breaker=0.4,
+        ),
+        "dm_wild": ast.DisMax(
+            queries=[ast.Wildcard("err*"), ast.Term("query", boost=2.0)],
+            tie_breaker=0.2,
+        ),
+        "dm_all3": ast.DisMax(
+            queries=[
+                ast.Term("the"),
+                ast.Phrase(["error", "query"], slop=3),
+                ast.Fuzzy("erorr", max_edits=2),
+            ],
+            tie_breaker=0.5,
+            boost=1.5,
+        ),
+        "dm_oov_wild": ast.DisMax(
+            queries=[ast.Wildcard("zzzznope*"), ast.Term("error")],
+            tie_breaker=0.3,
+        ),
+        "plain": ast.Term("error"),
+    }
+    _assert_batch_matches(idx, queries)
+    idx.postings.unpersist()
