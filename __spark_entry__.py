@@ -380,6 +380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "b_wild": ast.Bool(
                 must=[ast.Term("merge"), ast.Wildcard("du*")]
             ),
+            # mixed dis-max (r4, late): Term / Phrase / Wildcard members
+            # all emit role-d contributions on the SAME shared scan;
+            # combiner max + tie*(sum - max) runs in the one groupBy
+            "b_dismax": ast.DisMax(
+                queries=[
+                    ast.Term("merge"),
+                    ast.Phrase(["filter", "merge"]),
+                    ast.Wildcard("du*"),
+                ],
+                tie_breaker=0.3,
+            ),
         }
         return search_many(_index(spark, sf), batch, size=10).select(
             "query_id",
@@ -1849,6 +1860,26 @@ FROM documents GROUP BY source"""
             10,
         )
     )
+    # mixed dis-max: member scores per doc — BM25(merge) where present,
+    # the phrase score (ph CTE) where the phrase matches, constant 1.0
+    # for docs matching any 'du%' expansion — combined per Lucene's
+    # DisjunctionMaxQuery: max + tie*(sum - max) over matching members
+    b_dismax = (
+        f"{_BASE},{_phrase_ctes},\n"
+        "members AS (\n"
+        f"  SELECT tf.doc_id, {_score_expr()} AS s\n"
+        "  FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  CROSS JOIN stats WHERE tf.term = 'merge'\n"
+        "  UNION ALL SELECT doc_id, score AS s FROM ph\n"
+        "  UNION ALL SELECT DISTINCT doc_id, 1.0 AS s FROM tf "
+        "WHERE term LIKE 'du%'\n"
+        ")\n"
+        + _topk(
+            "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS score "
+            "FROM members GROUP BY doc_id",
+            10,
+        )
+    )
     o["q_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
         for name, sql in [
@@ -1862,6 +1893,7 @@ FROM documents GROUP BY source"""
             ("b_nested", b_nested),
             ("b_phrase", b_phrase),
             ("b_wild", b_wild),
+            ("b_dismax", b_dismax),
         ]
     )
     return o
