@@ -122,6 +122,8 @@ class FlatShape:
     opt_msm: int = 0
     tie: float = 0.0  # dismax tie_breaker (node boost folded into terms)
     opt_phrases: list = _dc_field(default_factory=list)
+    neg_multis: list = _dc_field(default_factory=list)  # Wildcard|Fuzzy
+    opt_multis: list = _dc_field(default_factory=list)  # (node, boost)
 
 
 def _flat_conjuncts(nodes, scored: bool):
@@ -181,11 +183,18 @@ def classify(node: ast.Query) -> FlatShape | None:
             "term", [(node.value, node.field_name, node.boost, True)]
         )
     if isinstance(node, ast.Bool) and node.boost == 1.0:
-        if not all(isinstance(q, ast.Term) for q in node.must_not):
-            return None
-        if any(q.boost < 0 for q in node.must_not):
-            return None
-        neg = [(q.value, q.field_name) for q in node.must_not]
+        # must_not arms never score, so any leaf whose MATCH SET the
+        # kernel can resolve to a term-id union is servable: Terms and
+        # Wildcard/Fuzzy patterns (exclusion = the expansion set — the
+        # neg_tids union IS Lucene's rewritten BooleanQuery exclusion)
+        neg, neg_multis = [], []
+        for q in node.must_not:
+            if isinstance(q, ast.Term) and q.boost >= 0:
+                neg.append((q.value, q.field_name))
+            elif isinstance(q, (ast.Wildcard, ast.Fuzzy)) and q.boost >= 0:
+                neg_multis.append(q)
+            else:
+                return None
         if node.must:
             parts = _flat_conjuncts(node.must, scored=True)
             if parts is None:
@@ -202,15 +211,25 @@ def classify(node: ast.Query) -> FlatShape | None:
             # occurrence toward msm; a keyed kernel cannot)
             opts: list = []
             opt_phr: list = []
+            opt_mul: list = []
             if node.should:
                 for q in node.should:
                     if isinstance(q, ast.Term) and q.boost >= 0:
                         opts.append((q.value, q.field_name, q.boost))
                     elif isinstance(q, ast.Phrase) and q.boost >= 0:
                         opt_phr.append((tuple(q.terms), q.slop, q.boost))
+                    elif isinstance(q, (ast.Wildcard, ast.Fuzzy)) and (
+                        q.boost >= 0
+                    ):
+                        # optional constant-score term set (Lucene
+                        # CONSTANT_SCORE_REWRITE): matching ANY
+                        # expansion adds the boost, counts 1 toward
+                        # msm.  Duplicates are per-entry, so they are
+                        # naturally correct (each adds separately)
+                        opt_mul.append((q, q.boost))
                     else:
                         return None
-                n_should = len(opts) + len(opt_phr)
+                n_should = len(opts) + len(opt_phr) + len(opt_mul)
                 if len({(v, f) for v, f, _b in opts}) != len(opts):
                     return None
                 if len({(t, s) for t, s, _b in opt_phr}) != len(opt_phr):
@@ -219,9 +238,12 @@ def classify(node: ast.Query) -> FlatShape | None:
                     return None  # unsatisfiable — executor returns empty
             return FlatShape("and", terms, phrases, len(terms), neg,
                              ranges, multis, opts,
-                             node.effective_msm() if (opts or opt_phr)
+                             node.effective_msm()
+                             if (opts or opt_phr or opt_mul)
                              else 0,
-                             opt_phrases=opt_phr)
+                             opt_phrases=opt_phr,
+                             neg_multis=neg_multis,
+                             opt_multis=opt_mul)
         if node.should and not node.must:
             # pure disjunction over Terms, Phrases and/or Wildcard/Fuzzy
             # clauses: MaxScore with phrases as pseudo-terms (bounded by
@@ -251,7 +273,7 @@ def classify(node: ast.Query) -> FlatShape | None:
                 return None
             return FlatShape(
                 "or", sterms, sphr, node.effective_msm(), neg, [],
-                multis=smul,
+                multis=smul, neg_multis=neg_multis,
             )
         return None
     if isinstance(node, ast.DisMax):
@@ -346,6 +368,8 @@ def classify(node: ast.Query) -> FlatShape | None:
             base.neg + fneg, ranges, multis,
             base.opts, base.opt_msm,
             opt_phrases=base.opt_phrases,
+            neg_multis=base.neg_multis,
+            opt_multis=base.opt_multis,
         )
     return None
 
@@ -365,7 +389,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  termsets: list | None = None,
                  opts: dict | None = None, opt_msm: int = 0,
                  tie: float = 0.0,
-                 opt_phrases: list | None = None):
+                 opt_phrases: list | None = None,
+                 opt_sets: list | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -414,6 +439,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     termsets = list(termsets or [])
     opts = dict(opts or {})
     opt_phrases = list(opt_phrases or [])  # (leg_tids, slop, weight)
+    # opt_sets: (member_tids, boost) OPTIONAL constant-score term sets
+    # (a Wildcard/Fuzzy should clause under ReqOptSumScorer): matching
+    # ANY member adds the boost and counts 1 toward opt_msm; member
+    # blocks decode only where they overlap the conjunction's survivors
+    opt_sets = list(opt_sets or [])
     range_boost = float(sum(c for _r, c in ranges))
     dv_want = tuple(dict.fromkeys(r.field_name for r, _c in ranges))
 
@@ -501,7 +531,22 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         opt_present: list = []
         opt_all: dict = {}
         opt_phr_present: list = []
-        if opts or opt_phrases:
+        opt_set_present: list = []
+        opt_set_all: dict = {}
+        if opts or opt_phrases or opt_sets:
+            for si, (mtids, sboost) in enumerate(opt_sets):
+                sub = blocks[blocks["term_id"].isin(list(mtids))
+                             ].sort_values("first_docid").reset_index(
+                    drop=True)
+                if len(sub) == 0:
+                    continue  # no member has postings in this segment
+                opt_set_present.append((si, float(sboost)))
+                opt_set_all[si] = (sub, sub["first_docid"].to_numpy(),
+                                   sub["last_docid"].to_numpy(), {})
+                ub_opts += float(sboost)
+                if stats is not None:
+                    tb = stats.setdefault("total_blocks", {})
+                    tb[f"optset:{si}"] = len(sub)
             for tid in opts:
                 sub = blocks[blocks["term_id"] == tid].sort_values(
                     "first_docid").reset_index(drop=True)
@@ -524,7 +569,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                         # bound; tfc < k1+1 bounds its score (loose but
                         # sound — pruning stays exact)
                         ub_opts += w_p * (BM25_K1 + 1.0)
-            if opt_msm > len(opt_present) + len(opt_phr_present):
+            if opt_msm > (
+                len(opt_present) + len(opt_phr_present)
+                + len(opt_set_present)
+            ):
                 # fewer optional clauses can match here than msm
                 # requires: no doc in this segment can qualify
                 return empty
@@ -536,9 +584,40 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             lazily, only where they overlap candidates, cached across
             chunks; optional phrases run the positional kernel
             restricted to the candidates."""
-            if (not opt_present and not opt_phr_present) or cand.size == 0:
+            if cand.size == 0 or (
+                not opt_present and not opt_phr_present
+                and not opt_set_present
+            ):
                 return cand, acc
             ocnt = np.zeros(cand.size, dtype=np.int32)
+            for si, sboost in opt_set_present:
+                sub, first_d, last_d, cache = opt_set_all[si]
+                lo = np.searchsorted(cand, first_d, "left")
+                hi = np.searchsorted(cand, last_d, "right")
+                need = np.flatnonzero(hi > lo)
+                if need.size == 0:
+                    continue
+                miss = [int(i) for i in need if int(i) not in cache]
+                if miss:
+                    for i, r in zip(
+                        miss, sub.iloc[miss].itertuples(index=False)
+                    ):
+                        cache[i] = decode_one(r)
+                    if stats is not None:
+                        db = stats.setdefault("decoded_blocks", {})
+                        key = f"optset:{si}"
+                        db[key] = db.get(key, 0) + len(miss)
+                # member blocks span SEVERAL terms, so the concatenated
+                # docids are not globally sorted — unique() sorts and
+                # dedupes (match-ANY union semantics)
+                u = np.unique(
+                    np.concatenate([cache[int(i)][0] for i in need])
+                )
+                pos = np.clip(np.searchsorted(u, cand), 0, u.size - 1)
+                hit = u[pos] == cand
+                if hit.any():
+                    acc[hit] += sboost
+                    ocnt[hit] += 1
             for tid in opt_present:
                 sub, first_d, last_d, cache = opt_all[tid]
                 lo = np.searchsorted(cand, first_d, "left")
@@ -1416,14 +1495,24 @@ def wand_candidates(
         )
         phrase_specs.append((leg_tids, slop, w_p))
     termset_specs = []
-    if shape.multis:
-        # ONE dictionary job for all patterns, one lookup for all
-        # expansion terms (the executor's batching discipline)
-        exps = _expand_scoped_many(index, [m for m, _s in shape.multis])
+    neg_set_tids: set = set()
+    opt_set_specs = []
+    if shape.multis or shape.neg_multis or shape.opt_multis:
+        # ONE dictionary job for ALL patterns — conjunct sets, exclusion
+        # sets, optional sets — and one lookup for all expansion terms
+        # (the executor's batching discipline)
+        pat_nodes = (
+            [m for m, _s in shape.multis]
+            + list(shape.neg_multis)
+            + [m for m, _b in shape.opt_multis]
+        )
+        exps = _expand_scoped_many(index, pat_nodes)
         mmeta = index.lookup_terms(
             sorted({t for exp in exps for t in exp})
         )
-        for (mnode, scored), exp in zip(shape.multis, exps):
+        n_m = len(shape.multis)
+        n_n = len(shape.neg_multis)
+        for (mnode, scored), exp in zip(shape.multis, exps[:n_m]):
             mtids = sorted(
                 int(mmeta[t][0]) for t in exp if t in mmeta
             )
@@ -1442,6 +1531,19 @@ def wand_candidates(
             termset_specs.append(
                 (tuple(mtids), float(mnode.boost) if scored else 0.0)
             )
+        # exclusion patterns: the expansion's term ids simply join the
+        # neg_tids union (the kernel's ReqExclScorer discipline already
+        # IS a set union); a pattern with no vocabulary expansion
+        # excludes nothing
+        for exp in exps[n_m:n_m + n_n]:
+            neg_set_tids |= {int(mmeta[t][0]) for t in exp if t in mmeta}
+        # optional patterns (constant-score optional sets): one with no
+        # vocabulary expansion matches nothing — it just stops counting
+        # toward minimum_should_match, like an OOV optional term
+        for (_mnode, boost), exp in zip(shape.opt_multis, exps[n_m + n_n:]):
+            mtids = sorted(int(mmeta[t][0]) for t in exp if t in mmeta)
+            if mtids:
+                opt_set_specs.append((tuple(mtids), float(boost)))
     if not qmeta and not phrase_specs and not termset_specs:
         return spark.createDataFrame([], "docid long, score double")
     # optional (should) terms/phrases: out-of-vocabulary ones match
@@ -1460,12 +1562,17 @@ def wand_candidates(
                 slop,
                 sum(idf_fn(n_docs, meta[t][1]) for t in tids) * boost,
             ))
-    if shape.opt_msm > len(opt_meta) + len(opt_phrase_specs):
+    if shape.opt_msm > (
+        len(opt_meta) + len(opt_phrase_specs) + len(opt_set_specs)
+    ):
         return spark.createDataFrame([], "docid long, score double")
     # must_not terms absent from the dictionary exclude nothing; a term
     # that is both required and excluded stays in BOTH sets (the kernel
     # then scores and excludes it — "a AND NOT a" is naturally empty)
-    neg_tids = sorted({int(meta[v][0]) for v in set(neg_vals) if v in meta})
+    neg_tids = sorted(
+        {int(meta[v][0]) for v in set(neg_vals) if v in meta}
+        | neg_set_tids
+    )
 
     all_tids = (
         {int(t) for t in qmeta}
@@ -1474,6 +1581,7 @@ def wand_candidates(
         | {int(t) for tids, _c in termset_specs for t in tids}
         | set(opt_meta)
         | {t for legs, _s, _w in opt_phrase_specs for t in legs}
+        | {int(t) for tids, _b in opt_set_specs for t in tids}
     )
     blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
@@ -1481,7 +1589,8 @@ def wand_candidates(
                           neg_tids, shape.ranges, phrases=phrase_specs,
                           termsets=termset_specs,
                           opts=opt_meta, opt_msm=shape.opt_msm,
-                          tie=shape.tie, opt_phrases=opt_phrase_specs)
+                          tie=shape.tie, opt_phrases=opt_phrase_specs,
+                          opt_sets=opt_set_specs)
     return _run_kernel(index, blocks, kernel)
 
 

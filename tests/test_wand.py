@@ -31,6 +31,26 @@ FLAT_QUERIES = [
              must_not=[ast.Term("data")]),
     ast.Bool(must=[ast.Term("error")], must_not=[ast.Term("the")]),
     ast.Bool(must=[ast.Term("error")], must_not=[ast.Term("error")]),
+    # Wildcard/Fuzzy must_not: exclusion term SETS on the kernel's
+    # neg_tids union (round 4, late)
+    ast.Bool(must=[ast.Term("error")], must_not=[ast.Wildcard("qu*")]),
+    ast.Bool(should=[ast.Term("error"), ast.Term("query")],
+             must_not=[ast.Fuzzy("teh", max_edits=1)]),
+    ast.Bool(must=[ast.Term("error")],
+             must_not=[ast.Wildcard("zzznope*")]),  # OOV: excludes nothing
+    # Wildcard/Fuzzy should clauses under must (ReqOptSumScorer with
+    # constant-score optional sets, round 4, late)
+    ast.Bool(must=[ast.Term("error")],
+             should=[ast.Term("query"), ast.Wildcard("sp*", boost=2.0)]),
+    ast.Bool(must=[ast.Term("the")],
+             should=[ast.Wildcard("err*"), ast.Term("query")],
+             minimum_should_match=2),
+    ast.Bool(must=[ast.Term("error")],
+             should=[ast.Wildcard("zzznope*"), ast.Term("query")],
+             minimum_should_match=2),  # OOV optional: unsatisfiable msm
+    ast.Bool(must=[ast.Term("error")],
+             should=[ast.Fuzzy("quer", max_edits=1), ast.Term("data")],
+             must_not=[ast.Wildcard("zz*")]),
 ]
 
 
@@ -64,10 +84,20 @@ def test_wand_paging(small_index, small_oracle):
 
 def test_unsupported_shapes_fall_back(small_index):
     assert classify(ast.Bool(must=[ast.Bool(must=[ast.Term("a")])])) is None
-    # nested/non-term must_not still falls back
+    # Wildcard/Fuzzy must_not rides the kernel as an exclusion term set
+    # (round 4, late); nested-Bool must_not still falls back
     assert classify(
         ast.Bool(must=[ast.Term("a")], must_not=[ast.Wildcard("b*")])
+    ) is not None
+    assert classify(
+        ast.Bool(must=[ast.Term("a")],
+                 must_not=[ast.Bool(must=[ast.Term("b")])])
     ) is None
+    # Wildcard/Fuzzy should clauses mix with must (ReqOptSum optional
+    # constant-score sets, round 4, late)
+    assert classify(
+        ast.Bool(must=[ast.Term("a")], should=[ast.Wildcard("b*")])
+    ) is not None
     # flat must_not of terms is now kernel-handled
     assert classify(
         ast.Bool(must=[ast.Term("a")], must_not=[ast.Term("b")])
