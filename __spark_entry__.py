@@ -652,22 +652,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return decontaminate(docs, bench, n=8)
 
-    def s_cosine_topk(spark, sf):
+    def s_similarity(spark, sf):
+        # brute-force + IVF similarity as ONE contract entry (50-row
+        # budget; same UNION-ALL pattern as e_batch):
+        #   part='brute'  exact cosine top-5 for 3 query vectors
+        #   part='ivf'    IVF with nprobe == nlist → must reproduce
+        #                 brute force exactly (the plumbing check)
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = [
             (int(r["vec_id"]), list(r["embedding"]))
             for r in emb.filter(F.col("vec_id") < 3).collect()
         ]
-        return brute_force_topk(emb, qs, k=5)
+        brute = brute_force_topk(emb, qs, k=5).select(
+            F.lit("brute").alias("part"), "query_id", "vec_id", "cos", "rank"
+        )
+        ivf = ivf_topk(
+            emb, [q for q in qs if q[0] < 2], k=5, nlist=8, nprobe=8
+        ).select(
+            F.lit("ivf").alias("part"), "query_id", "vec_id", "cos", "rank"
+        )
+        return brute.unionAll(ivf)
 
-    def s_ivf_topk_fullprobe(spark, sf):
-        # nprobe == nlist → exact: the IVF plumbing must reproduce brute force
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qs = [
-            (int(r["vec_id"]), list(r["embedding"]))
-            for r in emb.filter(F.col("vec_id") < 2).collect()
-        ]
-        return ivf_topk(emb, qs, k=5, nlist=8, nprobe=8)
+    def d_clusters(spark, sf):
+        # cluster resolution: the stage AFTER pair generation — near-dup
+        # pairs → connected components (large-star/small-star) → one
+        # canonical doc per duplicate cluster.
+        #   part='cc'    (doc_id, cluster_id) for every doc in a pair;
+        #                cluster_id = min doc id in the component
+        #   part='keep'  the keep_canonical survivor set over the FULL
+        #                corpus (singletons pass through; each cluster
+        #                keeps its min doc_id)
+        from bzzz_spark.functions.dedup import dedup_clusters, keep_canonical
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        pairs = minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, shingle_n=3
+        ).localCheckpoint(eager=True)
+        cc = dedup_clusters(docs, pairs, include_singletons=False).select(
+            F.lit("cc").alias("part"), "doc_id", "cluster_id"
+        )
+        kept = keep_canonical(docs, pairs).select(
+            F.lit("keep").alias("part"),
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+        )
+        return cc.unionAll(kept)
 
     # --- events table: log-search over a derived text column ---
     def _events_index(spark, sf):
@@ -899,11 +928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
         d_minhash_lsh=d_minhash_lsh,
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
-        d_decontam=d_decontam,
+        d_decontam=d_decontam, d_clusters=d_clusters,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
-        s_cosine_topk=s_cosine_topk, s_ivf_topk_fullprobe=s_ivf_topk_fullprobe,
+        s_similarity=s_similarity,
         t_profile=t_profile,
         e_batch=e_batch,
     )
@@ -935,7 +964,9 @@ sh AS (
 )"""
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """CTE chain ending in mh_pairs(id_a, id_b) — shared by the
+    d_minhash_lsh and d_clusters oracles."""
     r = num_hashes // bands
     sig_cols = ", ".join(
         f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_hashes)
@@ -949,12 +980,19 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
         f"ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"
         for bi in range(bands)
     )
-    return f"""WITH {_shingle_cte(3)},
+    return f"""{_shingle_cte(3)},
 sigs AS (
   SELECT doc_id, {', '.join(band_exprs)}
   FROM (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)
-)
-SELECT DISTINCT id_a, id_b FROM ({joins})"""
+),
+mh_pairs AS (SELECT DISTINCT id_a, id_b FROM ({joins}))"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    return (
+        f"WITH {_minhash_ctes(num_hashes, bands)}\n"
+        "SELECT id_a, id_b FROM mh_pairs"
+    )
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -1674,7 +1712,7 @@ SELECT d.doc_id,
        coalesce(a.hit_grams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
-    o["s_cosine_topk"] = """
+    o["s_similarity"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
 comp AS (
   SELECT q.query_id, e.vec_id,
@@ -1685,27 +1723,37 @@ scored AS (
   SELECT query_id, vec_id,
          round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos
   FROM comp GROUP BY 1, 2
-)
-SELECT query_id, vec_id, cos, rank::INTEGER AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM scored
-) WHERE rank <= 5"""
-    o["s_ivf_topk_fullprobe"] = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 2),
-comp AS (
-  SELECT q.query_id, e.vec_id,
-         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
-  FROM embeddings e CROSS JOIN q
 ),
-scored AS (
-  SELECT query_id, vec_id,
-         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos
-  FROM comp GROUP BY 1, 2
-)
-SELECT query_id, vec_id, cos, rank::INTEGER AS rank FROM (
+ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM scored
-) WHERE rank <= 5"""
+)
+SELECT 'brute' AS part, query_id, vec_id, cos, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 5
+UNION ALL
+SELECT 'ivf' AS part, query_id, vec_id, cos, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 5 AND query_id < 2"""
+    # connected components = transitive min-label closure; the recursive
+    # CTE is the oracle-side equivalent of the large-star/small-star
+    # alternation (same fixpoint: component label = min member id)
+    o["d_clusters"] = f"""
+WITH RECURSIVE {_minhash_ctes(8, 4)},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM mh_pairs
+),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT 'cc' AS part, doc_id, cluster_id FROM cc
+UNION ALL
+SELECT 'keep' AS part, d.doc_id, d.doc_id AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id"""
 
     ev_base = f"""
 WITH ev AS (

@@ -492,3 +492,175 @@ def decontaminate(
             ),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster-
+    resolution stage that turns near-dup PAIRS (minhash_lsh_pairs /
+    ngram_jaccard_pairs / simhash_pairs output) into duplicate CLUSTERS.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log n) rounds to a
+    fixpoint where every node points at its component's minimum id.
+    Returns (id, component) with one row per node appearing in `edges`;
+    component = min node id in that node's component.  Ids may be any
+    orderable type (long, string).
+
+    Scale shape (~10^9 edge candidate graphs):
+    - Each round is two groupBy-min + broadcast-free equi-joins on the
+      node id — uniform hash keys, no skew beyond the graph's own
+      star-shape, which is exactly what large-star splits.
+    - NO collect_set / per-node adjacency arrays: a web-scale boilerplate
+      cluster (one bucket with 10^6 members) stays as rows, never as a
+      single giant array in one task.
+    - Lineage is cut every round with localCheckpoint (an iterative
+      DataFrame loop otherwise accumulates an exponentially growing
+      plan); on a real cluster prefer a reliable checkpoint dir.
+    - Convergence needs one small action per round (count + empty-diff
+      probe) — O(log n) actions total; dedup graphs from banded LSH are
+      near-cliques, so 2-4 rounds in practice.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every id mentioned in `edges` is a node — including ids that only
+    # appear in self-loops (they form their own component)
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+    n_prev = e.count()
+
+    def _unchanged(new, new_count, old, old_count):
+        # distinct sets: equal counts + one-way empty diff ⇒ set equality
+        return (
+            new_count == old_count
+            and new.subtract(old).limit(1).count() == 0
+        )
+
+    for _ in range(max_iter):
+        # -- large-star: every neighbor v > u re-points at
+        #    m = min(Γ(u) ∪ {u}); splits high-degree stars.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        lmin = lmin.select("u", F.least("u", "mv").alias("m"))
+        e_big = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_big = e_big.count()
+        # -- small-star: orient edges large→small, re-point every small
+        #    neighbor (and u itself) at the minimum.
+        oriented = e_big.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = oriented.groupBy("u").agg(F.min("v").alias("mv"))
+        e_new = (
+            oriented.join(smin, "u")
+            .filter(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(smin.select(F.col("u"), F.col("mv").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = e_new.count()
+        # converged only when BOTH star ops left the edge set unchanged
+        # this round (small-star alone has non-star fixpoints, e.g.
+        # chains — Kiveris et al. §3 requires the joint fixpoint).
+        if _unchanged(e_big, n_big, e, n_prev) and _unchanged(
+            e_new, n_new, e_big, n_big
+        ):
+            e = e_new
+            break
+        e, n_prev = e_new, n_new
+    # At fixpoint e is a star: (node → component min).  groupBy-min makes
+    # the result deterministic even if max_iter stopped us early; roots
+    # (component minima) don't appear as src, so left-join them back.
+    assign = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(
+        assign, nodes["id"] == assign["u"], "left"
+    ).select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    include_singletons: bool = True,
+) -> DataFrame:
+    """Assign every doc a duplicate-cluster id given near-dup pairs.
+
+    Returns (doc_id, cluster_id): docs connected through `pairs` share
+    the component's min doc id; docs in no pair are their own cluster
+    (dropped when include_singletons=False).  The pairs graph is tiny
+    relative to the corpus (only near-dups), so the join back onto the
+    corpus broadcasts in the common case and hash-joins otherwise.
+    """
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("id").alias("__bzzz_cc_id"),
+        F.col("component").alias("__bzzz_cc_comp"),
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == F.col("__bzzz_cc_id"), "left"
+    )
+    if not include_singletons:
+        out = out.filter(F.col("__bzzz_cc_comp").isNotNull())
+    return out.select(
+        "doc_id",
+        F.coalesce("__bzzz_cc_comp", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Filter a corpus to ONE representative doc per duplicate cluster.
+
+    The end-to-end dedup step a training pipeline actually runs:
+    pairs (from any of the pair generators) → connected components →
+    keep the best doc per cluster, where "best" is max `prefer_col`
+    (e.g. a quality score) with min doc_id as the deterministic
+    tie-break, or simply min doc_id when prefer_col is None.  Docs in
+    no cluster always survive.  Returns df's schema unchanged.
+
+    One window over cluster_id (uniform keys — cluster ids are doc
+    ids); no giant-cluster skew beyond what max_bucket already capped
+    at pair generation.
+    """
+    clusters = dedup_clusters(df, pairs, id_col=id_col, src=src, dst=dst)
+    joined = df.join(
+        clusters.select(
+            F.col("doc_id").alias("__bzzz_kc_id"),
+            F.col("cluster_id").alias("__bzzz_kc_cluster"),
+        ),
+        F.col(id_col) == F.col("__bzzz_kc_id"),
+    )
+    order = (
+        [F.col(prefer_col).desc()] if prefer_col is not None else []
+    ) + [F.col(id_col).asc()]
+    w = Window.partitionBy("__bzzz_kc_cluster").orderBy(*order)
+    return (
+        joined.withColumn("__bzzz_kc_rn", F.row_number().over(w))
+        .filter(F.col("__bzzz_kc_rn") == 1)
+        .drop("__bzzz_kc_id", "__bzzz_kc_cluster", "__bzzz_kc_rn")
+    )
