@@ -497,26 +497,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("distance_m", 3).alias("distance_m"),
         )
 
-    def q_facet_multi(spark, sf):
-        # F1 multi-dim: both dims counted in ONE pass over the matched set
+    def q_facets(spark, sf):
+        # F1 faceting as ONE contract entry (50-row budget; same
+        # UNION-ALL pattern as e_batch):
+        #   part='lang'    single-dim doc counts over the matched set
+        #   part='multi'   two dims counted in ONE pass (dim, label)
+        #   part='tokens'  `use-analyzer` token faceting: labels are
+        #                  analyzed tokens, counted per occurrence
+        #                  (reference index_store.clj:86-93)
         from bzzz_spark.query.executor import facet_counts_multi
 
-        return facet_counts_multi(
-            _index(spark, sf), ast.Term("merge"), ["lang", "source"], size=5
+        idx = _index(spark, sf)
+        lang = facet_counts(idx, ast.Term("dup"), "lang", size=10).select(
+            F.lit("lang").alias("part"), F.lit("lang").alias("dim"),
+            F.col("lang").alias("label"), "cnt",
         )
-
-    def q_facet_tokens(spark, sf):
-        # F1 `use-analyzer` token faceting: labels are analyzed tokens,
-        # counted per occurrence (reference index_store.clj:86-93)
-        from bzzz_spark.query.executor import facet_counts_multi
-
-        return facet_counts_multi(
-            _index(spark, sf), ast.Term("dup"), ["text"], size=10,
-            use_analyzer=True,
-        )
-
-    def q_facet_lang(spark, sf):
-        return facet_counts(_index(spark, sf), ast.Term("dup"), "lang", size=10)
+        multi = facet_counts_multi(
+            idx, ast.Term("merge"), ["lang", "source"], size=5
+        ).select(F.lit("multi").alias("part"), "dim", "label", "cnt")
+        tokens = facet_counts_multi(
+            idx, ast.Term("dup"), ["text"], size=10, use_analyzer=True,
+        ).select(F.lit("tokens").alias("part"), "dim", "label", "cnt")
+        return lang.unionByName(multi).unionByName(tokens)
 
     def q_total_hits(spark, sf):
         return (
@@ -697,6 +699,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("cluster_id"),
         )
         return cc.unionAll(kept)
+
+    def d_pii(spark, sf):
+        # PII scrub report: counts per category + redacted text.  The
+        # synthetic corpus has no natural PII, so union a deterministic
+        # block whose PII is derived from doc_id (non-vacuous check;
+        # both engines synthesize the same rows).
+        from bzzz_spark.functions.pii import pii_profile
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        pii = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel +1 415-555-01"),
+                F.lpad(F.col("doc_id").cast("string"), 2, "0"),
+            ).alias("text"),
+        )
+        return pii_profile(docs.unionByName(pii))
+
+    def d_sample(spark, sf):
+        # deterministic sampling/splitting/mixing/ordering as ONE entry:
+        #   part='sample'  hash_sample keep-set at rate 0.25
+        #   part='split'   train/eval assignment at eval_frac 0.125
+        #   part='mix'     two-source weighted mixture (0.5 / 0.3),
+        #                  label = source tag
+        #   part='order'   first 50 docs of the deterministic global
+        #                  shuffle, label = rank (ordering made
+        #                  hashable via an explicit rank column)
+        from pyspark.sql import Window
+
+        from bzzz_spark.functions.sampling import (
+            assign_split, hash_sample, mix_corpora,
+        )
+
+        docs = _documents(spark, sf).select("doc_id")
+        sample = hash_sample(docs, 0.25, "doc_id").select(
+            F.lit("sample").alias("part"), "doc_id",
+            F.lit("kept").alias("label"),
+        )
+        split = assign_split(docs, "doc_id", eval_frac=0.125).select(
+            F.lit("split").alias("part"), "doc_id",
+            F.col("split").alias("label"),
+        )
+        mixed = mix_corpora(
+            [(docs.filter(F.col("doc_id") % 2 == 0), "even", 0.5),
+             (docs.filter(F.col("doc_id") % 2 == 1), "odd", 0.3)],
+        ).select(
+            F.lit("mix").alias("part"), "doc_id",
+            F.col("source_name").alias("label"),
+        )
+        h = F.md5(F.concat(F.lit("bzzz-shuffle:"),
+                           F.col("doc_id").cast("string")))
+        order = (
+            docs.withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(h.asc(),
+                                                   F.col("doc_id").asc())),
+            )
+            .filter(F.col("rank") <= 50)
+            .select(F.lit("order").alias("part"), "doc_id",
+                    F.col("rank").cast("string").alias("label"))
+        )
+        return sample.unionByName(split).unionByName(mixed).unionByName(order)
 
     # --- events table: log-search over a derived text column ---
     def _events_index(spark, sf):
@@ -920,8 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_random_score=q_random_score, q_parser=q_parser,
         q_sorts=q_sorts,
         q_explain=q_explain, q_highlight=q_highlight,
-        q_facet_lang=q_facet_lang,
-        q_facet_multi=q_facet_multi, q_facet_tokens=q_facet_tokens,
+        q_facets=q_facets,
         q_spatial=q_spatial,
         p_payload_state=p_payload_state, p_result_state=p_result_state,
         q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
@@ -929,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_minhash_lsh=d_minhash_lsh,
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
         d_decontam=d_decontam, d_clusters=d_clusters,
+        d_pii=d_pii, d_sample=d_sample,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -1414,28 +1480,35 @@ SELECT doc_id, round(score, 4) AS score, round(d, 3) AS distance_m FROM (
   SELECT doc_id, score, d, row_number() OVER (ORDER BY d, doc_id) AS rn
   FROM sp WHERE d <= 3000000
 ) WHERE rn <= 10"""
-    o["q_facet_multi"] = f"""{_BASE},
-matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+    o["q_facets"] = f"""{_BASE},
+m_merge AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+m_dup AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
 melted AS (
   SELECT 'lang' AS dim, lang AS label FROM documents
-  WHERE doc_id IN (SELECT doc_id FROM matched)
+  WHERE doc_id IN (SELECT doc_id FROM m_merge)
   UNION ALL
   SELECT 'source', source FROM documents
-  WHERE doc_id IN (SELECT doc_id FROM matched)
+  WHERE doc_id IN (SELECT doc_id FROM m_merge)
 )
-SELECT dim, label, cnt FROM (
+SELECT 'lang' AS part, 'lang' AS dim, label, cnt FROM (
+  SELECT lang AS label, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, lang) AS rn
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM m_dup)
+  GROUP BY lang
+) WHERE rn <= 10
+UNION ALL
+SELECT 'multi' AS part, dim, label, cnt FROM (
   SELECT dim, label, cnt,
          row_number() OVER (PARTITION BY dim ORDER BY cnt DESC, label) AS rn
   FROM (SELECT dim, label, count(*) AS cnt FROM melted GROUP BY dim, label)
-) WHERE rn <= 5"""
-    o["q_facet_tokens"] = f"""{_BASE},
-matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
-SELECT 'text' AS dim, label, cnt FROM (
+) WHERE rn <= 5
+UNION ALL
+SELECT 'tokens' AS part, 'text' AS dim, label, cnt FROM (
   SELECT label, cnt,
          row_number() OVER (ORDER BY cnt DESC, label) AS rn
   FROM (
     SELECT tok.term AS label, count(*) AS cnt FROM tok
-    WHERE tok.doc_id IN (SELECT doc_id FROM matched)
+    WHERE tok.doc_id IN (SELECT doc_id FROM m_dup)
     GROUP BY tok.term
   )
 ) WHERE rn <= 10"""
@@ -1459,10 +1532,6 @@ SELECT d.doc_id,
 FROM documents d
 JOIN tf ON tf.doc_id = d.doc_id AND tf.term = 'dup'
 WHERE d.doc_id IN (SELECT doc_id FROM top)"""
-    o["q_facet_lang"] = f"""{_BASE}
-SELECT lang, count(*) AS cnt FROM documents
-WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')
-GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10"""
     o["q_total_hits"] = f"""{_BASE}
 SELECT count(*) AS total FROM (
   SELECT doc_id FROM tf WHERE term IN ('scan', 'agg')
@@ -1754,6 +1823,66 @@ UNION ALL
 SELECT 'keep' AS part, d.doc_id, d.doc_id AS cluster_id
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
 WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id"""
+
+    # PII patterns are restricted to syntax with identical semantics in
+    # Java regex (Spark) and RE2 (DuckDB) — see functions/pii.py.  All
+    # three counts run on the ORIGINAL text; redaction is sequential
+    # email → ipv4 → phone.
+    from bzzz_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    o["d_pii"] = f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com or 10.0.' || (doc_id % 256)::VARCHAR
+              || '.7 tel +1 415-555-01' || lpad(doc_id::VARCHAR, 2, '0')
+  FROM documents WHERE doc_id < 10
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_email,
+  len(regexp_extract_all(text, '{IPV4_RE}'))::INT AS n_ipv4,
+  len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+  len(regexp_extract_all(text, '{EMAIL_RE}'))
+    + len(regexp_extract_all(text, '{IPV4_RE}'))
+    + len(regexp_extract_all(text, '{PHONE_RE}')) > 0 AS has_pii
+FROM alldocs"""
+
+    # bucket arithmetic: first 8 md5 hex chars → 32 uniform bits →
+    # modulo 1e6 — bit-identical to sampling._bucket_expr
+    def _bucket_sql(seed: str) -> str:
+        return (
+            f"('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 8))"
+            "::BIGINT % 1000000"
+        )
+
+    o["d_sample"] = f"""
+SELECT 'sample' AS part, doc_id, 'kept' AS label FROM documents
+WHERE {_bucket_sql('bzzz')} < 250000
+UNION ALL
+SELECT 'split', doc_id,
+       CASE WHEN {_bucket_sql('bzzz-split')} < 125000
+            THEN 'eval' ELSE 'train' END
+FROM documents
+UNION ALL
+SELECT 'mix', doc_id, 'even' FROM documents
+WHERE doc_id % 2 = 0 AND {_bucket_sql('bzzz-mix:even')} < 500000
+UNION ALL
+SELECT 'mix', doc_id, 'odd' FROM documents
+WHERE doc_id % 2 = 1 AND {_bucket_sql('bzzz-mix:odd')} < 300000
+UNION ALL
+SELECT 'order', doc_id, rank::VARCHAR FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('bzzz-shuffle:' || doc_id::VARCHAR), doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= 50"""
 
     ev_base = f"""
 WITH ev AS (

@@ -1,0 +1,136 @@
+"""Deterministic sampling, splitting, mixing and ordering for
+training-data pipelines.
+
+Everything here is keyed on md5(seed ':' key) — bit-identical in
+Spark, DuckDB and Python — so every decision is:
+
+- reproducible: re-running the pipeline keeps/drops the SAME rows,
+  independent of partitioning, task order, or cluster size (a
+  `rand()`-based sample is none of these);
+- stable under data growth: a doc keeps its sample/split assignment
+  when the corpus around it changes (critical for incremental corpus
+  builds — yesterday's eval doc never silently migrates into train);
+- oracle-checkable: the same arithmetic runs as plain SQL.
+
+Scale shape: each op is one JVM-side hash + filter/orderBy — no
+shuffle for sampling/splitting (the filter pushes into the scan), one
+range-partition shuffle for the global shuffle (that IS the job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 32 uniform bits from the md5 hex prefix; BUCKETS divides the space so
+# rate arithmetic is exact in integers (no float-boundary drift between
+# engines).
+BUCKETS = 1_000_000
+
+
+def _bucket_expr(key_col: str, seed: str) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"),
+                               F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % BUCKETS
+    )
+
+
+def hash_bucket(key: Column | str, seed: str = "bzzz") -> Column:
+    """Uniform bucket in [0, BUCKETS) from md5(seed ':' key).
+
+    First 8 hex chars → 32 uniform bits → modulo; identical in DuckDB as
+    ('0x' || substr(md5(seed || ':' || key), 1, 8))::BIGINT % BUCKETS.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key) if isinstance(key, str) else key))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+    ).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    seed: str = "bzzz",
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows, keyed on key_col.
+
+    Unlike df.sample(), membership is a pure function of (seed, key):
+    stable across runs, partitionings and cluster sizes, and the filter
+    is a JVM-side expression that pushes into the scan (no shuffle).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(round(rate * BUCKETS))
+    return df.filter(_bucket_expr(key_col, seed) < cut)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    eval_frac: float = 0.01,
+    seed: str = "bzzz-split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label each row 'train' / 'eval' deterministically by key hash.
+
+    The held-out set is a property of the KEY, not of this run: docs
+    keep their split when the corpus is rebuilt or extended, which is
+    what makes the eval set trustworthy over time.
+    """
+    if not 0.0 <= eval_frac <= 1.0:
+        raise ValueError(f"eval_frac must be in [0, 1], got {eval_frac}")
+    cut = int(round(eval_frac * BUCKETS))
+    bucket = _bucket_expr(key_col, seed)
+    return df.withColumn(
+        out_col, F.when(bucket < cut, F.lit("eval")).otherwise(F.lit("train"))
+    )
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, str, float]],
+    key_col: str = "doc_id",
+    seed: str = "bzzz-mix",
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Weighted deterministic corpus mixing: each (df, name, weight)
+    contributes a hash_sample at its weight, tagged with `source_col`.
+
+    The standard pretraining-mixture op (sample each source at its
+    mixture rate, union, then globally shuffle for training order).
+    Weights are per-source KEEP RATES in [0, 1], not relative
+    proportions — callers converting token budgets to rates do so
+    upstream.  Per-source seeds derive from (seed, name) so re-weighting
+    one source never reshuffles another's membership.
+    """
+    parts = []
+    for df, name, weight in sources:
+        parts.append(
+            hash_sample(df, weight, key_col, seed=f"{seed}:{name}")
+            .withColumn(source_col, F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "bzzz-shuffle",
+) -> DataFrame:
+    """Global pseudo-random training order, reproducible from (seed,
+    key): ORDER BY md5(seed ':' key).  One range-partition shuffle —
+    that shuffle IS the operation; re-seeding gives an independent
+    order.  Ties (duplicate keys) break by the key itself.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    return df.orderBy(h.asc(), F.col(key_col).asc())

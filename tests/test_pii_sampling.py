@@ -1,0 +1,180 @@
+"""PII redaction and deterministic sampling/splitting/mixing/ordering.
+
+Cross-engine discipline: the PII patterns and the md5-bucket arithmetic
+are checked against plain-Python re/hashlib as an independent third
+implementation (the driver gate already compares Spark vs DuckDB).
+"""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bzzz_spark.functions.pii import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    PLACEHOLDERS,
+    pii_profile,
+    redact_pii,
+)
+from bzzz_spark.functions.sampling import (
+    BUCKETS,
+    assign_split,
+    deterministic_shuffle,
+    hash_bucket,
+    hash_sample,
+    mix_corpora,
+)
+
+PII_TEXTS = [
+    (0, "mail jo.h-n+x@ex-ample.co.uk today"),
+    (1, "server at 10.0.255.3 and backup at 192.168.1.1"),
+    (2, "call +1 415-555-0199 or (06) 1234 5678 now"),
+    (3, "no pii: 3.14, v1.2.3, a@b, 12345678901234567890"),
+    (4, "mixed bob@corp.io on 172.16.0.9 tel 020-7946-0958"),
+    (5, ""),
+    (6, "two mails x@y.de y@z.fr and 1.2.3.4.5 is not an ip... "
+        "wait 1.2.3.4 inside it IS by leftmost match"),
+]
+
+
+def _py_redact(text):
+    for name, pat in (("email", EMAIL_RE), ("ipv4", IPV4_RE),
+                      ("phone", PHONE_RE)):
+        text = re.sub(pat, PLACEHOLDERS[name], text)
+    return text
+
+
+def _py_counts(text):
+    return {
+        "n_email": len(re.findall(EMAIL_RE, text)),
+        "n_ipv4": len(re.findall(IPV4_RE, text)),
+        "n_phone": len(re.findall(PHONE_RE, text)),
+    }
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(PII_TEXTS, ["doc_id", "text"])
+
+
+class TestPII:
+    def test_profile_matches_python_re(self, spark, pii_df):
+        rows = {r["doc_id"]: r for r in pii_profile(pii_df).collect()}
+        for doc_id, text in PII_TEXTS:
+            exp = _py_counts(text)
+            got = rows[doc_id]
+            assert got["n_email"] == exp["n_email"], (doc_id, text)
+            assert got["n_ipv4"] == exp["n_ipv4"], (doc_id, text)
+            assert got["n_phone"] == exp["n_phone"], (doc_id, text)
+            assert got["text_redacted"] == _py_redact(text), (doc_id, text)
+            assert got["has_pii"] == (sum(exp.values()) > 0)
+
+    def test_email_redacted_before_looser_patterns(self, spark):
+        # the digits/dots inside an email must become <EMAIL>, never
+        # partially <IP>/<PHONE>
+        df = spark.createDataFrame(
+            [(0, "write 10.0.0.1.user@host2.example.com please")],
+            ["doc_id", "text"],
+        )
+        out = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+        assert "<EMAIL>" in out
+        assert "@" not in out
+
+    def test_versions_and_floats_survive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "pi is 3.14159 and we ship v2.10.3 on port 8080")],
+            ["doc_id", "text"],
+        )
+        out = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+        assert out == "pi is 3.14159 and we ship v2.10.3 on port 8080"
+
+
+def _py_bucket(key, seed):
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+    return int(h[:8], 16) % BUCKETS
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.range(2000).select(F.col("id").alias("doc_id"))
+
+
+class TestSampling:
+    def test_bucket_matches_hashlib(self, spark, keys_df):
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in keys_df.select(
+                "doc_id", hash_bucket("doc_id", seed="s1")
+            ).collect()
+        }
+        for k in (0, 1, 7, 999, 1999):
+            assert got[k] == _py_bucket(k, "s1")
+
+    def test_sample_partitioning_invariant(self, spark, keys_df):
+        a = {r["doc_id"] for r in
+             hash_sample(keys_df.repartition(1), 0.3, "doc_id").collect()}
+        b = {r["doc_id"] for r in
+             hash_sample(keys_df.repartition(7), 0.3, "doc_id").collect()}
+        assert a == b
+        # rate lands near 0.3 on 2000 uniform keys
+        assert 0.25 < len(a) / 2000 < 0.35
+
+    def test_sample_rates_are_nested(self, spark, keys_df):
+        # bucket < cut ⇒ the 10% sample is a subset of the 30% sample:
+        # growing a mixture weight only ADDS docs, never swaps them
+        small = {r["doc_id"] for r in
+                 hash_sample(keys_df, 0.1, "doc_id").collect()}
+        big = {r["doc_id"] for r in
+               hash_sample(keys_df, 0.3, "doc_id").collect()}
+        assert small <= big
+
+    def test_sample_rate_bounds(self, spark, keys_df):
+        with pytest.raises(ValueError):
+            hash_sample(keys_df, 1.5, "doc_id")
+        assert hash_sample(keys_df, 0.0, "doc_id").count() == 0
+        assert hash_sample(keys_df, 1.0, "doc_id").count() == 2000
+
+    def test_split_stable_under_corpus_growth(self, spark, keys_df):
+        # a doc's split is a function of its KEY: rebuilding the corpus
+        # with extra rows never migrates an existing doc across splits
+        full = assign_split(keys_df, "doc_id", eval_frac=0.2)
+        half = assign_split(
+            keys_df.filter(F.col("doc_id") < 1000), "doc_id", eval_frac=0.2
+        )
+        f = {r["doc_id"]: r["split"] for r in full.collect()}
+        for r in half.collect():
+            assert f[r["doc_id"]] == r["split"]
+        assert set(f.values()) == {"train", "eval"}
+
+    def test_mix_membership_independent_per_source(self, spark, keys_df):
+        even = keys_df.filter(F.col("doc_id") % 2 == 0)
+        odd = keys_df.filter(F.col("doc_id") % 2 == 1)
+        m1 = mix_corpora([(even, "a", 0.5), (odd, "b", 0.4)])
+        m2 = mix_corpora([(even, "a", 0.5), (odd, "b", 0.8)])
+        a1 = {r["doc_id"] for r in m1.filter(F.col("source_name") == "a").collect()}
+        a2 = {r["doc_id"] for r in m2.filter(F.col("source_name") == "a").collect()}
+        # re-weighting source b never reshuffles source a's membership
+        assert a1 == a2
+        b1 = {r["doc_id"] for r in m1.filter(F.col("source_name") == "b").collect()}
+        b2 = {r["doc_id"] for r in m2.filter(F.col("source_name") == "b").collect()}
+        assert b1 <= b2  # nested rates again
+
+    def test_shuffle_reproducible_and_seeded(self, spark, keys_df):
+        o1 = [r["doc_id"] for r in
+              deterministic_shuffle(keys_df.repartition(1), "doc_id").collect()]
+        o2 = [r["doc_id"] for r in
+              deterministic_shuffle(keys_df.repartition(5), "doc_id").collect()]
+        assert o1 == o2  # partitioning-independent total order
+        assert sorted(o1) == list(range(2000))
+        o3 = [r["doc_id"] for r in
+              deterministic_shuffle(keys_df, "doc_id", seed="other").collect()]
+        assert o3 != o1  # re-seeding gives an independent order
+        # matches the hashlib order
+        exp = sorted(
+            range(2000),
+            key=lambda k: (hashlib.md5(f"bzzz-shuffle:{k}".encode()).hexdigest(), k),
+        )
+        assert o1 == exp
