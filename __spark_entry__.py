@@ -527,12 +527,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("total"))
         )
 
-    def q_dictionary(spark, sf):
-        return _index(spark, sf).dictionary.select("term", "df", "cf")
-
-    def q_stats(spark, sf):
+    def q_index_meta(spark, sf):
+        # S10 index metadata as ONE entry (50-row budget):
+        #   part='dict'   full term dictionary (term, df, cf)
+        #   part='stats'  corpus stats (n_docs, avgdl) folded into the
+        #                 same shape: key='', df=n_docs, x=avgdl
         idx = _index(spark, sf)
-        return idx.stats.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+        d = idx.dictionary.select(
+            F.lit("dict").alias("part"), F.col("term").alias("key"),
+            "df", "cf", F.lit(None).cast("double").alias("x"),
+        )
+        s = idx.stats.select(
+            F.lit("stats").alias("part"), F.lit("").alias("key"),
+            F.col("n_docs").cast("long").alias("df"),
+            F.lit(None).cast("long").alias("cf"),
+            F.round("avgdl", 6).alias("x"),
+        )
+        return d.unionByName(s)
 
     # --- training-data pipeline operators ---
     def d_dedup_exact(spark, sf):
@@ -718,6 +729,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("text"),
         )
         return pii_profile(docs.unionByName(pii))
+
+    def d_clean(spark, sf):
+        # C4 line filtering + Gopher quality flags in one pass.  The
+        # synthetic corpus is single-line with no terminal punctuation
+        # (every natural doc keeps 0 lines), so union a deterministic
+        # multi-line block derived from doc_id: a too-short line, a
+        # javascript boilerplate line, an unpunctuated bullet, one good
+        # sentence, and doc_id-gated lorem-ipsum / curly-brace tails.
+        from bzzz_spark.functions.cleaning import c4_clean, gopher_flags
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        aug = docs.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit("\nshort line"
+                      "\nThis page requires Javascript to view properly."
+                      "\n- bullet item without punctuation"
+                      "\nA good closing sentence with plenty of words"
+                      " here."),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("\nlorem ipsum dolor sit amet etc.")
+                       ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.lit("\ncode { sample } trailing...")
+                       ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return gopher_flags(c4_clean(docs.unionByName(aug))).drop("text")
 
     def d_sample(spark, sf):
         # deterministic sampling/splitting/mixing/ordering as ONE entry:
@@ -989,12 +1029,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_facets=q_facets,
         q_spatial=q_spatial,
         p_payload_state=p_payload_state, p_result_state=p_result_state,
-        q_total_hits=q_total_hits, q_dictionary=q_dictionary, q_stats=q_stats,
+        q_total_hits=q_total_hits, q_index_meta=q_index_meta,
         d_dedup_exact=d_dedup_exact, d_near_dup_cosine=d_near_dup_cosine,
         d_minhash_lsh=d_minhash_lsh,
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
         d_decontam=d_decontam, d_clusters=d_clusters,
-        d_pii=d_pii, d_sample=d_sample,
+        d_pii=d_pii, d_sample=d_sample, d_clean=d_clean,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -1537,8 +1577,8 @@ SELECT count(*) AS total FROM (
   SELECT doc_id FROM tf WHERE term IN ('scan', 'agg')
   GROUP BY doc_id HAVING count(*) = 2
 )"""
-    o["q_dictionary"] = f"""{_BASE}
-SELECT term, df, cf FROM (
+    o["q_index_meta"] = f"""{_BASE}
+SELECT 'dict' AS part, term AS key, df, cf, NULL::DOUBLE AS x FROM (
   SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
   UNION ALL
   SELECT 'lang:' || lower(lang), count(*), count(*)::BIGINT
@@ -1546,10 +1586,10 @@ SELECT term, df, cf FROM (
   UNION ALL
   SELECT 'source:' || lower(source), count(*), count(*)::BIGINT
   FROM documents GROUP BY source
-)"""
-    o["q_stats"] = f"""{_BASE}
-SELECT (SELECT count(*) FROM documents) AS n_docs,
-       round((SELECT avgdl FROM stats), 6) AS avgdl"""
+)
+UNION ALL
+SELECT 'stats', '', (SELECT count(*) FROM documents), NULL::BIGINT,
+       round((SELECT avgdl FROM stats), 6)"""
 
     o["d_dedup_exact"] = """
 WITH alldocs AS (
@@ -1852,6 +1892,79 @@ SELECT doc_id,
     + len(regexp_extract_all(text, '{IPV4_RE}'))
     + len(regexp_extract_all(text, '{PHONE_RE}')) > 0 AS has_pii
 FROM alldocs"""
+
+    # C4 line filter + Gopher flags (functions/cleaning.py); regexes
+    # are Java-regex/RE2-common.  coalesce: DuckDB's array_to_string of
+    # an empty list is NULL where Spark's array_join gives ''.
+    _wl = "(CASE WHEN len(words) > 0 THEN len(words) END)"
+    _ll = "(CASE WHEN len(lines) > 0 THEN len(lines) END)"
+    _gop = {
+        "mwl": f"round(list_sum(list_transform(words, w -> len(w)))::DOUBLE"
+               f" / {_wl}, 6)",
+        "sym": f"round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE"
+               f" / {_wl}, 6)",
+        "bul": f"round(len(list_filter(lines, l -> regexp_matches(l,"
+               f" '^\\s*[-*•]')))::DOUBLE / {_ll}, 6)",
+        "ell": f"round(len(list_filter(lines, l -> regexp_matches(l,"
+               f" '\\.\\.\\.\\s*$')))::DOUBLE / {_ll}, 6)",
+        "alp": f"round(len(list_filter(words, w -> regexp_matches(w,"
+               f" '[A-Za-z]')))::DOUBLE / {_wl}, 6)",
+        "stp": "len(list_intersect(list_distinct(list_transform(words,"
+               " w -> lower(w))), ['the','and','of','to','a','in','is',"
+               "'it','you','that']))",
+    }
+    o["d_clean"] = f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         text || chr(10) || 'short line' || chr(10) ||
+         'This page requires Javascript to view properly.' || chr(10) ||
+         '- bullet item without punctuation' || chr(10) ||
+         'A good closing sentence with plenty of words here.' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'lorem ipsum dolor sit amet etc.'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'code {{ sample }} trailing...'
+              ELSE '' END
+  FROM documents WHERE doc_id < 15
+),
+base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS words
+  FROM alldocs
+),
+c4 AS (
+  SELECT *,
+    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+      AND (CASE WHEN trim(l) = '' THEN 0
+                ELSE len(string_split_regex(trim(l), '\\s+')) END) >= 5
+      AND NOT regexp_matches(lower(l),
+              'javascript|cookie policy|terms of use')) AS kept
+  FROM base
+)
+SELECT doc_id,
+  len(lines)::INT AS n_lines, len(kept)::INT AS n_kept_lines,
+  coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+  regexp_matches(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{{') AS has_curly,
+  len(kept) >= 1 AND NOT regexp_matches(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{{') AS c4_keep,
+  len(words)::INT AS n_words,
+  {_gop['mwl']} AS mean_word_len,
+  {_gop['sym']} AS symbol_ratio,
+  {_gop['bul']} AS frac_bullet_lines,
+  {_gop['ell']} AS frac_ellipsis_lines,
+  {_gop['alp']} AS frac_alpha_words,
+  {_gop['stp']}::INT AS n_stop_hits,
+  (len(words) BETWEEN 50 AND 100000)
+    AND ({_gop['mwl']} BETWEEN 3.0 AND 10.0)
+    AND {_gop['sym']} <= 0.1 AND {_gop['bul']} <= 0.9
+    AND {_gop['ell']} <= 0.3 AND {_gop['alp']} >= 0.8
+    AND {_gop['stp']} >= 2 AS gopher_keep
+FROM c4"""
 
     # bucket arithmetic: first 8 md5 hex chars → 32 uniform bits →
     # modulo 1e6 — bit-identical to sampling._bucket_expr
