@@ -178,3 +178,46 @@ class TestSampling:
             key=lambda k: (hashlib.md5(f"bzzz-shuffle:{k}".encode()).hexdigest(), k),
         )
         assert o1 == exp
+
+
+# --- randomized parity fuzz: Spark vs plain-Python on generated text ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_frag = st.sampled_from([
+    "plain words here", "a@b.co", "x.y-z@mail.example.org", "10.0.0.1",
+    "999.999.999.999", "256.1.2.3", "+44 20-7946 0958", "415-555-0199",
+    "v1.2.3", "3.14159", "...", "# sym", "12345", "a.b", "@", ".",
+    "tel: (02) 9374 4000", "-", "• bullet", "the and of", "\n", " ",
+])
+_text = st.lists(_frag, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_fuzz_pii_matches_python_re(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_profile(df).collect()}
+    for i, t in enumerate(texts):
+        exp = _py_counts(t)
+        assert got[i]["n_email"] == exp["n_email"], t
+        assert got[i]["n_ipv4"] == exp["n_ipv4"], t
+        assert got[i]["n_phone"] == exp["n_phone"], t
+        assert got[i]["text_redacted"] == _py_redact(t), t
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=126),
+                        min_size=0, max_size=30),
+                min_size=1, max_size=20, unique=True),
+       st.sampled_from(["s1", "s2", "long:seed"]))
+def test_fuzz_bucket_matches_hashlib(spark, keys, seed):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["k"]: r["bucket"]
+           for r in df.select("k", hash_bucket("k", seed=seed)).collect()}
+    for k in keys:
+        assert got[k] == _py_bucket(k, seed), (k, seed)
