@@ -30,6 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from bzzz_spark.build.indexer import IndexConfig, build_index  # noqa: E402
 from bzzz_spark.fixtures import synth_transcripts_spark  # noqa: E402
 from bzzz_spark.query import ast  # noqa: E402
@@ -224,6 +226,36 @@ def main() -> None:
     doc_jobs["q_facet_lang"] = lambda: facet_counts(
         idx, ast.Term("dup"), "lang"
     ).collect()
+
+    # map-stage training-pipeline ops over the documents table: pure
+    # column expressions, so the number is scan+expression throughput
+    # (the 100 TB shape — no shuffle, no Python)
+    def _pii_scan():
+        from bzzz_spark.functions.pii import pii_profile
+
+        pii_profile(docs).agg(
+            F.sum(F.col("has_pii").cast("int")),
+            F.sum(F.length("text_redacted")),
+        ).collect()
+
+    def _clean_scan():
+        from bzzz_spark.functions.cleaning import c4_clean, gopher_flags
+
+        gopher_flags(c4_clean(docs)).agg(
+            F.sum(F.col("c4_keep").cast("int")),
+            F.sum(F.col("gopher_keep").cast("int")),
+            F.sum("n_words"),
+        ).collect()
+
+    def _sample_scan():
+        from bzzz_spark.functions.sampling import assign_split, hash_sample
+
+        hash_sample(docs, 0.25, "doc_id").count()
+        assign_split(docs, "doc_id").groupBy("split").count().collect()
+
+    doc_jobs["d_pii_scan"] = _pii_scan
+    doc_jobs["d_clean_scan"] = _clean_scan
+    doc_jobs["d_sample_scan"] = _sample_scan
     timings.update(min_of_interleaved(doc_jobs, N_QUERY_REPS))
 
     # 2. transcript-corpus build throughput (the BASELINE.md headline).
