@@ -169,3 +169,51 @@ def test_streaming_ops_also_correct_in_batch_mode(spark):
         for r in streaming_turn_stats(df).collect()
     }
     assert got == {("2026-01-01 00:00:00", "user"): (2, 4)}
+
+
+def test_streaming_map_stage_ops_compose(spark, tmp_path):
+    """The stateless pipeline ops (PII scrub, C4/Gopher cleaning,
+    hash-bucket splitting) are pure column expressions, so they must
+    run unchanged inside a streaming query — the shape an ingest-time
+    scrub/filter/split pipeline uses."""
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.functions.cleaning import c4_clean, gopher_flags
+    from bzzz_spark.functions.pii import pii_profile
+    from bzzz_spark.functions.sampling import assign_split
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("c0", 0, "user", "Mail me at a@b.co with the result please.",
+         "", "2026-01-01 00:00:00"),
+        ("c0", 1, "assistant", "Done. The server is 10.0.0.1 as you said.",
+         "", "2026-01-01 00:00:10"),
+        ("c1", 0, "user", "no punctuation no keep", "",
+         "2026-01-01 00:01:00"),
+    ]
+    _rows(spark, rows).write.mode("overwrite").parquet(src)
+
+    def transform(stream):
+        docs = stream.select(
+            F.concat_ws("-", "conv_id",
+                        F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
+        out = gopher_flags(c4_clean(pii_profile(docs).withColumnRenamed(
+            "text_redacted", "text")))
+        return assign_split(out, "doc_id").select(
+            "doc_id", "n_email", "n_ipv4", "c4_keep", "split", "text")
+
+    got = {
+        r["doc_id"]: r
+        for r in _run_stream(
+            spark, src, str(tmp_path / "ckpt"), transform, "scrub_sink"
+        ).collect()
+    }
+    assert len(got) == 3
+    assert got["c0-0"]["n_email"] == 1
+    assert "<EMAIL>" in got["c0-0"]["text"]
+    assert got["c0-1"]["n_ipv4"] == 1 and "<IP>" in got["c0-1"]["text"]
+    assert got["c0-0"]["c4_keep"] and got["c0-1"]["c4_keep"]
+    assert not got["c1-0"]["c4_keep"]
+    assert all(r["split"] in ("train", "eval") for r in got.values())
