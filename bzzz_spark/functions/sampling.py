@@ -134,3 +134,71 @@ def deterministic_shuffle(
     """
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
     return df.orderBy(h.asc(), F.col(key_col).asc())
+
+
+def rates_from_token_budgets(
+    available_tokens: dict[str, int],
+    budget_tokens: dict[str, int],
+) -> dict[str, float]:
+    """Convert per-source token budgets into the keep-rates
+    `mix_corpora` consumes: rate = min(1, budget / available).
+
+    Pure driver-side arithmetic (the dicts come from a token-count agg
+    like text.text_profile's n_tokens sum).  A budget above what the
+    source holds clips to 1.0 — up-sampling (epochs > 1) is a training
+    -loader concern, not a corpus-membership one.
+    """
+    rates = {}
+    for name, budget in budget_tokens.items():
+        if name not in available_tokens:
+            raise KeyError(f"no token count for source {name!r}")
+        avail = available_tokens[name]
+        if avail < 0 or budget < 0:
+            raise ValueError(f"negative token count for {name!r}")
+        rates[name] = 1.0 if avail == 0 else min(1.0, budget / avail)
+    return rates
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str,
+    key_col: str,
+    seed: str = "bzzz-strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each `strat_col` value keeps
+    its own rate (e.g. per-language or per-source rates from
+    rates_from_token_budgets).  Strata absent from `rates` use
+    `default_rate` (0.0 = drop, 1.0 = pass through).
+
+    One JVM-side hash + a CASE over the stratum column — still a pure
+    map stage, no shuffle, and membership stays a function of
+    (seed, stratum, key): re-tuning one stratum's rate never reshuffles
+    another's, and raising a rate only ADDS rows (nested cuts).
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cut = F.lit(int(round(default_rate * BUCKETS)))
+    for name, rate in rates.items():
+        cut = F.when(
+            F.col(strat_col) == name, F.lit(int(round(rate * BUCKETS)))
+        ).otherwise(cut)
+    # per-stratum seed: reusing the stratum value in the hash key keeps
+    # the cuts independent across strata even for the same doc key
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(strat_col),
+                               F.lit(":"),
+                               F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % BUCKETS
+    )
+    return df.filter(bucket < cut)

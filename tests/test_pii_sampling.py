@@ -221,3 +221,48 @@ def test_fuzz_bucket_matches_hashlib(spark, keys, seed):
            for r in df.select("k", hash_bucket("k", seed=seed)).collect()}
     for k in keys:
         assert got[k] == _py_bucket(k, seed), (k, seed)
+
+
+class TestStratified:
+    def test_rates_from_token_budgets(self):
+        from bzzz_spark.functions.sampling import rates_from_token_budgets
+
+        r = rates_from_token_budgets(
+            {"web": 1000, "code": 100, "empty": 0},
+            {"web": 250, "code": 500, "empty": 10},
+        )
+        assert r == {"web": 0.25, "code": 1.0, "empty": 1.0}
+        with pytest.raises(KeyError):
+            rates_from_token_budgets({"web": 1}, {"other": 1})
+
+    def test_per_stratum_rates_and_independence(self, spark):
+        from bzzz_spark.functions.sampling import stratified_sample
+
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        )
+        out = stratified_sample(df, {"en": 0.5, "de": 0.1}, "lang", "doc_id")
+        by = {r["lang"]: r["count"]
+              for r in out.groupBy("lang").count().collect()}
+        assert 0.4 < by["en"] / 2000 < 0.6
+        assert 0.05 < by["de"] / 2000 < 0.15
+        # re-tuning de's rate never reshuffles en's membership
+        out2 = stratified_sample(df, {"en": 0.5, "de": 0.9}, "lang", "doc_id")
+        en1 = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+        en2 = {r["doc_id"] for r in out2.filter(F.col("lang") == "en").collect()}
+        assert en1 == en2
+        # nested cuts within a stratum
+        de1 = {r["doc_id"] for r in out.filter(F.col("lang") == "de").collect()}
+        de2 = {r["doc_id"] for r in out2.filter(F.col("lang") == "de").collect()}
+        assert de1 <= de2
+
+    def test_default_rate_for_unlisted_strata(self, spark):
+        from bzzz_spark.functions.sampling import stratified_sample
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("fr").alias("lang"))
+        assert stratified_sample(df, {"en": 1.0}, "lang", "doc_id").count() == 0
+        assert stratified_sample(
+            df, {"en": 0.0}, "lang", "doc_id", default_rate=1.0
+        ).count() == 100
