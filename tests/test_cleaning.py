@@ -126,3 +126,29 @@ class TestGopher:
     def test_empty_doc_fails_not_errors(self, clean_df):
         r = [x for x in clean_df.collect() if x["doc_id"] == 3][0]
         assert r["gopher_keep"] is False  # via word-count bound, no NaN
+
+
+def test_map_stage_ops_have_no_exchange(spark):
+    """The 100 TB scale claim for pii/cleaning/sampling rests on them
+    being pure map stages: the physical plan must contain no Exchange
+    (deterministic_shuffle is the one op whose JOB is an exchange)."""
+    from bzzz_spark.functions.pii import pii_profile
+    from bzzz_spark.functions.sampling import (
+        assign_split, hash_sample, stratified_sample,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("words with a period.").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    plans = {
+        "pii": pii_profile(df),
+        "clean": gopher_flags(c4_clean(df)),
+        "sample": hash_sample(df, 0.5, "doc_id"),
+        "split": assign_split(df, "doc_id"),
+        "strat": stratified_sample(df, {"en": 0.5}, "lang", "doc_id"),
+    }
+    for name, out in plans.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (name, plan)
