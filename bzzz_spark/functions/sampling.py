@@ -110,6 +110,8 @@ def mix_corpora(
     upstream.  Per-source seeds derive from (seed, name) so re-weighting
     one source never reshuffles another's membership.
     """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
     parts = []
     for df, name, weight in sources:
         parts.append(
@@ -176,6 +178,10 @@ def stratified_sample(
     map stage, no shuffle, and membership stays a function of
     (seed, stratum, key): re-tuning one stratum's rate never reshuffles
     another's, and raising a rate only ADDS rows (nested cuts).
+
+    Rows with a NULL stratum are dropped (NULL hashes to NULL, which
+    never passes the cut) — filter them up front to treat them
+    differently.
     """
     for name, rate in rates.items():
         if not 0.0 <= rate <= 1.0:
