@@ -728,7 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lpad(F.col("doc_id").cast("string"), 2, "0"),
             ).alias("text"),
         )
-        return pii_profile(docs.unionByName(pii))
+        return pii_profile(docs.unionByName(pii)).drop("text")
 
     def d_clean(spark, sf):
         # C4 line filtering + Gopher quality flags in one pass.  The
@@ -1931,16 +1931,17 @@ WITH alldocs AS (
   FROM documents WHERE doc_id < 15
 ),
 base AS (
-  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
-         CASE WHEN trim(text) = '' THEN []
-              ELSE string_split_regex(trim(text), '\\s+') END AS words
+  SELECT doc_id, text,
+         string_split_regex(text, '\\r?\\n') AS lines,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w != '') AS words
   FROM alldocs
 ),
 c4 AS (
   SELECT *,
     list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
-      AND (CASE WHEN trim(l) = '' THEN 0
-                ELSE len(string_split_regex(trim(l), '\\s+')) END) >= 5
+      AND len(list_filter(string_split_regex(l, '\\s+'),
+                          w -> w != '')) >= 5
       AND NOT regexp_matches(lower(l),
               'javascript|cookie policy|terms of use')) AS kept
   FROM base

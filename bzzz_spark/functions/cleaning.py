@@ -48,11 +48,17 @@ GOPHER_OUTPUT_COLS = ("n_words", "mean_word_len", "symbol_ratio",
                       "frac_alpha_words", "n_stop_hits", "gopher_keep")
 
 
+# split on \r?\n so CRLF text tokenizes into \r-free lines — Java's $
+# matches before a trailing \r where RE2's does not, so lines must
+# never carry one (text_clean consequently normalizes newlines to \n)
+LINE_SPLIT_RE = r"\r?\n"
+
+
 def _words(text: Column) -> Column:
-    # '' splits to [''] — the when-guard keeps n_words = 0 exact
-    return F.when(
-        F.trim(text) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), r"\s+"))
+    # split-then-drop-empties instead of trim+split: Spark's trim only
+    # strips SPACES, so a leading tab/newline would otherwise produce a
+    # phantom '' word that inflates n_words and every ratio
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
 def _guard_clash(df: DataFrame, reserved: tuple[str, ...], op: str) -> None:
@@ -83,7 +89,7 @@ def c4_clean(
     """
     _guard_clash(df, C4_OUTPUT_COLS, "c4_clean")
     text = F.col(text_col)
-    lines = F.split(text, "\n")
+    lines = F.split(text, LINE_SPLIT_RE)
     kept = F.filter(
         lines,
         lambda l: l.rlike(TERMINAL_PUNCT_RE)
@@ -129,7 +135,7 @@ def gopher_flags(
     _guard_clash(df, GOPHER_OUTPUT_COLS, "gopher_flags")
     text = F.col(text_col)
     words = _words(text)
-    lines = F.split(text, "\n")
+    lines = F.split(text, LINE_SPLIT_RE)
     n_words = F.size(words)
     n_lines = F.size(lines)
     safe_w = F.when(n_words > 0, n_words.cast("double"))

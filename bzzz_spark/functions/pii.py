@@ -26,7 +26,17 @@ EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 # international-ish: optional +CC, then 8-14 digits broken by at most
 # single separators — anchored on word boundaries to avoid eating
-# arbitrary digit runs inside identifiers
+# arbitrary digit runs inside identifiers.
+#
+# PINNED \b CAVEAT: Java's \b (Spark) is Unicode-aware — 'ü' counts as
+# a word char, so 'ü10.0.0.1' contains NO IP by Java's reading — while
+# RE2's \b (DuckDB) is ASCII, which would match there.  Python 3's
+# default re agrees with Java.  The engines are byte-identical on text
+# where PII tokens abut ASCII or whitespace (all of the oracle corpus);
+# a non-ASCII word character directly touching a token is the one
+# divergent case — there the Unicode reading redacts LESS (no boundary,
+# no match); pipelines that care should normalize such punctuation
+# upstream before the scrub.
 PHONE_RE = r"\+?\b[0-9]{2,4}(?:[-. ()][0-9]{2,4}){2,4}\b"
 
 PLACEHOLDERS = {
@@ -58,18 +68,23 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
-def pii_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """One row per doc: counts per PII category, a has_pii flag, and
-    the redacted text — the columnar scrub report a pipeline persists
-    next to the cleaned corpus."""
-    counts = pii_counts(text_col)
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        *(c for c in counts.values()),
-        redact_pii(text_col).alias("text_redacted"),
-    )
+PII_OUTPUT_COLS = ("n_email", "n_ipv4", "n_phone", "text_redacted",
+                   "has_pii")
+
+
+def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-category PII counts, a has_pii flag, and the redacted
+    text — the columnar scrub report a pipeline persists next to the
+    cleaned corpus.  Input columns pass through unchanged (so downstream
+    stages keep their source/lang/id columns); the output columns are
+    reserved and raise on clash, like the cleaning ops."""
+    from bzzz_spark.functions.cleaning import _guard_clash
+
+    _guard_clash(df, PII_OUTPUT_COLS, "pii_profile")
+    out = df
+    for name, col in pii_counts(text_col).items():
+        out = out.withColumn(f"n_{name}", col)
+    out = out.withColumn("text_redacted", redact_pii(text_col))
     return out.withColumn(
         "has_pii",
         (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0,

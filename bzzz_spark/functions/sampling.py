@@ -28,12 +28,13 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
-def _bucket_expr(key_col: str, seed: str) -> Column:
+def _bucket_of(key: Column, seed: str) -> Column:
+    """THE bucket arithmetic — every sampler routes through here so the
+    md5-prefix width / BUCKETS can only ever change in one place."""
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"),
-                               F.col(key_col).cast("string"))),
+                F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))),
                 1, 8,
             ),
             16, 10,
@@ -42,15 +43,18 @@ def _bucket_expr(key_col: str, seed: str) -> Column:
     )
 
 
+def _bucket_expr(key_col: str, seed: str) -> Column:
+    return _bucket_of(F.col(key_col), seed)
+
+
 def hash_bucket(key: Column | str, seed: str = "bzzz") -> Column:
     """Uniform bucket in [0, BUCKETS) from md5(seed ':' key).
 
     First 8 hex chars → 32 uniform bits → modulo; identical in DuckDB as
     ('0x' || substr(md5(seed || ':' || key), 1, 8))::BIGINT % BUCKETS.
     """
-    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key) if isinstance(key, str) else key))
-    return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+    return _bucket_of(
+        F.col(key) if isinstance(key, str) else key, seed
     ).alias("bucket")
 
 
@@ -87,6 +91,11 @@ def assign_split(
     """
     if not 0.0 <= eval_frac <= 1.0:
         raise ValueError(f"eval_frac must be in [0, 1], got {eval_frac}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"assign_split would overwrite existing column {out_col!r} — "
+            "drop it or pass a different out_col"
+        )
     cut = int(round(eval_frac * BUCKETS))
     bucket = _bucket_expr(key_col, seed)
     return df.withColumn(
@@ -195,16 +204,9 @@ def stratified_sample(
         ).otherwise(cut)
     # per-stratum seed: reusing the stratum value in the hash key keeps
     # the cuts independent across strata even for the same doc key
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(strat_col),
-                               F.lit(":"),
-                               F.col(key_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        % BUCKETS
+    bucket = _bucket_of(
+        F.concat(F.col(strat_col), F.lit(":"),
+                 F.col(key_col).cast("string")),
+        seed,
     )
     return df.filter(bucket < cut)

@@ -30,23 +30,32 @@ DOCS = [
     (4, "no punctuation no keep"),
     (5, "#### #### #### symbols dominate this one completely here....\n"
         "But this line is a normal kept sentence with many words."),
+    # CRLF + leading-tab torture: lines must tokenize \r-free (Java $
+    # matches before a trailing \r, RE2's does not) and a leading tab
+    # must not create a phantom '' word
+    (6, "\tA tab led line that still ends properly.\r\n"
+        "one two three four.\r\n"
+        "Plenty of words make this line pass the filter fine.\r\n"),
 ]
+
+
+def _py_words(s):
+    return [w for w in re.split(r"\s+", s) if w != ""]
 
 
 def _py_kept(text, min_words=5):
     out = []
-    for line in text.split("\n"):
-        words = [w for w in re.split(r"\s+", line.strip()) if w != ""]
+    for line in re.split(r"\r?\n", text):
         if (re.search(TERMINAL_PUNCT_RE, line)
-                and len(words) >= min_words
+                and len(_py_words(line)) >= min_words
                 and not re.search(C4_BAD_LINE_RE, line.lower())):
             out.append(line)
     return out
 
 
 def _py_gopher(text):
-    words = [] if text.strip() == "" else re.split(r"\s+", text.strip())
-    lines = text.split("\n")
+    words = _py_words(text)
+    lines = re.split(r"\r?\n", text)
     n = len(words)
     mwl = sum(len(w) for w in words) / n if n else None
     sym = len(re.findall(SYMBOL_RE, text)) / n if n else None

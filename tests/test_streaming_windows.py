@@ -199,8 +199,9 @@ def test_streaming_map_stage_ops_compose(spark, tmp_path):
                         F.col("turn_idx").cast("string")).alias("doc_id"),
             "text",
         )
-        out = gopher_flags(c4_clean(pii_profile(docs).withColumnRenamed(
-            "text_redacted", "text")))
+        out = gopher_flags(c4_clean(
+            pii_profile(docs).drop("text")
+            .withColumnRenamed("text_redacted", "text")))
         return assign_split(out, "doc_id").select(
             "doc_id", "n_email", "n_ipv4", "c4_keep", "split", "text")
 
