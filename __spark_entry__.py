@@ -295,14 +295,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.lit("or").alias("part"), "doc_id", "score")
         return top.unionByName(conj).unionByName(disj)
 
-    def q_field_term(spark, sf):
-        # part='scored' — per-field index: keyword field term (norms
-        # disabled → score is the field term's idf) summed with the
-        # text BM25 score (exhaustive plan: scored field terms own the
-        # no-norm scoring).  part='filter' (r4) — the same field term
-        # as a Filtered FILTER arm: membership only, so it rides the
-        # block-max kernel via its 'lang:en' dictionary key and the
-        # score is merge's BM25 alone
+    def q_field(spark, sf):
+        # per-field index suite as ONE entry (50-row budget; r4 fold of
+        # q_field_term + q_field_wildcard to fund d_ppl).
+        # part='scored' — keyword field term (norms disabled → score is
+        # the field term's idf) summed with the text BM25 score
+        # (exhaustive plan: scored field terms own the no-norm scoring).
+        # part='filter' — the same field term as a Filtered FILTER arm:
+        # membership only, so it rides the block-max kernel via its
+        # 'lang:en' dictionary key and the score is merge's BM25 alone.
+        # part='wildcard' — a glob scoped to a keyword field's key
+        # space (constant-score 'any' kernel).
         idx = _index(spark, sf)
         sc = _hits(
             idx,
@@ -316,12 +319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          filter=ast.Term("en", field_name="lang")),
             size=10,
         ).select(F.lit("filter").alias("part"), "doc_id", "score")
-        return sc.unionByName(fl)
-
-    def q_field_wildcard(spark, sf):
-        # wildcard scoped to a keyword field's key space
-        node = ast.Wildcard("src1*", field_name="source")
-        return _hits(_index(spark, sf), node, size=10)
+        wc = _hits(
+            idx, ast.Wildcard("src1*", field_name="source"), size=10
+        ).select(F.lit("wildcard").alias("part"), "doc_id", "score")
+        return sc.unionByName(fl).unionByName(wc)
 
     def q_fuzzy(spark, sf):
         return _hits(_index(spark, sf), ast.Fuzzy("scan", max_edits=1), size=10)
@@ -759,6 +760,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return gopher_flags(c4_clean(docs.unionByName(aug))).drop("text")
 
+    def d_ppl(spark, sf):
+        # CCNet-style quality signal (functions/lm.py): train the add-k
+        # bigram LM on the documents corpus itself, score every doc's
+        # mean token log-probability + perplexity.  min_count=2
+        # exercises the count-cutoff path (singleton bigrams score as
+        # unseen); join mode is the SQL-mirrorable plan the oracle
+        # replays.  Docs with < 2 tokens drop out (nothing to score) —
+        # the oracle's GROUP BY has the same inner semantics.
+        from bzzz_spark.functions.lm import perplexity, train_bigram_lm
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        lm = train_bigram_lm(docs, k=0.5, min_count=2)
+        out = perplexity(docs, lm, mode="join")
+        return out.filter(F.col("n_scored_bigrams") >= 1).select(
+            "doc_id",
+            "n_scored_bigrams",
+            F.round("logprob_per_token", 4).alias("logprob_per_token"),
+            F.round("perplexity", 4).alias("perplexity"),
+        )
+
     def d_sample(spark, sf):
         # deterministic sampling/splitting/mixing/ordering as ONE entry:
         #   part='sample'  hash_sample keep-set at rate 0.25
@@ -1019,7 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_match_all=q_match_all, q_paging=q_paging,
         q_const_nozero=q_const_nozero, q_dismax=q_dismax,
         q_phrase=q_phrase, q_phrase_slop=q_phrase_slop,
-        q_field_term=q_field_term, q_field_wildcard=q_field_wildcard,
+        q_field=q_field,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_batch=q_batch,
         q_custom_score=q_custom_score,
         q_no_norm=q_no_norm, q_expr_score=q_expr_score,
@@ -1034,7 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_minhash_lsh=d_minhash_lsh,
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
         d_decontam=d_decontam, d_clusters=d_clusters,
-        d_pii=d_pii, d_sample=d_sample, d_clean=d_clean,
+        d_pii=d_pii, d_sample=d_sample, d_clean=d_clean, d_ppl=d_ppl,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -1379,14 +1400,15 @@ fs AS (
             10,
         )
     )
-    o["q_field_term"] = (
-        f"SELECT 'scored' AS part, doc_id, score FROM ({field_scored_sql})\n"
-        f"UNION ALL\nSELECT 'filter', doc_id, score FROM ({field_filter_sql})"
-    )
-    o["q_field_wildcard"] = _topk(
+    field_wc_sql = _topk(
         "SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
         "WHERE lower(source) LIKE 'src1%'",
         10,
+    )
+    o["q_field"] = (
+        f"SELECT 'scored' AS part, doc_id, score FROM ({field_scored_sql})\n"
+        f"UNION ALL\nSELECT 'filter', doc_id, score FROM ({field_filter_sql})\n"
+        f"UNION ALL\nSELECT 'wildcard', doc_id, score FROM ({field_wc_sql})"
     )
     wc_top_sql = (
         f"{_BASE}\n"
@@ -1974,6 +1996,43 @@ FROM c4"""
             f"('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 8))"
             "::BIGINT % 1000000"
         )
+
+    # d_ppl — the add-k bigram LM (functions/lm.py) replayed in SQL:
+    # unigram/bigram counts over the pinned tokenizer, HAVING >= 2 is
+    # the count cutoff (min_count=2), unseen pairs coalesce to 0, and
+    # the per-doc fold averages ln P(w2|w1).  Inner GROUP BY drops
+    # docs with < 2 tokens, matching the Spark entry's filter.
+    o["d_ppl"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w FROM toks
+),
+bi_doc AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+uni AS (SELECT w, count(*)::DOUBLE AS c_uni FROM pos GROUP BY w),
+v AS (SELECT count(*)::DOUBLE AS nv FROM uni),
+bi AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c_bi FROM bi_doc
+  GROUP BY w1, w2 HAVING count(*) >= 2
+),
+lp AS (
+  SELECT d.doc_id,
+         ln((coalesce(bi.c_bi, 0) + 0.5) / (u.c_uni + 0.5 * v.nv)) AS lp
+  FROM bi_doc d
+  LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+  JOIN uni u ON u.w = d.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_scored_bigrams,
+       round(avg(lp), 4) AS logprob_per_token,
+       round(exp(-avg(lp)), 4) AS perplexity
+FROM lp GROUP BY doc_id"""
 
     o["d_sample"] = f"""
 SELECT 'sample' AS part, doc_id, 'kept' AS label FROM documents

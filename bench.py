@@ -253,9 +253,21 @@ def main() -> None:
         hash_sample(docs, 0.25, "doc_id").count()
         assign_split(docs, "doc_id").groupBy("split").count().collect()
 
+    def _ppl_scan():
+        # LM quality scoring end-to-end: estimate the bigram LM (two
+        # groupBy counts) + broadcast-mode scoring (pure map stage) —
+        # the deployment shape of the CCNet filter
+        from bzzz_spark.functions.lm import perplexity, train_bigram_lm
+
+        lm = train_bigram_lm(docs, k=0.5, min_count=2)
+        perplexity(docs, lm, mode="broadcast").agg(
+            F.sum("n_scored_bigrams"), F.avg("perplexity")
+        ).collect()
+
     doc_jobs["d_pii_scan"] = _pii_scan
     doc_jobs["d_clean_scan"] = _clean_scan
     doc_jobs["d_sample_scan"] = _sample_scan
+    doc_jobs["d_ppl_scan"] = _ppl_scan
     timings.update(min_of_interleaved(doc_jobs, N_QUERY_REPS))
 
     # 2. transcript-corpus build throughput (the BASELINE.md headline).

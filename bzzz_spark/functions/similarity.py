@@ -143,6 +143,9 @@ def train_centroids(
     wall-clock-free → the same table always trains the same centroids,
     so bucket assignments are reproducible across jobs (required for
     partition-pruned IVF tables)."""
+    # orderBy + limit LOOKS like a full corpus sort but is not: Spark
+    # plans it as TakeOrderedAndProject — a bounded per-partition
+    # top-64k heap + one driver merge, no global sort-exchange
     sample = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
