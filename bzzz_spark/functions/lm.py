@@ -51,7 +51,6 @@ equality); pick per deployment.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -201,34 +200,50 @@ def _perplexity_broadcast(
     )
 
     def run(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         from bzzz_spark.analysis.tokenizer import py_tokenize
 
         uni_d, bi_d = b_uni.value, b_bi.value
         for pdf in it:
-            ns, lps, ppls = [], [], []
-            for text in pdf[text_col]:
-                ws = py_tokenize(text) if isinstance(text, str) else []
-                if len(ws) < 2:
-                    ns.append(0)
-                    lps.append(None)
-                    ppls.append(None)
-                    continue
-                s = 0.0
-                for a, b in zip(ws, ws[1:]):
-                    s += math.log(
-                        (bi_d.get((a, b), 0) + k) / (uni_d.get(a, 0) + kv)
-                    )
-                n = len(ws) - 1
-                lp = s / n
-                ns.append(n)
-                lps.append(lp)
-                ppls.append(math.exp(-lp))
+            # flatten the batch to ONE bigram frame so the count
+            # lookups run as C-speed hash maps (Series.map) instead of
+            # a per-token Python loop, then fold back with a reduceat
+            # over the per-doc bigram counts
+            tok_lists = [
+                py_tokenize(t) if isinstance(t, str) else []
+                for t in pdf[text_col]
+            ]
+            n_bi = np.array(
+                [max(len(ws) - 1, 0) for ws in tok_lists], dtype=np.int64
+            )
+            w1 = pd.Series(
+                [w for ws in tok_lists for w in ws[:-1]], dtype=object
+            )
+            w2 = pd.Series(
+                [w for ws in tok_lists for w in ws[1:]], dtype=object
+            )
+            c_bi = (
+                pd.Series(zip(w1, w2), dtype=object).map(bi_d)
+                .fillna(0.0).to_numpy(dtype=np.float64)
+            )
+            c_uni = w1.map(uni_d).fillna(0.0).to_numpy(dtype=np.float64)
+            lp_all = np.log((c_bi + k) / (c_uni + kv))
+            starts = np.concatenate(([0], np.cumsum(n_bi)[:-1]))
+            scored = n_bi > 0
+            sums = np.zeros(len(pdf), dtype=np.float64)
+            if lp_all.size:
+                # reduceat needs strictly valid offsets; empty docs
+                # share their successor's start, so mask them after
+                sums[scored] = np.add.reduceat(lp_all, starts[scored])
+            lp = np.divide(
+                sums, n_bi, out=np.full(len(pdf), np.nan), where=scored
+            )
             pdf = pdf[cols].copy()
-            pdf["n_scored_bigrams"] = pd.Series(ns, dtype="int64")
-            pdf["logprob_per_token"] = pd.Series(lps, dtype="float64")
-            pdf["perplexity"] = pd.Series(ppls, dtype="float64")
+            pdf["n_scored_bigrams"] = pd.Series(n_bi, dtype="int64")
+            pdf["logprob_per_token"] = pd.Series(lp, dtype="float64")
+            pdf["perplexity"] = pd.Series(np.exp(-lp), dtype="float64")
             yield pdf
 
     return df.mapInPandas(run, out_schema)
