@@ -154,6 +154,37 @@ def normalize(node: ast.Query) -> ast.Query:
             flat_not.append(q)
         must_not = flat_not
 
+        # required-group hoist: an inner Bool carrying should clauses in
+        # the MUST list is a required group — "c AND (a OR b)", or
+        # "c AND (d maybe-a maybe-b)".  When the parent has no should
+        # clauses of its own (and no explicit msm to collide with),
+        # lifting inner.must into the parent's must list, inner.should
+        # into the parent's should list, and pinning the parent's
+        # minimum_should_match to the inner's EFFECTIVE msm is exactly
+        # equivalent under the pinned Bool semantics: match = all musts
+        # AND none of the must_nots AND >= msm of the group's members
+        # either way (a should-only inner Bool requires >= 1 member —
+        # Lucene's implicit-msm rule — which effective_msm() yields),
+        # and the score is the same linear sum (must_not arms never
+        # score).  This puts the most common hybrid user shape on the
+        # ReqOptSum block-max kernel (the conjunction drives candidates,
+        # group members score as optionals gated by opt_msm) instead of
+        # the exhaustive decode-everything executor.  Only the FIRST
+        # such group hoists — two groups' msm constraints cannot share
+        # one should list (">=1 of {a,b} AND >=1 of {c,d}" is not
+        # ">=2 of {a,b,c,d}") — and the rewrite fires at most once per
+        # node because the result has should clauses.
+        if not should and node.minimum_should_match == 0:
+            for i, q in enumerate(must):
+                if isinstance(q, ast.Bool) and q.boost == 1.0 and q.should:
+                    return normalize(ast.Bool(
+                        must=must[:i] + list(q.must) + must[i + 1:],
+                        must_not=must_not + list(q.must_not),
+                        should=list(q.should),
+                        minimum_should_match=q.effective_msm(),
+                        boost=node.boost,
+                    ))
+
         msm_safe = node.effective_msm() <= 1
         must = _merge_dup_terms(must, allow=True)
         should = _merge_dup_terms(should, allow=msm_safe)

@@ -355,6 +355,99 @@ def test_must_not_rules_score_preserving_on_oracle(oracle):
         _assert_same(oracle, node)
 
 
+def test_required_group_hoist_reaches_kernel():
+    # "c AND (a OR b)" — the inner should-only Bool is a required
+    # group; hoisting its members to the parent's should list with
+    # minimum_should_match=1 is exact and rides the ReqOptSum kernel
+    out = normalize(ast.Bool(must=[
+        ast.Term("c"),
+        ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+    ]))
+    assert [t.value for t in out.must] == ["c"]
+    assert [t.value for t in out.should] == ["a", "b"]
+    assert out.minimum_should_match == 1
+    shape = classify(out)
+    assert shape is not None and shape.mode == "and"
+    assert len(shape.opts) == 2 and shape.opt_msm == 1
+    # the inner group's explicit msm is preserved
+    out2 = normalize(ast.Bool(must=[
+        ast.Term("c"),
+        ast.Bool(should=[ast.Term("a"), ast.Term("b"), ast.Term("d")],
+                 minimum_should_match=2),
+    ]))
+    assert out2.minimum_should_match == 2
+    assert classify(out2).opt_msm == 2
+    # inner must AND should both lift; inner must_not lifts too
+    out3 = normalize(ast.Bool(must=[
+        ast.Term("c"),
+        ast.Bool(must=[ast.Term("d")], should=[ast.Term("a")],
+                 must_not=[ast.Term("x")], minimum_should_match=1),
+    ]))
+    assert sorted(t.value for t in out3.must) == ["c", "d"]
+    assert [t.value for t in out3.should] == ["a"]
+    assert [t.value for t in out3.must_not] == ["x"]
+    assert classify(out3) is not None
+    # two groups: only the FIRST hoists (msm constraints cannot share
+    # one should list) — the second stays an opaque must clause
+    out4 = normalize(ast.Bool(must=[
+        ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+        ast.Bool(should=[ast.Term("d"), ast.Term("e")]),
+    ]))
+    assert isinstance(out4.must[0], ast.Bool)
+    assert [t.value for t in out4.should] == ["a", "b"]
+    # a parent with its OWN should clauses is left alone (its implicit
+    # msm over those clauses would collide with the group's)
+    kept = normalize(ast.Bool(
+        must=[ast.Term("c"),
+              ast.Bool(should=[ast.Term("a"), ast.Term("b")])],
+        should=[ast.Term("d")],
+    ))
+    assert any(isinstance(q, ast.Bool) for q in kept.must)
+    # idempotent
+    assert normalize(out) == out
+    assert normalize(out4) == out4
+
+
+def test_required_group_hoist_score_preserving_on_oracle(oracle):
+    shapes = [
+        ast.Bool(must=[
+            ast.Term("data"),
+            ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+        ]),
+        ast.Bool(must=[
+            ast.Term("the"),
+            ast.Bool(should=[ast.Term("error"), ast.Term("merge"),
+                             ast.Term("scan")],
+                     minimum_should_match=2),
+        ]),
+        ast.Bool(must=[
+            ast.Bool(must=[ast.Term("query")],
+                     should=[ast.Term("error", boost=2.0),
+                             ast.Term("dup")],
+                     must_not=[ast.Term("zzznothere")]),
+            ast.Term("the"),
+        ]),
+        ast.Bool(must=[
+            ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+            ast.Bool(should=[ast.Term("scan"), ast.Term("data")]),
+        ]),
+        # group with boost != 1 — distribution runs first, then hoist
+        ast.Bool(must=[
+            ast.Term("data"),
+            ast.Bool(should=[ast.Term("error"), ast.Term("merge")],
+                     boost=2.0),
+        ]),
+        # unsatisfiable group msm -> empty both ways
+        ast.Bool(must=[
+            ast.Term("data"),
+            ast.Bool(should=[ast.Term("error")],
+                     minimum_should_match=3),
+        ]),
+    ]
+    for node in shapes:
+        _assert_same(oracle, node)
+
+
 # ---- random-tree fuzz: EVERY rule, composed arbitrarily, must be ----
 # ---- score-preserving under the pure-Python oracle ----
 

@@ -926,6 +926,87 @@ def test_req_opt_kernel_prunes_optional_head_blocks(spark):
     assert stats["decoded_blocks"][f"opt:{head_tid}"] <= 2, stats
 
 
+def test_required_disjunction_in_conjunction_rides_kernel(spark):
+    """'rare AND (alpha OR beta)' — the required-group hoist
+    (rewrite.py) turns the inner should-only Bool into optional terms
+    gated by opt_msm=1, so the shape rides the ReqOptSum kernel: the
+    rare conjunct drives candidates, and the group's head terms decode
+    only candidate-overlapping blocks, never their full postings."""
+    import pandas as pd
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+    from bzzz_spark.query.rewrite import normalize
+
+    texts = []
+    for i in range(400):
+        # alpha/beta are head terms (every doc has one); rare appears
+        # 3x, and one rare doc has NEITHER alpha nor beta so the group
+        # requirement must exclude it
+        base = ("alpha " if i % 2 else "beta ") + f"filler{i % 7}"
+        if i in (60, 140):
+            base = "rare " + base
+        if i == 250:
+            base = "rare plain text only"
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    node = ast.Bool(must=[
+        ast.Term("rare"),
+        ast.Bool(should=[ast.Term("alpha"), ast.Term("beta")]),
+    ])
+    flat = normalize(node)
+    shape = classify(flat)
+    assert shape is not None and shape.mode == "and"
+    assert shape.opt_msm == 1 and len(shape.opts) == 2
+    fast = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=10).collect()]
+    slow = [(r["docid"], round(r["score"], 9)) for r in
+            search(idx, node, size=10, use_wand=False).collect()]
+    assert fast == slow
+    # doc 250 has rare but neither group member -> excluded
+    assert sorted(d for d, _ in fast) == [60, 140]
+    # pruning evidence at the kernel layer: ~25 blocks per group term;
+    # 3 rare candidates -> each optional decodes <= 3 blocks (one per
+    # candidate-overlapping block), never its full posting list
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["rare", "alpha", "beta"])
+    rare_tid = int(meta["rare"][0])
+    qmeta = {rare_tid: (idf_fn(n_docs, meta["rare"][1]), 1.0)}
+    opts = {int(meta[t][0]): (idf_fn(n_docs, meta[t][1]), 1.0)
+            for t in ("alpha", "beta")}
+    blocks = idx.postings.filter(
+        F.col("term_id").isin([rare_tid] + [int(meta[t][0])
+                                            for t in ("alpha", "beta")])
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "and", 1, 10, avgdl, 1 << 14, stats=stats,
+                          opts=opts, opt_msm=1)
+    out = kernel(blocks)
+    assert sorted(out["docid"].tolist()) == [60, 140]
+    for t in ("alpha", "beta"):
+        tid = int(meta[t][0])
+        assert stats["total_blocks"][f"opt:{tid}"] >= 24
+        assert stats["decoded_blocks"][f"opt:{tid}"] <= 3, stats
+
+
 # ---- dis-max on the MaxScore kernel (Lucene DisjunctionMaxQuery):
 # score = (1-tie)*max + tie*sum, same admission/retirement discipline
 # with bounds that maximize the max- and sum-parts independently.
