@@ -381,6 +381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "b_wild": ast.Bool(
                 must=[ast.Term("merge"), ast.Wildcard("du*")]
             ),
+            # required disjunction groups (r4, late) — the synonym-
+            # expansion shape "(scan OR filter) AND (merge OR dup)":
+            # normalize hoists group 1 into msm-gated optionals, group
+            # 2 rides the mixed conjunction kernel as a required 'g'
+            # conjunct; inside the batch the shape takes the per-query
+            # kernel path (batch.py rest loop)
+            "b_groups": ast.Bool(must=[
+                ast.Bool(should=[ast.Term("scan"), ast.Term("filter")]),
+                ast.Bool(should=[ast.Term("merge"), ast.Term("dup")]),
+            ]),
             # mixed dis-max (r4, late): Term / Phrase / Wildcard members
             # all emit role-d contributions on the SAME shared scan;
             # combiner max + tie*(sum - max) runs in the one groupBy
@@ -2230,6 +2240,31 @@ FROM documents GROUP BY source"""
             10,
         )
     )
+    # b_groups: each group is a per-doc (summed BM25, matched count)
+    # CTE; a doc qualifies with >= 1 match in BOTH groups and scores
+    # the sum of all matched members (executor Bool-sum semantics)
+    def _group_cte(name: str, terms: list[str]) -> str:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        return (
+            f"{name} AS (\n"
+            f"  SELECT tf.doc_id, sum({_score_expr()}) AS score,\n"
+            "         count(*) AS nmatch\n"
+            "  FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id\n"
+            f"  CROSS JOIN stats WHERE tf.term IN ({tlist})\n"
+            "  GROUP BY tf.doc_id\n"
+            ")"
+        )
+
+    b_groups = (
+        f"{_BASE}, {_group_cte('g1', ['scan', 'filter'])},\n"
+        f"{_group_cte('g2', ['merge', 'dup'])}\n"
+        + _topk(
+            "SELECT g1.doc_id, g1.score + g2.score AS score "
+            "FROM g1 JOIN g2 ON g2.doc_id = g1.doc_id "
+            "WHERE g1.nmatch >= 1 AND g2.nmatch >= 1",
+            10,
+        )
+    )
     o["q_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
         for name, sql in [
@@ -2243,6 +2278,7 @@ FROM documents GROUP BY source"""
             ("b_nested", b_nested),
             ("b_phrase", b_phrase),
             ("b_wild", b_wild),
+            ("b_groups", b_groups),
             ("b_dismax", b_dismax),
         ]
     )

@@ -108,6 +108,25 @@ TRANSCRIPT_QUERIES = {
     "t_dismax": ast.DisMax(
         queries=[ast.Term("error"), ast.Term("the")], tie_breaker=0.3
     ),
+    # required disjunction inside a conjunction — "error AND (the OR
+    # data)": the required-group hoist moves the group onto the
+    # ReqOptSum kernel with opt_msm=1, so the mid term drives
+    # candidates and the head-term group members decode only
+    # candidate-overlapping blocks (previously the exhaustive path,
+    # which full-decoded "the")
+    "t_or_in_and": ast.Bool(must=[
+        ast.Term("error"),
+        ast.Bool(should=[ast.Term("the"), ast.Term("data")]),
+    ]),
+    # synonym-expansion conjunction — "(error OR query) AND (the OR
+    # data)": group 1 hoists to msm-gated optionals, group 2 rides the
+    # mixed kernel as a required 'g' conjunct; the rarer group's union
+    # drives and the head-term group decodes only candidate-overlapping
+    # blocks (previously exhaustive)
+    "t_syn_and": ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("query")]),
+        ast.Bool(should=[ast.Term("the"), ast.Term("data")]),
+    ]),
     # filtered disjunction: normalize() lowers Filtered to a zero-boost
     # must clause, so the RARE filter term anchors the conjunction and
     # both head/mid shoulds decode only candidate-overlapping blocks
@@ -417,7 +436,7 @@ def main() -> None:
                 tm[f"{prefix}{name}"]
                 for name in TRANSCRIPT_QUERIES
                 if name not in ("t_wild_and", "t_req_opt", "t_dismax",
-                                "t_filt_or")
+                                "t_filt_or", "t_or_in_and", "t_syn_and")
             )
             summary = {
                 "turns": n_turns,

@@ -482,8 +482,17 @@ def search_many(
     from bzzz_spark.query.executor import execute
 
     for qid, node in rest.items():
+        # shapes the shared scan cannot host still ride the block-max
+        # kernels when classify() serves them (e.g. required
+        # disjunction groups, phrase conjunctions): per-segment top-k
+        # is a superset of the global top-k, so the final window cut
+        # below returns exactly search()'s rows — only unsupported
+        # shapes pay the exhaustive decode
+        from bzzz_spark.query.wand import wand_candidates
+
+        got = wand_candidates(index, node, (page + 1) * size)
         parts.append(
-            execute(index, node).select(
+            (execute(index, node) if got is None else got).select(
                 F.lit(qid).alias("query_id"), "docid", "score"
             )
         )

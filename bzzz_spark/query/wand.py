@@ -109,7 +109,19 @@ class FlatShape:
              (minimum_should_match over the should clauses).
     opt_phrases: (term_values, slop, boost) — OPTIONAL phrases in the
              same should list, evaluated by phrase_segment_kernel
-             restricted to the conjunction's survivors."""
+             restricted to the conjunction's survivors.
+    groups:  (members, msm, scored) — REQUIRED disjunction groups in
+             the must list ("(a OR b) AND (c OR d)" — the synonym-
+             expansion shape): members is the inner Bool's should list
+             as (value, field, boost) Term entries (duplicates kept:
+             each entry scores and counts toward msm separately, the
+             executor's semantics), msm its effective minimum-should-
+             match, scored False for filter arms.  A doc must match
+             >= msm entries of EVERY group; matched entries add their
+             BM25 score.  Note the rewrite pass hoists the FIRST such
+             group into the parent's should list (opts/opt_msm), so on
+             normalized trees groups carries only the second and later
+             groups."""
 
     mode: str  # 'term' | 'and' | 'or' | 'dismax'
     terms: list = _dc_field(default_factory=list)
@@ -124,19 +136,26 @@ class FlatShape:
     opt_phrases: list = _dc_field(default_factory=list)
     neg_multis: list = _dc_field(default_factory=list)  # Wildcard|Fuzzy
     opt_multis: list = _dc_field(default_factory=list)  # (node, boost)
+    groups: list = _dc_field(default_factory=list)  # (members, msm, scored)
 
 
 def _flat_conjuncts(nodes, scored: bool):
-    """Term/Range/Phrase/Wildcard/Fuzzy nodes → FlatShape component
-    lists, or None if any node is out of kernel scope.
+    """Term/Range/Phrase/Wildcard/Fuzzy/group-Bool nodes → FlatShape
+    component lists, or None if any node is out of kernel scope.
 
     A boost-0 conjunct contributes exactly 0 score, so it is classified
     as UNSCORED membership regardless of `scored` — this is how the
     rewrite pass's Filtered → Bool(must=[q, f@boost=0]) lowering keeps
     field-scoped filter arms on the kernel (unscored membership needs
     no norms and may target any indexed field; a scored=True zero-boost
-    term would trip wand_candidates' text-field-only check)."""
-    terms, phrases, ranges, multis = [], [], [], []
+    term would trip wand_candidates' text-field-only check).
+
+    A should-only Bool of Terms is a REQUIRED disjunction group
+    ("(a OR b) AND (c OR d)"): members are kept as an entry LIST so
+    duplicate members each score and count toward the group's msm, the
+    executor's semantics.  Groups whose msm cannot be satisfied, and
+    any other inner shape, fall back."""
+    terms, phrases, ranges, multis, groups = [], [], [], [], []
     for q in nodes:
         s = scored and q.boost != 0.0
         if isinstance(q, ast.Term):
@@ -155,9 +174,25 @@ def _flat_conjuncts(nodes, scored: bool):
             if q.boost < 0:
                 return None
             multis.append((q, s))
+        elif (
+            isinstance(q, ast.Bool)
+            and q.boost in (0.0, 1.0)
+            and q.should
+            and not q.must
+            and not q.must_not
+            and all(isinstance(m, ast.Term) and m.boost >= 0
+                    for m in q.should)
+            and 1 <= q.effective_msm() <= len(q.should)
+        ):
+            gs = s and q.boost != 0.0
+            groups.append((
+                [(m.value, m.field_name, m.boost) for m in q.should],
+                q.effective_msm(),
+                gs,
+            ))
         else:
             return None
-    return terms, phrases, ranges, multis
+    return terms, phrases, ranges, multis, groups
 
 
 def classify(node: ast.Query) -> FlatShape | None:
@@ -199,10 +234,10 @@ def classify(node: ast.Query) -> FlatShape | None:
             parts = _flat_conjuncts(node.must, scored=True)
             if parts is None:
                 return None
-            terms, phrases, ranges, multis = parts
-            if not (terms or phrases or multis):
+            terms, phrases, ranges, multis, groups = parts
+            if not (terms or phrases or multis or groups):
                 return None  # pure-range conjunction: docs-table plan
-            if (phrases or multis) and ranges and not terms:
+            if (phrases or multis or groups) and ranges and not terms:
                 return None  # no term conjunct to carry the dv stream
             # must + should: Lucene ReqOptSumScorer — the conjunction
             # drives candidates, optional Terms/Phrases add score where
@@ -243,7 +278,8 @@ def classify(node: ast.Query) -> FlatShape | None:
                              else 0,
                              opt_phrases=opt_phr,
                              neg_multis=neg_multis,
-                             opt_multis=opt_mul)
+                             opt_multis=opt_mul,
+                             groups=groups)
         if node.should and not node.must:
             # pure disjunction over Terms, Phrases and/or Wildcard/Fuzzy
             # clauses: MaxScore with phrases as pseudo-terms (bounded by
@@ -353,14 +389,15 @@ def classify(node: ast.Query) -> FlatShape | None:
             return None
         if fparts is None:
             return None
-        fterms, fphrases, franges, fmultis = fparts
+        fterms, fphrases, franges, fmultis, fgroups = fparts
         terms = base.terms + fterms
         phrases = base.phrases + fphrases
         ranges = base.ranges + franges
         multis = base.multis + fmultis
-        if not (terms or phrases or multis):
+        groups = base.groups + fgroups
+        if not (terms or phrases or multis or groups):
             return None
-        if (phrases or multis) and ranges and not terms:
+        if (phrases or multis or groups) and ranges and not terms:
             return None  # no term conjunct to carry the dv stream
         return FlatShape(
             "and", terms, phrases,
@@ -370,6 +407,7 @@ def classify(node: ast.Query) -> FlatShape | None:
             opt_phrases=base.opt_phrases,
             neg_multis=base.neg_multis,
             opt_multis=base.opt_multis,
+            groups=groups,
         )
     return None
 
@@ -390,7 +428,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                  opts: dict | None = None, opt_msm: int = 0,
                  tie: float = 0.0,
                  opt_phrases: list | None = None,
-                 opt_sets: list | None = None):
+                 opt_sets: list | None = None,
+                 groups: list | None = None):
     """qmeta: term_id -> (weight = idf*boost, boost).  Returns the
     per-segment kernel blocks_pdf -> top-k pdf.  Document lengths are
     decoded from the blocks' inline dls stream (0 → avgdl, the
@@ -432,7 +471,17 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     `contrib` (Lucene CONSTANT_SCORE_REWRITE; 0.0 for filter arms).
     Member blocks decode only where they overlap surviving candidates
     — `error AND status:5*` never decodes expansion blocks outside
-    error's candidate ranges."""
+    error's candidate ranges.
+
+    groups (and-mode only): (entries, msm) REQUIRED disjunction groups
+    ("(a OR b) AND (c OR d)" — Lucene evaluates the inner BooleanQuery
+    as a required DisjunctionSumScorer clause): entries is a list of
+    (tid, weight) member entries (duplicates each score and count), a
+    doc must match >= msm of them, and matched entries add
+    weight × tf-component.  A group is a conjunct in the ascending
+    estimated-size intersection order — when another conjunct is
+    rarer, member blocks decode only where they overlap its surviving
+    candidates; when the group is smallest, its member union drives."""
     neg_tids = list(neg_tids or [])
     ranges = list(ranges or [])
     phrases = list(phrases or [])
@@ -444,6 +493,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
     # ANY member adds the boost and counts 1 toward opt_msm; member
     # blocks decode only where they overlap the conjunction's survivors
     opt_sets = list(opt_sets or [])
+    groups = list(groups or [])
     range_boost = float(sum(c for _r, c in ranges))
     dv_want = tuple(dict.fromkeys(r.field_name for r, _c in ranges))
 
@@ -727,7 +777,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     theta = np.partition(flat, flat.size - k)[flat.size - k]
             return topk(np.concatenate(out_d), np.concatenate(out_s))
 
-        if mode == "and" and (phrases or termsets):
+        if mode == "and" and (phrases or termsets or groups):
             # Mixed conjunction (terms + phrase pseudo-terms): conjuncts
             # are intersected in ascending estimated-size order — a
             # phrase's candidates are a subset of its rarest leg, so its
@@ -752,6 +802,11 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             for tids, _c in termsets:
                 if not any(int(t) in present for t in tids):
                     return empty
+            # a group needs >= msm member ENTRIES with postings here —
+            # fewer and no doc in this segment can satisfy it
+            for entries, gmsm in groups:
+                if sum(1 for t, _w in entries if int(t) in present) < gmsm:
+                    return empty
             conj: list[tuple[int, str, object]] = []
             for tid in qmeta:
                 conj.append((int(sizes[tid]), "t", tid))
@@ -762,6 +817,10 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 est = int(sum(sizes[int(t)] for t in tids
                               if int(t) in present))
                 conj.append((est, "s", si))
+            for gi, (entries, _m) in enumerate(groups):
+                est = int(sum(sizes[int(t)] for t, _w in entries
+                              if int(t) in present))
+                conj.append((est, "g", gi))
             conj.sort(key=lambda x: x[0])
             cand = acc = None
             # doc-value range predicates ride the FIRST term conjunct's
@@ -789,6 +848,74 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                         idx = np.searchsorted(cand, d)
                         acc = acc[idx] + s
                         cand = d
+                elif kind == "g":
+                    # required disjunction group: decode members per
+                    # tid (duplicate entries score and count per
+                    # OCCURRENCE), union the docids, gate on msm.
+                    # Blocks prune to candidate-overlapping ranges
+                    # exactly like set conjuncts — a group behind a
+                    # rarer conjunct never decodes its full postings.
+                    entries, gmsm = groups[key]
+                    ent = [(int(t), w) for t, w in entries
+                           if int(t) in present]
+                    utids = sorted({t for t, _w in ent})
+                    sub = blocks[blocks["term_id"].isin(utids)
+                                 ].sort_values("first_docid")
+                    gkey = f"grp:{key}"
+                    if stats is not None:
+                        tb = stats.setdefault("total_blocks", {})
+                        tb[gkey] = tb.get(gkey, 0) + len(sub)
+                    if cand is not None:
+                        lo = np.searchsorted(
+                            cand, sub["first_docid"].to_numpy(), "left"
+                        )
+                        hi = np.searchsorted(
+                            cand, sub["last_docid"].to_numpy(), "right"
+                        )
+                        sub = sub[hi > lo]
+                        if len(sub) == 0:
+                            return empty
+                    if stats is not None:
+                        db = stats.setdefault("decoded_blocks", {})
+                        db[gkey] = db.get(gkey, 0) + len(sub)
+                    per: dict[int, tuple] = {}
+                    for tid in utids:
+                        tsub = sub[sub["term_id"] == tid]
+                        if len(tsub) == 0:
+                            # every block pruned: no member doc can be
+                            # a survivor, so skipping is exact
+                            continue
+                        d, t, dl, _dv = decode(tsub)
+                        per[tid] = (d, t, dl)
+                    if not per:
+                        return empty
+                    u = np.unique(
+                        np.concatenate([per[t][0] for t in per])
+                    )
+                    gscore = np.zeros(u.size)
+                    gcnt = np.zeros(u.size, dtype=np.int32)
+                    for tid, w in ent:
+                        if tid not in per:
+                            continue
+                        d, t, dl = per[tid]
+                        idx = np.searchsorted(u, d)
+                        gcnt[idx] += 1
+                        if w != 0.0:
+                            gscore[idx] += w * _tfc(t, dl, avgdl)
+                    gm = gcnt >= gmsm
+                    gd, gs = u[gm], gscore[gm]
+                    if gd.size == 0:
+                        return empty
+                    if cand is None:
+                        cand, acc = gd, gs
+                    else:
+                        pos = np.clip(np.searchsorted(gd, cand), 0,
+                                      gd.size - 1)
+                        hit = gd[pos] == cand
+                        if not hit.any():
+                            return empty
+                        cand = cand[hit]
+                        acc = acc[hit] + gs[pos[hit]]
                 elif kind == "s":
                     tids, contrib = termsets[key]
                     member = [int(t) for t in tids if int(t) in present]
@@ -1423,6 +1550,12 @@ def wand_candidates(
         return None
     if any(f not in aliases for _v, f, _b in shape.opts):
         return None
+    if any(
+        f not in aliases
+        for members, _m, gscored in shape.groups if gscored
+        for _v, f, _b in members
+    ):
+        return None
     if shape.ranges:
         # range predicates ride the kernel only when the index inlines
         # the fields as doc-values; otherwise the executor's docs-table
@@ -1455,9 +1588,13 @@ def wand_candidates(
     neg_vals = [term_key(index, f, v) for v, f in shape.neg]
     pvals = [t for tids, _s, _b, _sc in shape.phrases for t in tids]
     okeys = [term_key(index, f, v) for v, f, _b in shape.opts]
+    gkeys = [
+        [term_key(index, f, v) for v, f, _b in members]
+        for members, _m, _gs in shape.groups
+    ]
     ovals = okeys + [
         t for tids, _s, _b in shape.opt_phrases for t in tids
-    ]
+    ] + [k for keys in gkeys for k in keys]
     spark = index.docs.sparkSession
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
@@ -1544,7 +1681,25 @@ def wand_candidates(
             mtids = sorted(int(mmeta[t][0]) for t in exp if t in mmeta)
             if mtids:
                 opt_set_specs.append((tuple(mtids), float(boost)))
-    if not qmeta and not phrase_specs and not termset_specs:
+    # required disjunction groups: OOV member entries match nothing and
+    # drop; if fewer entries remain than the group's msm requires, the
+    # conjunction matches nothing (a must clause rewritten to an
+    # unsatisfiable disjunction)
+    group_specs = []
+    for (members, gmsm, gscored), keys in zip(shape.groups, gkeys):
+        entries = []
+        for (_v, _f, boost), key in zip(members, keys):
+            if key in meta:
+                tid, df = meta[key]
+                w = idf_fn(n_docs, df) * boost if gscored else 0.0
+                entries.append((int(tid), w))
+        if len(entries) < gmsm:
+            return spark.createDataFrame([], "docid long, score double")
+        group_specs.append((entries, int(gmsm)))
+    if (
+        not qmeta and not phrase_specs and not termset_specs
+        and not group_specs
+    ):
         return spark.createDataFrame([], "docid long, score double")
     # optional (should) terms/phrases: out-of-vocabulary ones match
     # nothing — they just stop counting toward minimum_should_match.
@@ -1582,6 +1737,7 @@ def wand_candidates(
         | set(opt_meta)
         | {t for legs, _s, _w in opt_phrase_specs for t in legs}
         | {int(t) for tids, _b in opt_set_specs for t in tids}
+        | {tid for entries, _m in group_specs for tid, _w in entries}
     )
     blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
@@ -1590,7 +1746,7 @@ def wand_candidates(
                           termsets=termset_specs,
                           opts=opt_meta, opt_msm=shape.opt_msm,
                           tie=shape.tie, opt_phrases=opt_phrase_specs,
-                          opt_sets=opt_set_specs)
+                          opt_sets=opt_set_specs, groups=group_specs)
     return _run_kernel(index, blocks, kernel)
 
 

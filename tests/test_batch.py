@@ -56,6 +56,17 @@ FALLBACK = {
     "range": ast.Bool(
         must=[ast.Term("error"), ast.Range("turn_idx", min=1, max=5)]
     ),
+    # required disjunction groups: no shared-scan host, but the rest
+    # loop routes them through the block-max kernels (wand_candidates)
+    # before any exhaustive fallback — parity must hold either way
+    "groups2": ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("query")]),
+        ast.Bool(should=[ast.Term("the"), ast.Term("data")]),
+    ]),
+    "or_in_and": ast.Bool(must=[
+        ast.Term("error"),
+        ast.Bool(should=[ast.Term("the"), ast.Term("data")]),
+    ], must_not=[ast.Term("dup")]),
 }
 
 

@@ -1007,6 +1007,169 @@ def test_required_disjunction_in_conjunction_rides_kernel(spark):
         assert stats["decoded_blocks"][f"opt:{tid}"] <= 3, stats
 
 
+# ---- required disjunction GROUPS (the synonym-expansion shape
+# "(a OR b) AND (c OR d)"): the rewrite hoists the first group into
+# the should list; the second and later groups ride the mixed
+# conjunction kernel as 'g' conjuncts — member union gated by the
+# group's msm, matched members adding their BM25 scores.
+
+GROUP_QUERIES = [
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+        ast.Bool(should=[ast.Term("scan"), ast.Term("data")]),
+    ]),
+    ast.Bool(must=[
+        ast.Term("the"),
+        ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+        ast.Bool(should=[ast.Term("scan"), ast.Term("data")]),
+    ]),
+    # group msm=2: both members required
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("the"), ast.Term("a")]),
+        ast.Bool(should=[ast.Term("error"), ast.Term("merge"),
+                         ast.Term("scan")], minimum_should_match=2),
+    ]),
+    # member boosts scale the group's contribution
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error", boost=2.0), ast.Term("merge")]),
+        ast.Bool(should=[ast.Term("scan", boost=0.5), ast.Term("data")]),
+    ]),
+    # exclusion rides along
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+        ast.Bool(should=[ast.Term("the"), ast.Term("data")]),
+    ], must_not=[ast.Term("dup")]),
+    # OOV member just drops; OOV beyond msm -> empty
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("nosuchterm")]),
+        ast.Bool(should=[ast.Term("scan"), ast.Term("data")]),
+    ]),
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("nosuchterm")],
+                 minimum_should_match=2),
+        ast.Bool(should=[ast.Term("scan"), ast.Term("data")]),
+    ]),
+    # three groups
+    ast.Bool(must=[
+        ast.Bool(should=[ast.Term("the"), ast.Term("a")]),
+        ast.Bool(should=[ast.Term("error"), ast.Term("merge")]),
+        ast.Bool(should=[ast.Term("scan"), ast.Term("data")]),
+    ]),
+]
+
+
+@pytest.mark.parametrize("i", range(len(GROUP_QUERIES)))
+def test_group_kernel_matches_oracle(small_index, small_oracle, i):
+    node = GROUP_QUERIES[i]
+    from bzzz_spark.query.rewrite import normalize
+
+    assert classify(normalize(node)) is not None, node  # rides the kernel
+    for size in (1, 5, 25):
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               search(small_index, node, size=size).collect()]
+        want = [(d, round(s, 9))
+                for d, s in small_oracle.search(node, size=size)]
+        assert got == want, (node, size)
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(small_index, node, size=size,
+                       use_wand=False).collect()]
+        assert got == slow, (node, size)
+
+
+def test_filtered_by_disjunction_rides_kernel(small_index, small_oracle):
+    # Filtered(q, (a OR b)): boost distribution zeroes the filter
+    # group's members, then the required-group hoist moves them to the
+    # should list — zero-weight optionals gated by opt_msm=1, i.e.
+    # membership intersects without scoring (ReqOptSum kernel)
+    node = ast.Filtered(
+        query=ast.Term("merge"),
+        filter=ast.Bool(should=[ast.Term("error"), ast.Term("scan")]),
+    )
+    from bzzz_spark.query.rewrite import normalize
+
+    flat = normalize(node)
+    shape = classify(flat)
+    assert shape is not None and shape.opt_msm == 1
+    assert all(b == 0.0 for _v, _f, b in shape.opts)  # unscored arm
+    got = [(r["docid"], round(r["score"], 9)) for r in
+           search(small_index, node, size=10).collect()]
+    want = [(d, round(s, 9)) for d, s in small_oracle.search(node, size=10)]
+    assert got == want
+
+
+def test_group_conjunct_prunes_member_blocks(spark):
+    """When a rarer conjunct drives, a group's head-term members decode
+    only candidate-overlapping blocks — never their full postings."""
+    import pandas as pd
+
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+    from bzzz_spark.fixtures import to_spark
+
+    texts = []
+    for i in range(400):
+        # alpha and beta are head members (~every doc); rare appears 3x
+        base = ("alpha " if i % 2 else "beta ") + f"filler{i % 7}"
+        if i in (60, 140):
+            base = "rare " + base
+        if i == 250:
+            base = "rare plain text only"  # fails the group
+        texts.append(base)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(400)],
+            "turn_idx": [0] * 400,
+            "role": ["user"] * 400,
+            "text": texts,
+            "tool": [""] * 400,
+            "ts": pd.to_datetime(["2026-01-01"] * 400),
+        }
+    )
+    idx = build_index(
+        to_spark(spark, pdf),
+        IndexConfig(block_size=8, segment_size=1 << 14, num_partitions=1),
+    )
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.query.scoring import idf as idf_fn
+    from bzzz_spark.query.wand import _make_kernel
+
+    n_docs, avgdl = idx.scalar_stats()
+    meta = idx.lookup_terms(["rare", "alpha", "beta"])
+    rare_tid = int(meta["rare"][0])
+    qmeta = {rare_tid: (idf_fn(n_docs, meta["rare"][1]), 1.0)}
+    entries = [(int(meta[t][0]), idf_fn(n_docs, meta[t][1]))
+               for t in ("alpha", "beta")]
+    blocks = idx.postings.filter(
+        F.col("term_id").isin([rare_tid] + [t for t, _w in entries])
+    ).toPandas()
+    stats: dict = {}
+    kernel = _make_kernel(qmeta, "and", 1, 10, avgdl, 1 << 14, stats=stats,
+                          groups=[(entries, 1)])
+    out = kernel(blocks)
+    # doc 250 has rare but no group member -> gated out
+    assert sorted(out["docid"].tolist()) == [60, 140]
+    # ~50 member blocks total; 3 rare candidates x 2 member terms ->
+    # at most 6 candidate-overlapping blocks decode
+    assert stats["total_blocks"]["grp:0"] >= 48
+    assert stats["decoded_blocks"]["grp:0"] <= 6, stats
+    # full engine path parity on the same corpus
+    node = ast.Bool(must=[
+        ast.Term("rare"),
+        ast.Bool(should=[ast.Term("alpha")]),  # collapses to a term
+    ])
+    node2 = ast.Bool(must=[
+        ast.Term("rare"),
+        ast.Bool(should=[ast.Term("alpha"), ast.Term("beta")]),
+        ast.Bool(should=[ast.Term("alpha"), ast.Term("filler1")]),
+    ])
+    for n in (node, node2):
+        fast = [(r["docid"], round(r["score"], 9)) for r in
+                search(idx, n, size=10).collect()]
+        slow = [(r["docid"], round(r["score"], 9)) for r in
+                search(idx, n, size=10, use_wand=False).collect()]
+        assert fast == slow, n
+
+
 # ---- dis-max on the MaxScore kernel (Lucene DisjunctionMaxQuery):
 # score = (1-tie)*max + tie*sum, same admission/retirement discipline
 # with bounds that maximize the max- and sum-parts independently.
