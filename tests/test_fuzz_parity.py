@@ -51,7 +51,28 @@ _nested = st.builds(
     lambda inner, extra: ast.Bool(must=[inner] + extra),
     _flat_bool, st.lists(_term, min_size=1, max_size=2),
 )
-_query = st.one_of(_term, _flat_bool, _nested,
+# required disjunction groups (r4, late): "(a OR b) AND (c OR d)" —
+# the rewrite hoists the first group into msm-gated optionals, later
+# groups ride the mixed kernel's 'g' conjuncts; inside the batch these
+# take the per-query kernel path of the rest loop.  Duplicate members
+# are deliberately possible (the vocab is small): each occurrence must
+# score and count toward the group's msm separately
+_group = st.builds(
+    lambda s, msm: ast.Bool(
+        should=s, minimum_should_match=min(msm, len(s))
+    ),
+    st.lists(_term, min_size=1, max_size=3),
+    st.integers(0, 2),
+)
+_grouped = st.builds(
+    lambda gs, extra, neg: ast.Bool(
+        must=list(gs) + extra, must_not=neg
+    ),
+    st.lists(_group, min_size=1, max_size=3),
+    st.lists(_term, max_size=2),
+    st.lists(_term, max_size=1),
+)
+_query = st.one_of(_term, _flat_bool, _nested, _grouped,
                    st.builds(lambda qs: ast.DisMax(queries=qs, tie_breaker=0.3),
                              st.lists(_term, min_size=2, max_size=3)))
 
