@@ -209,8 +209,12 @@ def classify(node: ast.Query) -> FlatShape | None:
     non-negative term weights (for w < 0 the block 'max' is a LOWER
     bound and θ-pruning would drop true top-k docs); Lucene itself
     rejects boost < 0 since 7.0 — the exhaustive plan serves them.
-    Phrase + Range in one conjunction also falls back (doc-values are
-    decoded on the term path only)."""
+    Doc-value ranges need a conjunct whose postings are a superset of
+    the match set to carry the dv stream: any term conjunct, or (when
+    none exists) the rarest REQUIRED phrase leg — wand_candidates
+    synthesizes the leg as unscored membership.  Ranges alongside ONLY
+    set/group conjuncts fall back (a doc may match via ANY member, so
+    no single term covers the match set)."""
     if isinstance(node, ast.Term):
         if node.boost < 0:
             return None
@@ -237,8 +241,10 @@ def classify(node: ast.Query) -> FlatShape | None:
             terms, phrases, ranges, multis, groups = parts
             if not (terms or phrases or multis or groups):
                 return None  # pure-range conjunction: docs-table plan
-            if (phrases or multis or groups) and ranges and not terms:
-                return None  # no term conjunct to carry the dv stream
+            if ranges and not terms and not phrases:
+                # multis/groups have no single superset term to carry
+                # the dv stream (a doc may match via ANY member)
+                return None
             # must + should: Lucene ReqOptSumScorer — the conjunction
             # drives candidates, optional Terms/Phrases add score where
             # they match and opt_msm of them must match.  Duplicate
@@ -397,8 +403,8 @@ def classify(node: ast.Query) -> FlatShape | None:
         groups = base.groups + fgroups
         if not (terms or phrases or multis or groups):
             return None
-        if (phrases or multis or groups) and ranges and not terms:
-            return None  # no term conjunct to carry the dv stream
+        if ranges and not terms and not phrases:
+            return None  # no term or phrase-leg dv-stream carrier
         return FlatShape(
             "and", terms, phrases,
             sum(1 for _, _, _, s in terms if s),
@@ -1729,6 +1735,17 @@ def wand_candidates(
         | neg_set_tids
     )
 
+    if shape.mode == "and" and shape.ranges and not qmeta and phrase_specs:
+        # phrase-only conjunction + dv range ("\"stack trace\" AND
+        # ts>X"): no term conjunct exists to carry the doc-value
+        # stream, but every match contains ALL legs of every required
+        # phrase, so the rarest leg intersects without changing the
+        # match set.  Synthesize it as UNSCORED membership (weight and
+        # boost 0 — adds no score, leaves pruning bounds intact): its
+        # decode carries the dv streams and the range mask prunes
+        # candidates there, before any positional work.
+        carrier = min(set(pvals), key=lambda t: (meta[t][1], t))
+        qmeta[int(meta[carrier][0])] = (0.0, 0.0)
     all_tids = (
         {int(t) for t in qmeta}
         | set(neg_tids)

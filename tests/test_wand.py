@@ -126,14 +126,20 @@ def test_unsupported_shapes_fall_back(small_index):
     assert classify(
         ast.Filtered(ast.Term("a"), ast.Bool(must_not=[ast.Term("b")]))
     ) is None
-    # phrase + range now rides the kernel WHEN a term conjunct carries
-    # the dv stream (round 4, late); without one it still falls back
+    # phrase + range rides the kernel: a term conjunct carries the dv
+    # stream, or (round 4, late) the rarest required phrase leg is
+    # synthesized as an unscored carrier when no term conjunct exists
     assert classify(
         ast.Bool(must=[ast.Phrase(["a", "b"]), ast.Term("c"),
                        ast.Range("turn_idx", min=1)])
     ) is not None
     assert classify(
         ast.Bool(must=[ast.Phrase(["a", "b"]), ast.Range("turn_idx", min=1)])
+    ) is not None
+    # range + ONLY set/group conjuncts still falls back: a doc may
+    # match via ANY member, so no single term covers the match set
+    assert classify(
+        ast.Bool(must=[ast.Wildcard("a*"), ast.Range("turn_idx", min=1)])
     ) is None
     # sloppy phrase with repeated terms rides the kernel (round 4 —
     # the phrase kernel owns the repeating-terms collision walk)
@@ -1586,8 +1592,11 @@ def test_phrase_with_range_rides_kernel(spark, small_transcripts,
                                         small_oracle):
     """Phrase/Wildcard conjunctions WITH doc-value ranges ride the mixed
     kernel: the range mask applies at the first term conjunct's decode
-    (its inline dv stream carries the values), so the shape needs at
-    least one term conjunct — phrase-only + range falls back."""
+    (its inline dv stream carries the values).  When NO term conjunct
+    exists ('"the data" AND turn_idx>2'), wand_candidates synthesizes
+    the rarest required phrase leg as an unscored dv-carrier — a
+    phrase match contains all its legs, so the leg intersects without
+    changing the match set or the scores."""
     from bzzz_spark.build.indexer import IndexConfig, build_index
 
     idx = build_index(
@@ -1610,6 +1619,14 @@ def test_phrase_with_range_rides_kernel(spark, small_transcripts,
                                  ast.Term("the")]),
             filter=ast.Range("turn_idx", min=1, max=8),
         ),
+        # phrase-only + range: the rarest leg carries the dv stream
+        ast.Bool(must=[ast.Phrase(["the", "data"]),
+                       ast.Range("turn_idx", min=1, max=6)]),
+        ast.Bool(must=[ast.Phrase(["the", "data"], slop=2),
+                       ast.Range("turn_idx", min=2, max=None,
+                                 min_inclusive=False)]),
+        ast.Filtered(query=ast.Phrase(["the", "data"]),
+                     filter=ast.Range("turn_idx", min=1, max=8)),
     ]
     for node in nodes:
         for size in (1, 5, 25):
@@ -1621,8 +1638,15 @@ def test_phrase_with_range_rides_kernel(spark, small_transcripts,
             slow = [(r["docid"], round(r["score"], 9)) for r in
                     search(idx, node, size=size, use_wand=False).collect()]
             assert got == slow, (node, size)
-    # phrase-only + range: no term conjunct to carry the dv stream
+    # phrase-only + range classifies (the kernel serves it via the
+    # synthesized leg carrier) …
     assert classify(
         ast.Bool(must=[ast.Phrase(["the", "data"]),
+                       ast.Range("turn_idx", min=1, max=6)])
+    ) is not None
+    # … but range + ONLY a set conjunct still falls back: no single
+    # term covers a wildcard's match set, so nothing carries the dv
+    assert classify(
+        ast.Bool(must=[ast.Wildcard("tok04*"),
                        ast.Range("turn_idx", min=1, max=6)])
     ) is None
