@@ -134,6 +134,20 @@ TRANSCRIPT_QUERIES = {
         query=ast.Bool(should=[ast.Term("error"), ast.Term("the")]),
         filter=ast.Term("tok04321"),
     ),
+    # set conjunct + dv range with NO term conjunct (r4, late): the
+    # range row-mask rides the wildcard expansion's own decode (every
+    # member posting of a doc inlines the same dv value) — previously
+    # the exhaustive path, which joined the docs table
+    "t_wild_range": ast.Bool(
+        must=[ast.Wildcard("tok04*"), ast.Range("turn_idx", min=1, max=5)]
+    ),
+    # required group + dv range (r4, late): the hoist is skipped (a
+    # range-only must list cannot drive ReqOptSum), the group's member
+    # union drives the mixed kernel and masks at its own decode
+    "t_or_range": ast.Bool(must=[
+        ast.Bool(should=[ast.Term("error"), ast.Term("query")]),
+        ast.Range("turn_idx", min=1, max=5),
+    ]),
 }
 
 # phrase queries run against a SEPARATE positions-bearing index (the
@@ -436,7 +450,8 @@ def main() -> None:
                 tm[f"{prefix}{name}"]
                 for name in TRANSCRIPT_QUERIES
                 if name not in ("t_wild_and", "t_req_opt", "t_dismax",
-                                "t_filt_or", "t_or_in_and", "t_syn_and")
+                                "t_filt_or", "t_or_in_and", "t_syn_and",
+                                "t_wild_range", "t_or_range")
             )
             summary = {
                 "turns": n_turns,

@@ -177,8 +177,21 @@ def normalize(node: ast.Query) -> ast.Query:
         if not should and node.minimum_should_match == 0:
             for i, q in enumerate(must):
                 if isinstance(q, ast.Bool) and q.boost == 1.0 and q.should:
+                    rest = must[:i] + list(q.must) + must[i + 1:]
+                    if rest and all(
+                        isinstance(r, ast.Range) for r in rest
+                    ):
+                        # "(a OR b) AND ts>X": hoisting would leave a
+                        # range-only must list, which cannot drive the
+                        # ReqOptSum kernel (no postings stream).  Kept
+                        # required, the group's member union drives the
+                        # mixed conjunction kernel and its decode
+                        # carries the doc-value streams for the range
+                        # mask — still exactly equivalent, and on a
+                        # kernel instead of the exhaustive plan.
+                        continue
                     return normalize(ast.Bool(
-                        must=must[:i] + list(q.must) + must[i + 1:],
+                        must=rest,
                         must_not=must_not + list(q.must_not),
                         should=list(q.should),
                         minimum_should_match=q.effective_msm(),

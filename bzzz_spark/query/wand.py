@@ -209,12 +209,13 @@ def classify(node: ast.Query) -> FlatShape | None:
     non-negative term weights (for w < 0 the block 'max' is a LOWER
     bound and θ-pruning would drop true top-k docs); Lucene itself
     rejects boost < 0 since 7.0 — the exhaustive plan serves them.
-    Doc-value ranges need a conjunct whose postings are a superset of
-    the match set to carry the dv stream: any term conjunct, or (when
-    none exists) the rarest REQUIRED phrase leg — wand_candidates
-    synthesizes the leg as unscored membership.  Ranges alongside ONLY
-    set/group conjuncts fall back (a doc may match via ANY member, so
-    no single term covers the match set)."""
+    Doc-value ranges apply at the first conjunct decode that sees dv
+    streams: a term conjunct, a set conjunct (every member posting of
+    a doc inlines the same value, so the row mask before the union is
+    exact), or a group conjunct (mask per member decode, before the
+    msm gate).  When the ONLY conjuncts are phrases, wand_candidates
+    synthesizes the rarest required phrase leg as an unscored term
+    conjunct to carry the streams."""
     if isinstance(node, ast.Term):
         if node.boost < 0:
             return None
@@ -241,10 +242,6 @@ def classify(node: ast.Query) -> FlatShape | None:
             terms, phrases, ranges, multis, groups = parts
             if not (terms or phrases or multis or groups):
                 return None  # pure-range conjunction: docs-table plan
-            if ranges and not terms and not phrases:
-                # multis/groups have no single superset term to carry
-                # the dv stream (a doc may match via ANY member)
-                return None
             # must + should: Lucene ReqOptSumScorer — the conjunction
             # drives candidates, optional Terms/Phrases add score where
             # they match and opt_msm of them must match.  Duplicate
@@ -403,8 +400,6 @@ def classify(node: ast.Query) -> FlatShape | None:
         groups = base.groups + fgroups
         if not (terms or phrases or multis or groups):
             return None
-        if ranges and not terms and not phrases:
-            return None  # no term or phrase-leg dv-stream carrier
         return FlatShape(
             "and", terms, phrases,
             sum(1 for _, _, _, s in terms if s),
@@ -579,6 +574,21 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
         def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
             o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
             return pd.DataFrame({"docid": docids[o], "score": scores[o]})
+
+        def dv_mask(dvv: dict, n: int) -> np.ndarray:
+            """Row mask for the range predicates over decoded dv streams
+            (one value per posting row; a doc's value is identical in
+            every term's stream, so masking rows masks docs)."""
+            m = np.ones(n, dtype=bool)
+            for rg, _c in ranges:
+                v = dvv[rg.field_name]
+                if rg.min is not None:
+                    m &= ((v >= rg.min) if rg.min_inclusive
+                          else (v > rg.min))
+                if rg.max is not None:
+                    m &= ((v <= rg.max) if rg.max_inclusive
+                          else (v < rg.max))
+            return m
 
         # optional terms (and-mode Lucene ReqOptSumScorer): per-term
         # block metadata + cross-chunk decode cache, exactly the
@@ -829,10 +839,12 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 conj.append((est, "g", gi))
             conj.sort(key=lambda x: x[0])
             cand = acc = None
-            # doc-value range predicates ride the FIRST term conjunct's
-            # decode (classify guarantees one exists when ranges mix
-            # with phrase/set conjuncts): its inline dv streams carry
-            # the values, and the mask prunes candidates right there
+            # doc-value range predicates ride the FIRST term, set or
+            # group conjunct's decode (wand_candidates synthesizes an
+            # unscored phrase-leg term when only phrases conjoin): its
+            # inline dv streams carry the values, and the mask prunes
+            # candidates right there.  Phrase conjuncts skip (the
+            # positional kernel returns no dv streams)
             dv_pending = bool(ranges)
             for _est, kind, key in conj:
                 if kind == "p":
@@ -891,8 +903,22 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                             # every block pruned: no member doc can be
                             # a survivor, so skipping is exact
                             continue
-                        d, t, dl, _dv = decode(tsub)
+                        d, t, dl, dvv = decode(
+                            tsub, dv_want if dv_pending else ()
+                        )
+                        if dv_pending:
+                            # mask EVERY member's rows (a doc may enter
+                            # the union via any member); a doc's dv
+                            # value is identical in all member streams,
+                            # so the msm occurrence count is unchanged
+                            # for in-range docs
+                            m = dv_mask(dvv, d.size)
+                            d, t, dl = d[m], t[m], dl[m]
+                            if d.size == 0:
+                                continue
                         per[tid] = (d, t, dl)
+                    if dv_pending:
+                        dv_pending = False
                     if not per:
                         return empty
                     u = np.unique(
@@ -945,7 +971,17 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     if stats is not None:
                         db = stats.setdefault("decoded_blocks", {})
                         db[skey] = db.get(skey, 0) + len(sub)
-                    d, _t, _dl, _dv = decode(sub)
+                    d, _t, _dl, dvv = decode(
+                        sub, dv_want if dv_pending else ()
+                    )
+                    if dv_pending:
+                        # every member posting of a doc inlines the same
+                        # dv value, so the row mask before the union
+                        # removes exactly the out-of-range docs
+                        d = d[dv_mask(dvv, d.size)]
+                        dv_pending = False
+                        if d.size == 0:
+                            return empty
                     # union across member terms: one row per docid
                     u = np.unique(d)
                     if cand is None:
@@ -984,15 +1020,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                         sub, dv_want if dv_pending else ()
                     )
                     if dv_pending:
-                        m = np.ones(d.size, dtype=bool)
-                        for rg, _c in ranges:
-                            v = dvv[rg.field_name]
-                            if rg.min is not None:
-                                m &= ((v >= rg.min) if rg.min_inclusive
-                                      else (v > rg.min))
-                            if rg.max is not None:
-                                m &= ((v <= rg.max) if rg.max_inclusive
-                                      else (v < rg.max))
+                        m = dv_mask(dvv, d.size)
                         d, t, dl = d[m], t[m], dl[m]
                         dv_pending = False
                         if d.size == 0:
@@ -1083,15 +1111,7 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 if ranges:
                     # doc-value range predicates prune at FIRST decode —
                     # every later term's block set shrinks accordingly
-                    m = np.ones(cand_d.size, dtype=bool)
-                    for rg, _c in ranges:
-                        v = dvv[rg.field_name]
-                        if rg.min is not None:
-                            m &= ((v >= rg.min) if rg.min_inclusive
-                                  else (v > rg.min))
-                        if rg.max is not None:
-                            m &= ((v <= rg.max) if rg.max_inclusive
-                                  else (v < rg.max))
+                    m = dv_mask(dvv, cand_d.size)
                     cand_d, cand_t, cand_dl = cand_d[m], cand_t[m], cand_dl[m]
                 if cand_d.size == 0:
                     continue
@@ -1735,15 +1755,20 @@ def wand_candidates(
         | neg_set_tids
     )
 
-    if shape.mode == "and" and shape.ranges and not qmeta and phrase_specs:
-        # phrase-only conjunction + dv range ("\"stack trace\" AND
-        # ts>X"): no term conjunct exists to carry the doc-value
-        # stream, but every match contains ALL legs of every required
-        # phrase, so the rarest leg intersects without changing the
-        # match set.  Synthesize it as UNSCORED membership (weight and
-        # boost 0 — adds no score, leaves pruning bounds intact): its
-        # decode carries the dv streams and the range mask prunes
-        # candidates there, before any positional work.
+    if (
+        shape.mode == "and" and shape.ranges and not qmeta
+        and not termset_specs and not group_specs and phrase_specs
+    ):
+        # phrase-ONLY conjunction + dv range ("\"stack trace\" AND
+        # ts>X"): the positional kernel returns no dv streams and no
+        # other conjunct exists to carry them, but every match contains
+        # ALL legs of every required phrase, so the rarest leg
+        # intersects without changing the match set.  Synthesize it as
+        # UNSCORED membership (weight and boost 0 — adds no score,
+        # leaves pruning bounds intact): its decode carries the dv
+        # streams and the range mask prunes candidates there, before
+        # any positional work.  (Set/group conjuncts carry dv at their
+        # own decode — no carrier needed when one is present.)
         carrier = min(set(pvals), key=lambda t: (meta[t][1], t))
         qmeta[int(meta[carrier][0])] = (0.0, 0.0)
     all_tids = (

@@ -358,6 +358,45 @@ def test_random_wand_range_exclusion_matches_oracle(
     assert [(d, round(s, 9)) for d, s in got] == slow, node
 
 
+# ranges with set/group conjuncts (round 4, late): the dv row mask
+# rides the set's or group's own decode (every member posting of a doc
+# inlines the same value) — no term conjunct carrier needed.  Shapes
+# with no term conjunct at all exercise the skipped hoist (a range-only
+# must list cannot drive the ReqOptSum kernel).
+_group_conj = st.builds(
+    lambda members, msm: ast.Bool(
+        should=list(members),
+        minimum_should_match=min(msm, len(members)),
+    ),
+    st.lists(_term, min_size=1, max_size=3),
+    st.integers(0, 2),
+)
+_set_conj = st.builds(
+    lambda g, b: ast.Wildcard(g, boost=b),
+    st.sampled_from(["er*", "d*a", "m?rge", "sc*", "*ery"]),
+    st.sampled_from([1.0, 2.0]),
+)
+_wand_setgroup_range = st.builds(
+    lambda conj, terms, ranges, neg: ast.Bool(
+        must=list(conj) + list(terms) + list(ranges), must_not=list(neg)
+    ),
+    st.lists(st.one_of(_group_conj, _set_conj), min_size=1, max_size=2),
+    st.lists(_term, max_size=1),
+    st.lists(_range, min_size=1, max_size=2),
+    st.lists(_term, max_size=1),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_wand_setgroup_range, st.sampled_from([1, 5, 25]))
+def test_random_setgroup_range_matches_exhaustive(dv_index, node, size):
+    fast = search(dv_index, node, size=size)
+    slow = search(dv_index, node, size=size, use_wand=False)
+    assert [(r["docid"], round(r["score"], 9)) for r in fast.collect()] == \
+           [(r["docid"], round(r["score"], 9)) for r in slow.collect()], node
+
+
 # Phrase clauses inside pure disjunctions and dis-max (round 4): the
 # MaxScore kernel treats a phrase as a pseudo-term bounded by
 # w_p*(k1+1) — admission evaluates the positional kernel over the

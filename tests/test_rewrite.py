@@ -403,9 +403,29 @@ def test_required_group_hoist_reaches_kernel():
         should=[ast.Term("d")],
     ))
     assert any(isinstance(q, ast.Bool) for q in kept.must)
+    # "(a OR b) AND ts>X": hoisting would leave a range-only must list
+    # (no postings stream to drive the ReqOptSum kernel) — the group
+    # stays required instead and classifies as a group conjunct whose
+    # member decodes carry the doc-value streams for the range mask
+    out5 = normalize(ast.Bool(must=[
+        ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+        ast.Range("turn_idx", min=1),
+    ]))
+    assert any(isinstance(q, ast.Bool) for q in out5.must)
+    shape5 = classify(out5)
+    assert shape5 is not None and shape5.groups and shape5.ranges
+    # a non-range sibling restores the hoist
+    out6 = normalize(ast.Bool(must=[
+        ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+        ast.Term("c"),
+        ast.Range("turn_idx", min=1),
+    ]))
+    assert not any(isinstance(q, ast.Bool) for q in out6.must)
+    assert [t.value for t in out6.should] == ["a", "b"]
     # idempotent
     assert normalize(out) == out
     assert normalize(out4) == out4
+    assert normalize(out5) == out5
 
 
 def test_required_group_hoist_score_preserving_on_oracle(oracle):

@@ -136,11 +136,17 @@ def test_unsupported_shapes_fall_back(small_index):
     assert classify(
         ast.Bool(must=[ast.Phrase(["a", "b"]), ast.Range("turn_idx", min=1)])
     ) is not None
-    # range + ONLY set/group conjuncts still falls back: a doc may
-    # match via ANY member, so no single term covers the match set
+    # range + ONLY set/group conjuncts also rides: every member posting
+    # of a doc inlines the same dv value, so the row mask at the set's
+    # (or group's) decode is exact
     assert classify(
         ast.Bool(must=[ast.Wildcard("a*"), ast.Range("turn_idx", min=1)])
-    ) is None
+    ) is not None
+    assert classify(
+        ast.Bool(must=[ast.Bool(should=[ast.Term("a"), ast.Term("b")]),
+                       ast.Bool(should=[ast.Term("c"), ast.Term("d")]),
+                       ast.Range("turn_idx", min=1)])
+    ) is not None
     # sloppy phrase with repeated terms rides the kernel (round 4 —
     # the phrase kernel owns the repeating-terms collision walk)
     assert classify(
@@ -1627,6 +1633,28 @@ def test_phrase_with_range_rides_kernel(spark, small_transcripts,
                                  min_inclusive=False)]),
         ast.Filtered(query=ast.Phrase(["the", "data"]),
                      filter=ast.Range("turn_idx", min=1, max=8)),
+        # set conjunct + range: the mask rides the set's own decode
+        ast.Bool(must=[ast.Wildcard("tok04*"),
+                       ast.Range("turn_idx", min=1, max=6)]),
+        ast.Bool(must=[ast.Fuzzy("datb"),
+                       ast.Range("turn_idx", min=2, max=8)]),
+        # group conjunct + range (the hoist is skipped when only
+        # ranges would remain in must — the group drives and its
+        # member decodes carry the dv streams)
+        ast.Bool(must=[ast.Bool(should=[ast.Term("error"),
+                                        ast.Term("build")]),
+                       ast.Range("turn_idx", min=1, max=6)]),
+        # two groups + range: group 1 hoists to optionals, group 2
+        # masks at its decode
+        ast.Bool(must=[ast.Bool(should=[ast.Term("error"),
+                                        ast.Term("build")]),
+                       ast.Bool(should=[ast.Term("the"),
+                                        ast.Term("data")]),
+                       ast.Range("turn_idx", min=1, max=6)]),
+        # set + phrase + range, no term conjunct: the set conjunct
+        # carries the mask at its decode (no leg synthesis needed)
+        ast.Bool(must=[ast.Wildcard("tok0*"), ast.Phrase(["the", "data"]),
+                       ast.Range("turn_idx", min=1, max=8)]),
     ]
     for node in nodes:
         for size in (1, 5, 25):
@@ -1639,14 +1667,13 @@ def test_phrase_with_range_rides_kernel(spark, small_transcripts,
                     search(idx, node, size=size, use_wand=False).collect()]
             assert got == slow, (node, size)
     # phrase-only + range classifies (the kernel serves it via the
-    # synthesized leg carrier) …
+    # synthesized leg carrier), and so does set-only + range (the
+    # set's own decode carries the dv streams)
     assert classify(
         ast.Bool(must=[ast.Phrase(["the", "data"]),
                        ast.Range("turn_idx", min=1, max=6)])
     ) is not None
-    # … but range + ONLY a set conjunct still falls back: no single
-    # term covers a wildcard's match set, so nothing carries the dv
     assert classify(
         ast.Bool(must=[ast.Wildcard("tok04*"),
                        ast.Range("turn_idx", min=1, max=6)])
-    ) is None
+    ) is not None
