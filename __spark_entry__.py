@@ -409,20 +409,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"),
         )
 
-    def q_custom_score(spark, sf):
-        node = ast.CustomScore(ast.Term("merge"), expression="sqrt(n_chars)")
-        return _hits(_index(spark, sf), node, size=10)
+    def q_score_exprs(spark, sf):
+        # Q12 custom-score + Q13 expr-score folded into ONE contract
+        # entry (50-row budget; the q_const_nozero pattern) to fund
+        # d_dsir — part='custom' multiplies BM25 by the expression,
+        # part='expr' REPLACES the score with it
+        idx = _index(spark, sf)
+        cu = _hits(
+            idx,
+            ast.CustomScore(ast.Term("merge"), expression="sqrt(n_chars)"),
+            size=10,
+        ).select(F.lit("custom").alias("part"), "doc_id", "score")
+        ex = _hits(
+            idx,
+            ast.CustomScore(
+                ast.Term("merge"), expression="ln(1.0 + n_chars)",
+                replace=True,
+            ),
+            size=10,
+        ).select(F.lit("expr").alias("part"), "doc_id", "score")
+        return cu.unionByName(ex)
 
     def q_no_norm(spark, sf):
         # Q16: length-norm disabled → BM25 with b = 0
         return _hits(_index(spark, sf), ast.NoNorm(ast.Term("merge")), size=10)
-
-    def q_expr_score(spark, sf):
-        # Q13: score REPLACED by the expression (expr-score), not combined
-        node = ast.CustomScore(
-            ast.Term("merge"), expression="ln(1.0 + n_chars)", replace=True
-        )
-        return _hits(_index(spark, sf), node, size=10)
 
     def q_random_score(spark, sf):
         # Q14, pinned seed: score = base + md5-derived per-doc rand
@@ -790,6 +800,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("perplexity", 4).alias("perplexity"),
         )
 
+    def d_dsir(spark, sf):
+        # DSIR data selection (functions/dsir.py, Xie et al. 2023):
+        # hashed unigram+bigram importance ratios between a target
+        # subset (doc_id % 7 == 0 — deterministic, ~14% of the corpus)
+        # and the full corpus, add-k smoothed over 512 md5 buckets.
+        #   part='weight'  every doc's gram count + summed log-ratio
+        #   part='select'  Gumbel-top-20 resample (seeded, md5-keyed)
+        # join mode is the SQL-mirrorable plan the oracle replays.
+        from bzzz_spark.functions.dsir import (
+            gumbel_key, importance_weight, train_ngram_importance,
+        )
+
+        docs = _documents(spark, sf).select("doc_id", "text")
+        model = train_ngram_importance(
+            docs.filter(F.col("doc_id") % 7 == 0), docs,
+            n_buckets=512, k=0.25,
+        )
+        scored = importance_weight(docs, model, mode="join")
+        weight = scored.select(
+            F.lit("weight").alias("part"), "doc_id", "n_grams",
+            F.round("log_importance_weight", 4).alias("w"),
+        )
+        keyed = scored.withColumn(
+            "__key",
+            F.col("log_importance_weight") + gumbel_key("doc_id", "dsir"),
+        )
+        sel = (
+            keyed.orderBy(F.col("__key").desc(), F.col("doc_id").asc())
+            .limit(20)
+            .select(
+                F.lit("select").alias("part"), "doc_id", "n_grams",
+                F.round("__key", 4).alias("w"),
+            )
+        )
+        return weight.unionByName(sel)
+
     def d_sample(spark, sf):
         # deterministic sampling/splitting/mixing/ordering as ONE entry:
         #   part='sample'  hash_sample keep-set at rate 0.25
@@ -1052,8 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_phrase=q_phrase, q_phrase_slop=q_phrase_slop,
         q_field=q_field,
         q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_batch=q_batch,
-        q_custom_score=q_custom_score,
-        q_no_norm=q_no_norm, q_expr_score=q_expr_score,
+        q_score_exprs=q_score_exprs, q_no_norm=q_no_norm,
         q_random_score=q_random_score, q_parser=q_parser,
         q_sorts=q_sorts,
         q_explain=q_explain, q_highlight=q_highlight,
@@ -1066,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
         d_decontam=d_decontam, d_clusters=d_clusters,
         d_pii=d_pii, d_sample=d_sample, d_clean=d_clean, d_ppl=d_ppl,
+        d_dsir=d_dsir,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -1464,13 +1510,21 @@ fs AS (
             10,
         )
     )
-    o["q_custom_score"] = (
+    custom_sql = (
         f"{_BASE}, {_term_scores(['merge'])}\n"
         + _topk(
             "SELECT s.doc_id, s.score * sqrt(d.n_chars) AS score "
             "FROM scores s JOIN documents d ON d.doc_id = s.doc_id",
             10,
         )
+    )
+    expr_sql = f"""{_BASE}
+{_topk("SELECT tf.doc_id, ln(1.0 + d.n_chars) AS score "
+       "FROM tf JOIN documents d ON d.doc_id = tf.doc_id "
+       "WHERE tf.term = 'merge'", 10)}"""
+    o["q_score_exprs"] = (
+        f"SELECT 'custom' AS part, doc_id, score FROM ({custom_sql})\n"
+        f"UNION ALL\nSELECT 'expr', doc_id, score FROM ({expr_sql})"
     )
     # Q16: BM25 with the length-norm factor pinned to 1 (b = 0)
     nn_score = (
@@ -1484,10 +1538,6 @@ scores AS (
   WHERE tf.term = 'merge' GROUP BY tf.doc_id
 )
 {_topk('SELECT doc_id, score FROM scores', 10)}"""
-    o["q_expr_score"] = f"""{_BASE}
-{_topk("SELECT tf.doc_id, ln(1.0 + d.n_chars) AS score "
-       "FROM tf JOIN documents d ON d.doc_id = tf.doc_id "
-       "WHERE tf.term = 'merge'", 10)}"""
     o["q_random_score"] = f"""{_BASE},
 matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
 {_topk("SELECT doc_id, 1.0 + ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT "
@@ -2043,6 +2093,61 @@ SELECT doc_id,
        round(avg(lp), 4) AS logprob_per_token,
        round(exp(-avg(lp)), 4) AS perplexity
 FROM lp GROUP BY doc_id"""
+
+    # DSIR (functions/dsir.py): hashed unigram+bigram bucket counts,
+    # add-k log-ratio target-vs-raw, per-doc summed weight, and the
+    # seeded Gumbel-top-20 resample — replayed bucket for bucket
+    # (md5-prefix hashing and the gumbel draw are the engine's shared
+    # Spark/DuckDB/Python convention)
+    o["d_dsir"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOK}') AS l
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(l) AS g FROM toks),
+big AS (
+  SELECT doc_id, l[i] || chr(31) || l[i + 1] AS g
+  FROM (SELECT doc_id, l, generate_subscripts(l, 1) AS i FROM toks)
+  WHERE i < len(l)
+),
+grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM big),
+buck AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+  FROM grams
+),
+rcnt AS (SELECT b, count(*)::DOUBLE AS c FROM buck GROUP BY b),
+tcnt AS (
+  SELECT b, count(*)::DOUBLE AS c FROM buck WHERE doc_id % 7 = 0 GROUP BY b
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM tcnt) AS nt, (SELECT sum(c) FROM rcnt) AS nr
+),
+ratio AS (
+  SELECT r.b,
+         ln((coalesce(t.c, 0) + 0.25) / (tot.nt + 0.25 * 512))
+       - ln((r.c + 0.25) / (tot.nr + 0.25 * 512)) AS lr
+  FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+),
+score AS (
+  SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+         coalesce(s.w, 0.0) AS w
+  FROM documents d LEFT JOIN (
+    SELECT buck.doc_id, count(*) AS n_grams, sum(ratio.lr) AS w
+    FROM buck JOIN ratio USING (b) GROUP BY buck.doc_id
+  ) s USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, n_grams,
+         w + (-ln(-ln(((('0x' || substr(md5('dsir:' || doc_id::VARCHAR),
+                                        1, 8))::BIGINT) + 0.5)
+                      / 4294967296.0))) AS key
+  FROM score
+)
+SELECT 'weight' AS part, doc_id, n_grams, round(w, 4) AS w FROM score
+UNION ALL
+SELECT 'select', doc_id, n_grams, round(key, 4) FROM (
+  SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 20
+)"""
 
     o["d_sample"] = f"""
 SELECT 'sample' AS part, doc_id, 'kept' AS label FROM documents

@@ -297,10 +297,28 @@ def main() -> None:
             F.sum("n_scored_bigrams"), F.avg("perplexity")
         ).collect()
 
+    def _dsir_scan():
+        # DSIR data selection end-to-end: hashed-ngram bucket counts on
+        # target + raw (two bounded groupBys each), broadcast-mode
+        # scoring (pure map stage), Gumbel-top-k resample (bounded
+        # per-partition top-k) — the deployment shape of the Xie et al.
+        # importance-resampling filter
+        from bzzz_spark.functions.dsir import (
+            dsir_select, importance_weight, train_ngram_importance,
+        )
+
+        model = train_ngram_importance(
+            docs.filter(F.col("doc_id") % 7 == 0), docs, n_buckets=10_000
+        )
+        dsir_select(
+            importance_weight(docs, model, mode="broadcast"), 100
+        ).count()
+
     doc_jobs["d_pii_scan"] = _pii_scan
     doc_jobs["d_clean_scan"] = _clean_scan
     doc_jobs["d_sample_scan"] = _sample_scan
     doc_jobs["d_ppl_scan"] = _ppl_scan
+    doc_jobs["d_dsir_scan"] = _dsir_scan
     timings.update(min_of_interleaved(doc_jobs, N_QUERY_REPS))
 
     # 2. transcript-corpus build throughput (the BASELINE.md headline).
