@@ -163,16 +163,27 @@ def train_ngram_importance(
         raise ValueError(f"add-k smoothing needs k > 0, got {k}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    t = _bucket_counts(target_df, text_col, n_buckets)
-    r = _bucket_counts(raw_df, text_col, n_buckets)
-    tot = {
-        row["side"]: row["n"]
-        for row in t.withColumn("side", F.lit("t"))
-        .unionByName(r.withColumn("side", F.lit("r")))
-        .groupBy("side").agg(F.sum("c").alias("n")).collect()
-    }
-    n_t, n_r = int(tot.get("t", 0)), int(tot.get("r", 0))
+    # join the two count tables FIRST and persist the result (at most
+    # n_buckets rows — always tiny) so the expensive corpus-scan
+    # lineages behind them run exactly once: the totals aggregation
+    # below and every later ratio consumer read the cached join
+    joined = (
+        _bucket_counts(target_df, text_col, n_buckets)
+        .withColumnRenamed("c", "c_t")
+        .join(
+            _bucket_counts(raw_df, text_col, n_buckets)
+            .withColumnRenamed("c", "c_r"),
+            on="bucket", how="full_outer",
+        )
+        .persist()
+    )
+    tot = joined.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    ).collect()[0]
+    n_t = int(tot["n_t"] or 0)
+    n_r = int(tot["n_r"] or 0)
     if n_t == 0 or n_r == 0:
+        joined.unpersist()
         raise ValueError(
             "cannot train importance ratios on an empty corpus "
             f"(target grams={n_t}, raw grams={n_r})"
@@ -180,22 +191,18 @@ def train_ngram_importance(
     import math
 
     denom_t, denom_r = n_t + k * n_buckets, n_r + k * n_buckets
-    ratios = (
-        t.withColumnRenamed("c", "c_t")
-        .join(r.withColumnRenamed("c", "c_r"), on="bucket", how="full_outer")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(k))
-                    / F.lit(denom_t)
-                )
-                - F.log(
-                    (F.coalesce(F.col("c_r"), F.lit(0)) + F.lit(k))
-                    / F.lit(denom_r)
-                )
-            ).alias("log_ratio"),
-        )
+    ratios = joined.select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(k))
+                / F.lit(denom_t)
+            )
+            - F.log(
+                (F.coalesce(F.col("c_r"), F.lit(0)) + F.lit(k))
+                / F.lit(denom_r)
+            )
+        ).alias("log_ratio"),
     )
     default = math.log(k / denom_t) - math.log(k / denom_r)
     return NgramImportance(
