@@ -367,12 +367,8 @@ def dsir_select(
     to exp(weight) (the Gumbel-max trick), but deterministic under the
     seed.  orderBy + limit lowers to TakeOrderedAndProject: a bounded
     per-partition top-n and one final merge, never a full sort."""
-    keyed = df.withColumn(
-        "__bzzz_gumbel",
-        F.col(weight_col) + gumbel_key(F.col(id_col), seed),
-    )
+    key = F.col(weight_col) + gumbel_key(F.col(id_col), seed)
     return (
-        keyed.orderBy(F.col("__bzzz_gumbel").desc(), F.col(id_col).asc())
+        df.orderBy(key.desc(), F.col(id_col).asc())
         .limit(int(n))
-        .drop("__bzzz_gumbel")
     )
