@@ -412,6 +412,45 @@ def main() -> None:
             ).collect()
             tm.update(min_of_interleaved(p_jobs, N_QUERY_REPS))
 
+            # in-process serving (base scale only): Spark builds, the
+            # persisted layout serves via pyarrow + the SAME numpy
+            # kernels with ZERO Spark jobs per query
+            # (bzzz_spark.serve.local) — the reference's deployment
+            # shape (long-lived in-process searchers).  write_serving_*
+            # is the one-off build→serve handoff cost; l_* lines are
+            # the per-query serving latencies the reference's ~150 ms
+            # figure should be compared against.
+            if prefix == "":
+                from bzzz_spark.build.checkpoint import write_index
+                from bzzz_spark.serve.local import LocalIndex, local_search
+
+                serve_t = tempfile.mkdtemp(prefix="bzzz_serve_t_")
+                serve_p = tempfile.mkdtemp(prefix="bzzz_serve_p_")
+                try:
+                    tm["write_serving_transcripts"] = timed(
+                        lambda: write_index(tidx, serve_t)
+                    )[0]
+                    tm["write_serving_pos"] = timed(
+                        lambda: write_index(pidx, serve_p)
+                    )[0]
+                    ltix, lpix = LocalIndex(serve_t), LocalIndex(serve_p)
+                    l_jobs = {
+                        f"l_{name}": (
+                            lambda q=node: local_search(ltix, q, size=10)
+                        )
+                        for name, node in TRANSCRIPT_QUERIES.items()
+                    }
+                    l_jobs.update({
+                        f"l_{name}": (
+                            lambda q=node: local_search(lpix, q, size=10)
+                        )
+                        for name, node in PHRASE_QUERIES.items()
+                    })
+                    tm.update(min_of_interleaved(l_jobs, N_QUERY_REPS))
+                finally:
+                    shutil.rmtree(serve_t, ignore_errors=True)
+                    shutil.rmtree(serve_p, ignore_errors=True)
+
             # span-level dedup pipeline (Lee et al. exact-substring at
             # 8-gram granularity) over the same corpus — linear in
             # corpus tokens by design; the growth ratio across scales
@@ -485,6 +524,18 @@ def main() -> None:
                     tm[f"{prefix}batch_all"] / len(workload), 4
                 ),
             }
+            if f"{prefix}l_t_term_head" in tm:
+                llat = sorted(
+                    tm[f"{prefix}l_{name}"]
+                    for name in TRANSCRIPT_QUERIES
+                    if name not in ("t_wild_and", "t_req_opt", "t_dismax",
+                                    "t_filt_or", "t_or_in_and", "t_syn_and",
+                                    "t_wild_range", "t_or_range")
+                )
+                summary["local_p50_sec"] = round(statistics.median(llat), 4)
+                summary["local_p99_sec"] = round(
+                    llat[min(len(llat) - 1, int(len(llat) * 0.99))], 4
+                )
             tidx.unpersist()
             if pidx is not None:
                 pidx.unpersist()
@@ -552,6 +603,8 @@ def main() -> None:
                 "n_posting_blocks": n_blocks,
                 "bm25_p50_sec": round(p50, 3),
                 "bm25_p99_sec": round(p99, 3),
+                "local_serve_p50_sec": s1.get("local_p50_sec"),
+                "local_serve_p99_sec": s1.get("local_p99_sec"),
                 "bm25_batched_per_query_sec": round(batched_per_query, 4),
                 "batch_n_queries": len(workload),
                 "scale2": scale2,

@@ -171,7 +171,9 @@ def build_and_write(
         )
         dictionary = spark.read.parquet(dict_path)
         tf = _full_tf(docs, cfg)
-        extra = ["positions"] if cfg.store_positions else []
+        extra = (["positions"] if cfg.store_positions else []) + list(
+            cfg.docvalue_cols
+        )
         rows = (
             tf.join(dictionary.select("term", "term_id", "df"), "term")
             .withColumn(
@@ -248,7 +250,64 @@ def build_and_write(
     return m
 
 
-def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
+def write_index(index: BzzzIndex, out_dir: str) -> dict:
+    """Persist an in-memory-built BzzzIndex to the on-disk serving
+    layout (the same directory shape build_and_write produces, readable
+    by read_index and serve.local.LocalIndex).
+
+    This is the fast-build → serve handoff: build_index's aligned merge
+    is the quick path (no checkpointing), and this writes its frames
+    with the serving-oriented file discipline measured in
+    tools/cold_io_bench — postings range-partitioned + sorted by
+    term_id with small row groups (tight min/max stats → a term query
+    reads only its own blocks' bytes), docs sorted by docid, the
+    dictionary sorted by term for pruned lookups.  The reference's
+    analog is Lucene's commit + forceMerge producing the segment files
+    its searchers then mmap (src/bzzz/index_store.clj)."""
+    spark = index.postings.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs, avgdl = index.scalar_stats()
+    cfg = index.config
+    per_tok = 6 if getattr(cfg, "store_positions", False) else 3
+    bytes_est = n_docs * max(avgdl, 1.0) * per_tok
+    n_files = max(1, min(1024, math.ceil(bytes_est / (32 << 20))))
+    (
+        index.postings.repartitionByRange(n_files, "term_id")
+        .sortWithinPartitions("term_id", "segment", "block_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 128 * 1024)
+        .parquet(os.path.join(out_dir, "postings", "chunk=0"))
+    )
+    (
+        index.docs.repartitionByRange(
+            max(1, math.ceil(n_docs / 2_000_000)), "docid"
+        )
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docs"))
+    )
+    (
+        index.dictionary.repartitionByRange(1, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 512 * 1024)
+        .parquet(os.path.join(out_dir, "dictionary"))
+    )
+    index.stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats")
+    )
+    m = {
+        "stages": {}, "chunks": {"0": {}}, "complete": True,
+        "config": cfg.to_dict(), "written_by": "write_index",
+    }
+    _save_manifest(out_dir, m)
+    return m
+
+
+def load_config(out_dir: str) -> IndexConfig:
+    """Reconstruct the IndexConfig a completed on-disk index was built
+    with (shared by the Spark reader below and the in-process serving
+    reader, bzzz_spark.serve.local.LocalIndex)."""
     m = _load_manifest(out_dir)
     if not m.get("complete"):
         raise ValueError(f"index at {out_dir} is incomplete — resume the build")
@@ -261,7 +320,11 @@ def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
         tuple(x) for x in cfg_d.get("extra_fields", [])
     )
     cfg_d["docvalue_cols"] = tuple(cfg_d.get("docvalue_cols", []))
-    cfg = IndexConfig(**cfg_d)
+    return IndexConfig(**cfg_d)
+
+
+def read_index(spark: SparkSession, out_dir: str) -> BzzzIndex:
+    cfg = load_config(out_dir)
     return BzzzIndex(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")).drop("tokens"),
         dictionary=spark.read.parquet(os.path.join(out_dir, "dictionary")),

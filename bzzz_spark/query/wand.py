@@ -139,6 +139,37 @@ class FlatShape:
     groups: list = _dc_field(default_factory=list)  # (members, msm, scored)
 
 
+@dataclass(frozen=True)
+class KernelPlan:
+    """A planned block-max query: the per-segment scoring kernel plus
+    the term_ids whose posting blocks it needs.  Everything else about
+    the query (weights, bounds, exclusions, phrase specs) is already
+    closed over inside `kernel`, so the plan is runtime-agnostic — the
+    Spark path feeds it a term_id-pruned postings DataFrame, the
+    in-process serving path (bzzz_spark.serve.local) feeds it pyarrow
+    parquet reads of the same blocks.  empty=True marks queries proven
+    empty at plan time (out-of-vocabulary must-terms, unsatisfiable
+    minimum_should_match, zero-doc index)."""
+
+    kernel: object | None
+    tids: tuple = ()
+    empty: bool = False
+
+
+_EMPTY_PLAN = KernelPlan(None, (), empty=True)
+
+
+def _run_plan(index: BzzzIndex, plan: KernelPlan) -> DataFrame:
+    """Materialize a KernelPlan on the Spark runtime."""
+    if plan.empty:
+        spark = index.docs.sparkSession
+        return spark.createDataFrame([], "docid long, score double")
+    blocks = index.postings.filter(
+        F.col("term_id").isin([int(t) for t in plan.tids])
+    )
+    return _run_kernel(index, blocks, plan.kernel)
+
+
 def _flat_conjuncts(nodes, scored: bool):
     """Term/Range/Phrase/Wildcard/Fuzzy/group-Bool nodes → FlatShape
     component lists, or None if any node is out of kernel scope.
@@ -1448,7 +1479,12 @@ def _expand_scoped_many(index: BzzzIndex, nodes: list) -> list[list[str]]:
     fresh = [p for p in nodes if ckey(p) not in cache]
     if fresh:
         prefixes = [_pattern_prefix(index, n) for n in fresh]
-        cand = expand_multiterm(index.dictionary, fresh, prefixes)
+        if hasattr(index, "expand_candidates"):
+            # in-process serving index (serve.local.LocalIndex): the
+            # dictionary is driver-resident, no Spark job to batch
+            cand = index.expand_candidates(fresh, prefixes)
+        else:
+            cand = expand_multiterm(index.dictionary, fresh, prefixes)
         for p, pre in zip(fresh, prefixes):
             scoped = (
                 [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
@@ -1473,40 +1509,43 @@ def _expand_scoped(index: BzzzIndex, node) -> list[str]:
     return _expand_scoped_many(index, [node])[0]
 
 
-def _any_topk(
+def _any_plan(
     index: BzzzIndex, keys: list[str], boost: float, k: int
-) -> DataFrame:
+) -> KernelPlan:
     """Constant-score 'any' kernel over explicit dictionary keys: every
     matching doc scores `boost`, so per segment the top-k is the k
     smallest matching docids and decoding stops once k docids precede
     every remaining block's range.  Needs no norms (constant score)."""
-    spark = index.docs.sparkSession
-    empty = spark.createDataFrame([], "docid long, score double")
     if not keys:
-        return empty
+        return _EMPTY_PLAN
     meta = index.lookup_terms(keys)
     tids = sorted(int(tid) for tid, _df in meta.values())
     if not tids:
-        return empty
+        return _EMPTY_PLAN
     qmeta = {tid: (0.0, float(boost)) for tid in tids}
-    blocks = index.postings.filter(F.col("term_id").isin(tids))
     kernel = _make_kernel(
         qmeta, "any", 1, k, 1.0, index.config.segment_size
     )
-    return _run_kernel(index, blocks, kernel)
+    return KernelPlan(kernel, tuple(tids))
 
 
-def _multiterm_candidates(
-    index: BzzzIndex, node: ast.Query, k: int
+def _any_topk(
+    index: BzzzIndex, keys: list[str], boost: float, k: int
 ) -> DataFrame:
+    return _run_plan(index, _any_plan(index, keys, boost, k))
+
+
+def _multiterm_plan(
+    index: BzzzIndex, node: ast.Query, k: int
+) -> KernelPlan:
     """Top-level Wildcard/Fuzzy: Lucene CONSTANT_SCORE_REWRITE — the
     dictionary expansion feeds the constant-score 'any' kernel."""
-    return _any_topk(index, _expand_scoped(index, node), node.boost, k)
+    return _any_plan(index, _expand_scoped(index, node), node.boost, k)
 
 
-def _constant_candidates(
+def _constant_plan(
     index: BzzzIndex, node: "ast.ConstantScore", k: int
-) -> DataFrame | None:
+) -> KernelPlan | None:
     """Top-level ConstantScore over a Term or a should-only Bool of
     Terms (effective msm <= 1): every match scores node.boost, so — as
     with Lucene's CONSTANT_SCORE_REWRITE for multi-term queries — the
@@ -1533,13 +1572,33 @@ def _constant_candidates(
     from bzzz_spark.query.executor import term_key
 
     keys = sorted({term_key(index, f, v) for v, f in members})
-    return _any_topk(index, keys, node.boost, k)
+    return _any_plan(index, keys, node.boost, k)
 
 
 def wand_candidates(
     index: BzzzIndex, node: ast.Query, k: int
 ) -> DataFrame | None:
     """Per-segment top-k (docid, score) for flat shapes, else None."""
+    plan = plan_candidates(index, node, k)
+    if plan is None:
+        return None
+    return _run_plan(index, plan)
+
+
+def plan_candidates(
+    index, node: ast.Query, k: int
+) -> "KernelPlan | None":
+    """Driver-side planning for the block-max kernel path: dictionary
+    lookups + kernel construction, NO postings work.  Returns None for
+    shapes the kernels can't serve (→ exhaustive executor), an
+    empty-marked plan for provably-empty queries, else the kernel and
+    the term_ids whose blocks it needs.  Shared by both runtimes:
+    wand_candidates fetches the blocks as a term_id-pruned DataFrame
+    filter and runs the kernel as narrow tasks; the in-process serving
+    path (bzzz_spark.serve.local) fetches the same blocks via pyarrow
+    parquet reads and calls the kernel directly — zero Spark jobs, the
+    deployment shape of the reference's long-lived in-process Lucene
+    searcher (src/bzzz/index_directory.clj:129-132)."""
     # direct callers (wand_search / wand_candidates without going
     # through executor.search) must hit the same unknown-field error as
     # the executor path — otherwise a Wildcard on an unindexed field
@@ -1548,9 +1607,9 @@ def wand_candidates(
 
     validate_fields(index, node)
     if isinstance(node, (ast.Wildcard, ast.Fuzzy)):
-        return _multiterm_candidates(index, node, k)
+        return _multiterm_plan(index, node, k)
     if isinstance(node, ast.ConstantScore):
-        got = _constant_candidates(index, node, k)
+        got = _constant_plan(index, node, k)
         if got is not None:
             return got
     shape = classify(node)
@@ -1621,16 +1680,15 @@ def wand_candidates(
     ovals = okeys + [
         t for tids, _s, _b in shape.opt_phrases for t in tids
     ] + [k for keys in gkeys for k in keys]
-    spark = index.docs.sparkSession
     n_docs, avgdl = index.scalar_stats()
     if n_docs == 0 or avgdl == 0:
-        return spark.createDataFrame([], "docid long, score double")
+        return _EMPTY_PLAN
     meta = index.lookup_terms(vals + neg_vals + pvals + ovals)
     if shape.mode == "and" and (
         any(v not in meta for v in vals) or any(t not in meta for t in pvals)
     ):
         # a required conjunct term (or phrase leg) is out of vocabulary
-        return spark.createDataFrame([], "docid long, score double")
+        return _EMPTY_PLAN
     qmeta = {}
     for (v, f, boost, scored), key in zip(shape.terms, vals):
         if key in meta:
@@ -1688,9 +1746,7 @@ def wand_candidates(
                 # pattern matches NO vocabulary term: the conjunction
                 # matches nothing (Lucene: a must clause rewritten to
                 # the empty disjunction)
-                return spark.createDataFrame(
-                    [], "docid long, score double"
-                )
+                return _EMPTY_PLAN
             termset_specs.append(
                 (tuple(mtids), float(mnode.boost) if scored else 0.0)
             )
@@ -1720,13 +1776,13 @@ def wand_candidates(
                 w = idf_fn(n_docs, df) * boost if gscored else 0.0
                 entries.append((int(tid), w))
         if len(entries) < gmsm:
-            return spark.createDataFrame([], "docid long, score double")
+            return _EMPTY_PLAN
         group_specs.append((entries, int(gmsm)))
     if (
         not qmeta and not phrase_specs and not termset_specs
         and not group_specs
     ):
-        return spark.createDataFrame([], "docid long, score double")
+        return _EMPTY_PLAN
     # optional (should) terms/phrases: out-of-vocabulary ones match
     # nothing — they just stop counting toward minimum_should_match.
     # If fewer remain than msm requires, NO doc can qualify
@@ -1746,7 +1802,7 @@ def wand_candidates(
     if shape.opt_msm > (
         len(opt_meta) + len(opt_phrase_specs) + len(opt_set_specs)
     ):
-        return spark.createDataFrame([], "docid long, score double")
+        return _EMPTY_PLAN
     # must_not terms absent from the dictionary exclude nothing; a term
     # that is both required and excluded stays in BOTH sets (the kernel
     # then scores and excludes it — "a AND NOT a" is naturally empty)
@@ -1781,7 +1837,6 @@ def wand_candidates(
         | {int(t) for tids, _b in opt_set_specs for t in tids}
         | {tid for entries, _m in group_specs for tid, _w in entries}
     )
-    blocks = index.postings.filter(F.col("term_id").isin(sorted(all_tids)))
     seg_size = index.config.segment_size
     kernel = _make_kernel(qmeta, shape.mode, shape.msm, k, avgdl, seg_size,
                           neg_tids, shape.ranges, phrases=phrase_specs,
@@ -1789,7 +1844,7 @@ def wand_candidates(
                           opts=opt_meta, opt_msm=shape.opt_msm,
                           tie=shape.tie, opt_phrases=opt_phrase_specs,
                           opt_sets=opt_set_specs, groups=group_specs)
-    return _run_kernel(index, blocks, kernel)
+    return KernelPlan(kernel, tuple(sorted(all_tids)))
 
 
 def wand_search(
