@@ -80,6 +80,22 @@ def _index(spark: SparkSession, sf_dir: str) -> BzzzIndex:
     return _IDX_CACHE[key]
 
 
+def _local_index(spark: SparkSession, sf_dir: str):
+    """Persist the contract index to the on-disk serving layout (once
+    per sf_dir per session) and open it with the in-process reader."""
+    import tempfile
+
+    from bzzz_spark.build.checkpoint import write_index
+    from bzzz_spark.serve.local import LocalIndex
+
+    key = ("local", id(spark), sf_dir)
+    if key not in _IDX_CACHE:
+        out = tempfile.mkdtemp(prefix="bzzz_entry_serve_")
+        write_index(_index(spark, sf_dir), out)
+        _IDX_CACHE[key] = LocalIndex(out)
+    return _IDX_CACHE[key]
+
+
 def _hits(index: BzzzIndex, node, size: int = 10, page: int = 0) -> DataFrame:
     return search(index, node, size=size, page=page).select(
         F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
@@ -154,11 +170,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- search operators (SURVEY.md §2.3/§2.4/§2.5) ---
-    def q_term_topk(spark, sf):
-        return _hits(_index(spark, sf), ast.Term("merge"), size=10)
+    def q_terms(spark, sf):
+        # head + rare single-term top-k, folded into one row (r4: funds
+        # q_local_serve at the 50-row ceiling)
+        idx = _index(spark, sf)
+        return (
+            _hits(idx, ast.Term("merge"), size=10)
+            .withColumn("part", F.lit("head"))
+            .unionByName(
+                _hits(idx, ast.Term("dup"), size=10)
+                .withColumn("part", F.lit("rare"))
+            )
+        )
 
-    def q_term_rare(spark, sf):
-        return _hits(_index(spark, sf), ast.Term("dup"), size=10)
+    def q_local_serve(spark, sf):
+        # the in-process serving runtime (bzzz_spark/serve/local.py):
+        # Spark builds + write_index persists the serving layout, then
+        # LocalIndex answers via pyarrow + the SAME numpy kernels with
+        # zero Spark jobs — the reference's long-lived in-process
+        # searcher shape.  Each member must be rank/score-identical to
+        # the engine AND to the DuckDB oracle (UNION ALL of the member
+        # oracles), so the contract pins cross-RUNTIME parity, not just
+        # cross-engine.
+        import pandas as pd
+
+        from bzzz_spark.serve.local import local_search
+
+        lix = _local_index(spark, sf)
+        members = {
+            "ls_term": ast.Term("merge"),
+            "ls_and2": ast.Bool(must=[ast.Term("scan"), ast.Term("filter")]),
+            "ls_not": ast.Bool(
+                must=[ast.Term("merge")], must_not=[ast.Term("dup")]
+            ),
+            "ls_msm": ast.Bool(
+                should=[ast.Term("dup"), ast.Term("window"),
+                        ast.Term("stream")],
+                minimum_should_match=2,
+            ),
+            "ls_phrase": ast.Bool(
+                must=[ast.Term("scan"), ast.Phrase(["filter", "merge"])]
+            ),
+            "ls_range": ast.Bool(
+                must=[ast.Term("merge"),
+                      ast.Range("n_chars", min=200, max=400)]
+            ),
+            "ls_wild": ast.Bool(
+                must=[ast.Term("merge"), ast.Wildcard("du*")]
+            ),
+            "ls_dismax": ast.DisMax(
+                queries=[
+                    ast.Term("merge"),
+                    ast.Phrase(["filter", "merge"]),
+                    ast.Wildcard("du*"),
+                ],
+                tie_breaker=0.3,
+            ),
+        }
+        parts = []
+        for name, node in members.items():
+            pdf = local_search(lix, node, size=10)
+            parts.append(pdf.assign(query_id=name))
+        allp = pd.concat(parts, ignore_index=True)
+        allp["score"] = allp["score"].round(4)
+        allp = allp.rename(columns={"docid": "doc_id"})
+        return spark.createDataFrame(
+            allp[["query_id", "doc_id", "score"]],
+            "query_id string, doc_id long, score double",
+        )
 
     def q_and2(spark, sf):
         node = ast.Bool(must=[ast.Term("scan"), ast.Term("filter")])
@@ -1090,7 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prof.unionByName(src)
 
     q.update(
-        q_term_topk=q_term_topk, q_term_rare=q_term_rare, q_and2=q_and2,
+        q_terms=q_terms, q_local_serve=q_local_serve, q_and2=q_and2,
         q_and3_skew=q_and3_skew, q_must_not=q_must_not,
         q_should_msm2=q_should_msm2, q_filtered_range=q_filtered_range,
         q_match_all=q_match_all, q_paging=q_paging,
@@ -1222,8 +1301,13 @@ def oracle_sql() -> dict[str, str]:
     toks = f"regexp_extract_all(lower(text), '{TOK}')"
     o: dict[str, str] = {}
 
-    o["q_term_topk"] = f"{_BASE}, {_term_scores(['merge'])}\n{_topk('SELECT doc_id, score FROM scores', 10)}"
-    o["q_term_rare"] = f"{_BASE}, {_term_scores(['dup'])}\n{_topk('SELECT doc_id, score FROM scores', 10)}"
+    term_topk = f"{_BASE}, {_term_scores(['merge'])}\n{_topk('SELECT doc_id, score FROM scores', 10)}"
+    term_rare = f"{_BASE}, {_term_scores(['dup'])}\n{_topk('SELECT doc_id, score FROM scores', 10)}"
+    o["q_terms"] = (
+        f"SELECT 'head' AS part, doc_id, score FROM ({term_topk})"
+        "\nUNION ALL\n"
+        f"SELECT 'rare' AS part, doc_id, score FROM ({term_rare})"
+    )
     o["q_and2"] = (
         f"{_BASE}, {_term_scores(['scan', 'filter'])}\n"
         + _topk("SELECT doc_id, score FROM scores WHERE nmatch = 2", 10)
@@ -2373,7 +2457,7 @@ FROM documents GROUP BY source"""
     o["q_batch"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
         for name, sql in [
-            ("b_term", o["q_term_topk"]),
+            ("b_term", term_topk),
             ("b_and2", o["q_and2"]),
             ("b_not", o["q_must_not"]),
             ("b_msm", o["q_should_msm2"]),
@@ -2385,6 +2469,23 @@ FROM documents GROUP BY source"""
             ("b_wild", b_wild),
             ("b_groups", b_groups),
             ("b_dismax", b_dismax),
+        ]
+    )
+    # in-process serving runtime: the members reuse the SAME oracle SQL
+    # as their Spark-path twins — the driver row therefore pins
+    # LocalIndex (pyarrow + numpy kernels, zero Spark jobs) against the
+    # independent DuckDB derivation
+    o["q_local_serve"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query_id, doc_id, score FROM ({sql})"
+        for name, sql in [
+            ("ls_term", term_topk),
+            ("ls_and2", o["q_and2"]),
+            ("ls_not", o["q_must_not"]),
+            ("ls_msm", o["q_should_msm2"]),
+            ("ls_phrase", b_phrase),
+            ("ls_range", b_range),
+            ("ls_wild", b_wild),
+            ("ls_dismax", b_dismax),
         ]
     )
     return o

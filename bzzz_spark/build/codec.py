@@ -152,3 +152,32 @@ def decode_block(
         docids[1:] += first_docid
     tf = decode_varints(tfs, count) + 1
     return docids, tf
+
+
+def decode_blocks_batch(
+    firsts, counts, doc_gaps_list, tfs_list
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks in one vectorized pass — the per-block
+    decode_block loop costs ~0.1 ms of Python/numpy call overhead per
+    block (a block holds ≤128 postings, so the arrays are tiny), which
+    dominates wide queries that touch thousands of blocks.  All blocks'
+    varint streams concatenate into ONE decode (LEB128 values are
+    self-delimiting), and docids reconstruct with a single segmented
+    cumsum.  Returns (docids, tfs, block_index_per_posting), rows in
+    block order (docids sorted only within each block)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    if counts.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    n = int(counts.sum())
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gaps = decode_varints(b"".join(doc_gaps_list))
+    arr = np.zeros(n, dtype=np.int64)
+    mask = np.ones(n, dtype=bool)
+    mask[starts] = False
+    arr[mask] = gaps
+    cs = np.cumsum(arr)
+    seg = np.repeat(np.arange(counts.size), counts)
+    docids = np.asarray(firsts, dtype=np.int64)[seg] + (cs - cs[starts][seg])
+    tf = decode_varints(b"".join(tfs_list)) + 1
+    return docids, tf, seg

@@ -71,7 +71,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bzzz_spark import BM25_B, BM25_K1
-from bzzz_spark.build.codec import decode_block, decode_varints, decode_zigzag
+from bzzz_spark.build.codec import (
+    decode_block,
+    decode_blocks_batch,
+    decode_varints,
+    decode_zigzag,
+)
 from bzzz_spark.build.indexer import BzzzIndex
 from bzzz_spark.query import ast
 from bzzz_spark.query.scoring import idf as idf_fn
@@ -560,16 +565,13 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             if need.any():
                 rows = neg_all[need]
                 neg_done[need] = True
-                neg_docs = np.union1d(
-                    neg_docs,
-                    np.concatenate(
-                        [
-                            decode_block(r.first_docid, r.count, r.doc_gaps,
-                                         r.tfs)[0]
-                            for r in rows.itertuples(index=False)
-                        ]
-                    ),
+                nd, _t, _s = decode_blocks_batch(
+                    rows["first_docid"].to_numpy(),
+                    rows["count"].to_numpy(),
+                    rows["doc_gaps"].tolist(),
+                    rows["tfs"].tolist(),
                 )
+                neg_docs = np.union1d(neg_docs, nd)
             if neg_docs.size == 0:
                 return np.ones(d_sorted.size, dtype=bool)
             idx = np.clip(np.searchsorted(neg_docs, d_sorted), 0,
@@ -583,24 +585,45 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                 dl = np.where(dl == 0, avgdl, dl)
             return d, t.astype(np.float64), dl
 
+        def decode_many(rows: pd.DataFrame) -> list:
+            """Per-block (d, t, dl) tuples via ONE batched varint pass
+            (the per-block decode_one call overhead dominated wide
+            conjunctions' cache fills)."""
+            counts = rows["count"].to_numpy()
+            d, t, _seg = decode_blocks_batch(
+                rows["first_docid"].to_numpy(), counts,
+                rows["doc_gaps"].tolist(), rows["tfs"].tolist(),
+            )
+            dl = decode_varints(b"".join(rows["dls"])).astype(np.float64)
+            if dl.size and dl.min() == 0:
+                dl = np.where(dl == 0, avgdl, dl)
+            cuts = np.cumsum(counts)[:-1]
+            return list(zip(
+                np.split(d, cuts),
+                np.split(t.astype(np.float64), cuts),
+                np.split(dl, cuts),
+            ))
+
         def decode(rows: pd.DataFrame, want_dv: tuple = ()):
-            ds, ts, dls = [], [], []
-            dvs: dict[str, list] = {c: [] for c in want_dv}
-            for r in rows.itertuples(index=False):
-                d, t, dl = decode_one(r)
-                ds.append(d)
-                ts.append(t)
-                dls.append(dl)
-                for c in want_dv:
-                    dvs[c].append(
-                        decode_zigzag(getattr(r, f"dv_{c}"), r.count)
-                    )
-            d = np.concatenate(ds)
-            t = np.concatenate(ts)
-            dl = np.concatenate(dls)
+            # batched: ONE varint decode per stream across all blocks
+            # (per-block decode_block calls cost ~0.1 ms each of
+            # call overhead — thousands of blocks made that the hot
+            # spot for wide termset/disjunction queries)
+            d, t, _seg = decode_blocks_batch(
+                rows["first_docid"].to_numpy(),
+                rows["count"].to_numpy(),
+                rows["doc_gaps"].tolist(),
+                rows["tfs"].tolist(),
+            )
+            dl = decode_varints(b"".join(rows["dls"])).astype(np.float64)
+            if dl.size and dl.min() == 0:
+                dl = np.where(dl == 0, avgdl, dl)
             o = np.argsort(d, kind="stable")
-            out_dv = {c: np.concatenate(dvs[c])[o] for c in want_dv}
-            return d[o], t[o], dl[o], out_dv
+            out_dv = {
+                c: decode_zigzag(b"".join(rows[f"dv_{c}"]))[o]
+                for c in want_dv
+            }
+            return d[o], t[o].astype(np.float64), dl[o], out_dv
 
         def topk(docids: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
             o = np.lexsort((docids, -scores))[:k]  # (score desc, docid asc)
@@ -696,10 +719,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     continue
                 miss = [int(i) for i in need if int(i) not in cache]
                 if miss:
-                    for i, r in zip(
-                        miss, sub.iloc[miss].itertuples(index=False)
-                    ):
-                        cache[i] = decode_one(r)
+                    for i, tpl in zip(miss, decode_many(sub.iloc[miss])):
+                        cache[i] = tpl
                     if stats is not None:
                         db = stats.setdefault("decoded_blocks", {})
                         key = f"optset:{si}"
@@ -724,10 +745,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     continue
                 miss = [int(i) for i in need if int(i) not in cache]
                 if miss:
-                    for i, r in zip(
-                        miss, sub.iloc[miss].itertuples(index=False)
-                    ):
-                        cache[i] = decode_one(r)
+                    for i, tpl in zip(miss, decode_many(sub.iloc[miss])):
+                        cache[i] = tpl
                     if stats is not None:
                         db = stats.setdefault("decoded_blocks", {})
                         key = f"opt:{tid}"
@@ -1161,10 +1180,8 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
                     cache = ocache[tid]
                     miss = [int(i) for i in need if int(i) not in cache]
                     if miss:
-                        for i, r in zip(
-                            miss, sub.iloc[miss].itertuples(index=False)
-                        ):
-                            cache[i] = decode_one(r)
+                        for i, tpl in zip(miss, decode_many(sub.iloc[miss])):
+                            cache[i] = tpl
                         if stats is not None:
                             db = stats.setdefault("decoded_blocks", {})
                             db[tid] = db.get(tid, 0) + len(miss)

@@ -63,7 +63,8 @@ class LocalIndex:
 
     wand_safe = True
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, cache_blocks: bool = True,
+                 max_cached_terms: int = 100_000):
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
@@ -90,6 +91,15 @@ class LocalIndex:
         self._term_cache: dict = {}
         self._expansion_cache: dict = {}
         self._terms_arr = None  # lazy full term list (expansion only)
+        # hot-term block cache: term_id → its (encoded) block rows.
+        # The serving analog of a hot Lucene searcher's working set —
+        # repeat queries over a hot index never touch parquet again.
+        # Entries hold ENCODED blocks (varint bytes, ~3 B/posting), so
+        # the cap bounds memory at roughly the hot terms' index bytes;
+        # plain LRU via dict reinsertion order.
+        self._cache_blocks = bool(cache_blocks)
+        self._max_cached_terms = int(max_cached_terms)
+        self._block_cache: dict[int, pd.DataFrame] = {}
 
     # -- planner surface -------------------------------------------------
 
@@ -166,14 +176,39 @@ class LocalIndex:
         The term_id filter prunes parquet row groups via min/max stats
         (blocks are written term_id-sorted within files), so a query
         reads only its own terms' bytes — the on-disk analog of the
-        Spark path's pushed isin filter."""
+        Spark path's pushed isin filter.  Cache hits skip parquet
+        entirely (see _block_cache)."""
         import pyarrow.compute as pc
 
-        tbl = self._post_ds.to_table(
-            columns=self._block_cols,
-            filter=pc.field("term_id").isin([int(t) for t in term_ids]),
-        )
-        return tbl.to_pandas()
+        tids = [int(t) for t in term_ids]
+        if not self._cache_blocks:
+            return self._post_ds.to_table(
+                columns=self._block_cols,
+                filter=pc.field("term_id").isin(tids),
+            ).to_pandas()
+        missing = [t for t in tids if t not in self._block_cache]
+        if missing:
+            fresh = self._post_ds.to_table(
+                columns=self._block_cols,
+                filter=pc.field("term_id").isin(missing),
+            ).to_pandas()
+            groups = {t: g for t, g in fresh.groupby("term_id", sort=False)}
+            empty = fresh.iloc[0:0]
+            for t in missing:
+                self._block_cache[t] = groups.get(t, empty)
+        parts = []
+        for t in tids:
+            g = self._block_cache.pop(t)  # reinsert = LRU touch
+            self._block_cache[t] = g
+            if len(g):
+                parts.append(g)
+        while len(self._block_cache) > self._max_cached_terms:
+            self._block_cache.pop(next(iter(self._block_cache)))
+        if not parts:
+            return self._block_cache[tids[0]].iloc[0:0] if tids else (
+                pd.DataFrame(columns=self._block_cols)
+            )
+        return pd.concat(parts, ignore_index=True)
 
     def fetch_docs(self, docids, columns=None) -> pd.DataFrame:
         """Stored fields for the given docids (R1 field projection).
@@ -219,6 +254,11 @@ def local_candidates(
     blocks = index.fetch_blocks(plan.tids)
     if not len(blocks):
         return _EMPTY.copy()
+    # per-segment kernels run SERIALLY in this process: measured on
+    # this box, a thread pool over segments is 2-7x SLOWER (the
+    # kernels interleave many small numpy calls, so threads convoy on
+    # the GIL).  Cross-segment/shard parallelism belongs to processes
+    # — one LocalIndex per shard, like one reference node per shard.
     outs = [
         plan.kernel(g) for _, g in blocks.groupby("segment", sort=False)
     ]

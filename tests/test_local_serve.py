@@ -204,6 +204,23 @@ def test_write_index_serving_handoff(spark, small_transcripts,
     assert local_search(lix, ast.Phrase(["the", "error"]), size=10).shape[0] > 0
 
 
+def test_block_cache_transparent(served, tmp_path_factory):
+    """The hot-term LRU block cache changes block ORDER in the fetched
+    frame (per-tid concat vs parquet order) — results must not care."""
+    sidx, lix = served
+    cold = LocalIndex(lix.out_dir, cache_blocks=False)
+    for node in SHAPES:
+        a = local_search(lix, node, size=10)
+        b = local_search(cold, node, size=10)
+        assert a["docid"].tolist() == b["docid"].tolist(), node
+        assert (a["score"] - b["score"]).abs().max() <= 1e-12 or len(a) == 0
+    # a second pass over the SAME shapes must serve from cache and agree
+    for node in SHAPES:
+        a = local_search(lix, node, size=10)
+        b = local_search(cold, node, size=10)
+        assert a["docid"].tolist() == b["docid"].tolist(), node
+
+
 def test_local_matches_oracle_fuzz(served, small_oracle):
     """Score parity against the THIRD engine (the pure-Python oracle)
     over a mixed battery — not just Spark-vs-local agreement."""
