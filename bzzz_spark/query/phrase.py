@@ -64,7 +64,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bzzz_spark.build.codec import decode_block, decode_positions, decode_varints
+from bzzz_spark.build.codec import (
+    decode_blocks_batch,
+    decode_positions,
+    decode_varints,
+)
 from bzzz_spark.query.phrase_repeats import repeat_groups
 
 PHRASE_SCHEMA = "docid long, ptf double, dl long"
@@ -81,20 +85,20 @@ _EMPTY = pd.DataFrame(
 def _decode_blocks_pos(rows: pd.DataFrame):
     """Blocks (sorted by first_docid) → (docids, tfs, dls, flat_positions).
     docids ascending across the concatenation (blocks of one term in one
-    segment have disjoint increasing ranges)."""
-    ds, ts, dls, ps = [], [], [], []
-    for r in rows.itertuples(index=False):
-        d, tf = decode_block(r.first_docid, r.count, r.doc_gaps, r.tfs)
-        ds.append(d)
-        ts.append(tf)
-        dls.append(decode_varints(r.dls, r.count))
-        ps.append(decode_positions(r.positions, tf))
-    return (
-        np.concatenate(ds),
-        np.concatenate(ts),
-        np.concatenate(dls),
-        np.concatenate(ps),
+    segment have disjoint increasing ranges).  Batched: one varint pass
+    per stream across all blocks (codec.decode_blocks_batch); the
+    positions stream concatenates safely because each posting's first
+    value is absolute, and block boundaries coincide with posting
+    boundaries."""
+    d, tf, _seg = decode_blocks_batch(
+        rows["first_docid"].to_numpy(),
+        rows["count"].to_numpy(),
+        rows["doc_gaps"].tolist(),
+        rows["tfs"].tolist(),
     )
+    dl = decode_varints(b"".join(rows["dls"]))
+    pos = decode_positions(b"".join(rows["positions"]), tf)
+    return d, tf, dl, pos
 
 
 def _exact_freqs(legs, n_cand: int):
