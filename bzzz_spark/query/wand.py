@@ -1145,9 +1145,20 @@ def _make_kernel(qmeta: dict, mode: str, msm: int, k: int, avgdl: float,
             out_s: list[np.ndarray] = []
             best = np.empty(0, dtype=np.float64)
             seen = 0
+            # adaptive chunking: start small so θ-pruning can stop
+            # after a handful of high-bound blocks, then double toward
+            # 256 — when pruning is NOT winning (skewed head
+            # conjunctions whose rare term still has thousands of
+            # blocks), the per-iteration Python overhead amortizes
+            # instead of running len/8 small loops.  θ only ever
+            # grows, so a coarser later chunk never prunes less than
+            # its first block's bound allows — exactness is unchanged.
             CHUNK = 8
-            for start in range(0, len(rsub), CHUNK):
+            start = 0
+            while start < len(rsub):
                 chunk = rsub.iloc[start:start + CHUNK]
+                start += CHUNK
+                CHUNK = min(256, CHUNK * 2)
                 bound = (boost_r * float(chunk["block_max_score"].iloc[0])
                          + ub_others + range_boost + ub_opts)
                 if seen >= k and bound < theta:

@@ -100,6 +100,27 @@ class LocalIndex:
         self._cache_blocks = bool(cache_blocks)
         self._max_cached_terms = int(max_cached_terms)
         self._block_cache: dict[int, pd.DataFrame] = {}
+        self._manifest_mtime = os.path.getmtime(
+            os.path.join(out_dir, "manifest.json")
+        )
+
+    def refresh(self) -> bool:
+        """Reopen when the on-disk index generation changed — the
+        serving analog of the reference's 5 s SearcherManager refresh
+        (index_directory.clj:129-132).  Returns True if a new
+        generation was opened (all caches drop).  The writers
+        (write_index / build_and_write) replace the manifest atomically
+        via os.replace, so its mtime marks the generation.  Unlike
+        Lucene's immutable segment files, an in-place overwrite deletes
+        the old parquet files — call refresh() before serving after a
+        rewrite; a stale handle errors loudly rather than serving a
+        torn snapshot."""
+        p = os.path.join(self.out_dir, "manifest.json")
+        if os.path.getmtime(p) == self._manifest_mtime:
+            return False
+        self.__init__(self.out_dir, self._cache_blocks,
+                      self._max_cached_terms)
+        return True
 
     # -- planner surface -------------------------------------------------
 

@@ -221,6 +221,41 @@ def test_block_cache_transparent(served, tmp_path_factory):
         assert a["docid"].tolist() == b["docid"].tolist(), node
 
 
+def test_refresh_picks_up_new_generation(spark, small_transcripts,
+                                          tmp_path):
+    """S9 serving analog: after a rebuild into the same directory,
+    refresh() opens the new generation (and is a no-op before one)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bzzz_spark.build.checkpoint import write_index
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    cfg = IndexConfig(block_size=16, segment_size=64, num_partitions=4)
+    out = str(tmp_path / "gen")
+    write_index(build_index(small_transcripts, cfg), out)
+    lix = LocalIndex(out)
+    before = local_search(lix, ast.Term("error"), size=10)
+    assert lix.refresh() is False
+    # new generation: the corpus with one turn's text rewritten
+    _time.sleep(0.05)  # ensure a distinct manifest mtime
+    changed = small_transcripts.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == F.lit("conv000000"))
+            & (F.col("turn_idx") == 0),
+            F.lit("zz_refresh_marker only text"),
+        ).otherwise(F.col("text")),
+    )
+    write_index(build_index(changed, cfg), out)
+    assert lix.refresh() is True
+    got = local_search(lix, ast.Term("zz_refresh_marker"), size=10)
+    assert len(got) == 1
+    again = local_search(lix, ast.Term("error"), size=10)
+    assert len(again) == len(before)
+
+
 def test_local_matches_oracle_fuzz(served, small_oracle):
     """Score parity against the THIRD engine (the pure-Python oracle)
     over a mixed battery — not just Spark-vs-local agreement."""
