@@ -349,12 +349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.lit("repeat").alias("part"), "doc_id", "score")
         return sl.unionByName(rp)
 
-    def q_wildcard(spark, sf):
+    def q_multiterm(spark, sf):
+        # multi-term (dictionary-expansion) suite as ONE entry (r4 fold
+        # of q_wildcard + q_fuzzy to fund d_pack at the 50-row budget).
         # part='top': top-level glob (constant-score rewrite on the
         # 'any' kernel).  part='and' (r4): the same glob INSIDE a
         # conjunction — the mixed kernel serves it as a constant-score
         # term set, so `merge AND s*` scores BM25(merge) + 1.0 and
         # never decodes expansion blocks outside merge's candidates.
+        # part='fuzzy': Q8 Levenshtein expansion on the same
+        # constant-score kernel.
         idx = _index(spark, sf)
         top = _hits(idx, ast.Wildcard("s*"), size=10).select(
             F.lit("top").alias("part"), "doc_id", "score"
@@ -372,7 +376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Bool(should=[ast.Wildcard("s*"), ast.Term("merge")]),
             size=10,
         ).select(F.lit("or").alias("part"), "doc_id", "score")
-        return top.unionByName(conj).unionByName(disj)
+        fz = _hits(idx, ast.Fuzzy("scan", max_edits=1), size=10).select(
+            F.lit("fuzzy").alias("part"), "doc_id", "score"
+        )
+        return top.unionByName(conj).unionByName(disj).unionByName(fz)
 
     def q_field(spark, sf):
         # per-field index suite as ONE entry (50-row budget; r4 fold of
@@ -402,9 +409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, ast.Wildcard("src1*", field_name="source"), size=10
         ).select(F.lit("wildcard").alias("part"), "doc_id", "score")
         return sc.unionByName(fl).unionByName(wc)
-
-    def q_fuzzy(spark, sf):
-        return _hits(_index(spark, sf), ast.Fuzzy("scan", max_edits=1), size=10)
 
     def q_batch(spark, sf):
         # batched multi-query execution: 8 queries, ONE postings scan,
@@ -915,6 +919,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return weight.unionByName(sel)
 
+    def d_pack(spark, sf):
+        # deterministic concat-and-chunk sequence packing (the
+        # GPT/Llama pre-training shape, functions/packing.py): docs are
+        # md5(seed:key)-ordered, token offsets come from a bucketed
+        # two-level prefix-sum (NO single-partition window), and each
+        # doc maps onto fixed-length 256-token training sequences — one
+        # row per (sequence, doc-slice), every value a pure function of
+        # (seed, doc_id, n_tokens).
+        from bzzz_spark.functions.packing import pack_sequences
+
+        return pack_sequences(
+            _documents(spark, sf).select("doc_id", "text"),
+            256,
+            "doc_id",
+            text_col="text",
+            seed="pk",
+        )
+
     def d_sample(spark, sf):
         # deterministic sampling/splitting/mixing/ordering as ONE entry:
         #   part='sample'  hash_sample keep-set at rate 0.25
@@ -1176,7 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_const_nozero=q_const_nozero, q_dismax=q_dismax,
         q_phrase=q_phrase, q_phrase_slop=q_phrase_slop,
         q_field=q_field,
-        q_wildcard=q_wildcard, q_fuzzy=q_fuzzy, q_batch=q_batch,
+        q_multiterm=q_multiterm, q_batch=q_batch,
         q_score_exprs=q_score_exprs, q_no_norm=q_no_norm,
         q_random_score=q_random_score, q_parser=q_parser,
         q_sorts=q_sorts,
@@ -1190,7 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d_jaccard=d_jaccard, d_simhash=d_simhash, d_spans=d_spans,
         d_decontam=d_decontam, d_clusters=d_clusters,
         d_pii=d_pii, d_sample=d_sample, d_clean=d_clean, d_ppl=d_ppl,
-        d_dsir=d_dsir,
+        d_dsir=d_dsir, d_pack=d_pack,
         a_grams=a_grams,
         p_payload_score=p_payload_score, p_payload_buckets=p_payload_buckets,
         m_features=m_features,
@@ -1581,18 +1603,16 @@ fs AS (
             10,
         )
     )
-    o["q_wildcard"] = (
+    fuzzy_sql = f"{_BASE}\n" + _topk(
+        "SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tf "
+        "WHERE levenshtein(term, 'scan') <= 1",
+        10,
+    )
+    o["q_multiterm"] = (
         f"SELECT 'top' AS part, doc_id, score FROM ({wc_top_sql})\n"
         f"UNION ALL\nSELECT 'and', doc_id, score FROM ({wc_and_sql})\n"
-        f"UNION ALL\nSELECT 'or', doc_id, score FROM ({wc_or_sql})"
-    )
-    o["q_fuzzy"] = (
-        f"{_BASE}\n"
-        + _topk(
-            "SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tf "
-            "WHERE levenshtein(term, 'scan') <= 1",
-            10,
-        )
+        f"UNION ALL\nSELECT 'or', doc_id, score FROM ({wc_or_sql})\n"
+        f"UNION ALL\nSELECT 'fuzzy', doc_id, score FROM ({fuzzy_sql})"
     )
     custom_sql = (
         f"{_BASE}, {_term_scores(['merge'])}\n"
@@ -2232,6 +2252,42 @@ UNION ALL
 SELECT 'select', doc_id, n_grams, round(key, 4) FROM (
   SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 20
 )"""
+
+    # concat-and-chunk sequence packing: md5-ordered exclusive prefix
+    # sum of token counts, then each doc sliced onto 256-token
+    # sequences — the oracle replays the two-level scan as ONE global
+    # ordered window (ORDER BY okey == ORDER BY (bucket, okey): the
+    # bucket IS the key's hex prefix), then explodes the touched
+    # sequence range per doc (functions/packing.py)
+    o["d_pack"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOK}'))::BIGINT AS n_tokens
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, n_tokens, md5('pk:' || doc_id) AS okey
+  FROM toks WHERE n_tokens > 0
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY okey, doc_id::VARCHAR
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS "offset"
+  FROM nz
+),
+ex AS (
+  SELECT doc_id, n_tokens, "offset",
+         unnest(generate_series("offset" // 256,
+                                ("offset" + n_tokens - 1) // 256)) AS seq_id
+  FROM offs
+)
+SELECT seq_id, doc_id, n_tokens, "offset",
+       greatest(0, seq_id * 256 - "offset") AS doc_tok_start,
+       least(n_tokens, (seq_id + 1) * 256 - "offset") AS doc_tok_end,
+       greatest(0, "offset" - seq_id * 256) AS seq_tok_start
+FROM ex"""
 
     o["d_sample"] = f"""
 SELECT 'sample' AS part, doc_id, 'kept' AS label FROM documents

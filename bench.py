@@ -498,6 +498,24 @@ def main() -> None:
 
             tm[f"{prefix}d_decontam"] = timed(decontam)[0]
 
+            # sequence packing (r4): md5-ordered bucketed prefix-sum +
+            # slice onto 2048-token sequences — one small agg + one
+            # bucket-partitioned window shuffle, linear in corpus tokens
+            def pack_scan():
+                from pyspark.sql import functions as F
+
+                from bzzz_spark.functions.packing import pack_sequences
+
+                base = tdf.select(
+                    F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"),
+                    "text",
+                )
+                pack_sequences(base, 2048, "doc_id", text_col="text").agg(
+                    F.max("seq_id"), F.sum("doc_tok_end")
+                ).collect()
+
+            tm[f"{prefix}d_pack_scan"] = timed(pack_scan)[0]
+
             # p50/p99 cover the BM25 latency set benchmarked since r2 —
             # t_wild_and (constant-score dictionary-expansion shape),
             # t_req_opt (mixed must+should) and t_dismax (all added r4)
@@ -555,7 +573,8 @@ def main() -> None:
     # sublinear in corpus size (VERDICT r2 #5)
     growth_keys = (
         list(TRANSCRIPT_QUERIES) + list(PHRASE_QUERIES)
-        + ["batch_all", "batch_phrases", "d_spans_strip", "d_decontam"]
+        + ["batch_all", "batch_phrases", "d_spans_strip", "d_decontam",
+           "d_pack_scan"]
     )
     n_turns2 = int(os.environ.get("BZZZ_BENCH_TURNS2", "2000000"))
     scale2 = None
