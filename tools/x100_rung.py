@@ -4,10 +4,15 @@ VERDICT r3 "Next round" #5 asked for a 20M-turn rung (100x the 200k
 base corpus).  The driver bench runs 200k/2M/4M each round; this tool
 runs the SAME workload once at 20M — build, pin, every headline query
 (min-of-3 interleaved), the 24-query batch, the positional build +
-phrase group, the span-dedup and decontamination pipelines, AND the
-in-process serving tier (write_index + local_search per query), which
-bench.py only measures at base scale.  Output JSON goes to
-tools/x100_result.json and the growth table into BASELINE.md.
+phrase group, the span-dedup / decontamination / packing pipelines,
+AND the in-process serving tier (write_index + local_search per
+query), which bench.py only measures at base scale.
+
+Memory discipline (this box has 125 GiB and the OS OOM-killed a 96g
+run that pinned both indexes at once): 56g heap, ONE index pinned at a
+time — the serving layouts are written before the pin drops, so the
+l_* serving queries at the end need no Spark memory at all.  Partial
+timings checkpoint to tools/x100_partial.json after every phase.
 
 Usage: python tools/x100_rung.py [n_turns]  (default 20_000_000)
 """
@@ -24,6 +29,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 os.environ.setdefault("BZZZ_BENCH_SF_DIR", "/root/testdata/sf0.1")
+os.environ.setdefault("BZZZ_DRIVER_MEM", "56g")
 
 from bench import (  # noqa: E402
     PHRASE_BATCH,
@@ -38,8 +44,9 @@ from bzzz_spark.build.indexer import IndexConfig, build_index  # noqa: E402
 from bzzz_spark.fixtures import synth_transcripts_spark  # noqa: E402
 from bzzz_spark.query.batch import search_many  # noqa: E402
 from bzzz_spark.query.executor import search  # noqa: E402
-from bzzz_spark.serve.local import LocalIndex, local_search  # noqa: E402
 from bzzz_spark.session import get_spark  # noqa: E402
+
+_PARTIAL = os.path.join(os.path.dirname(__file__), "x100_partial.json")
 
 
 def main() -> None:
@@ -49,6 +56,12 @@ def main() -> None:
     workload = _batch_workload()
     tm: dict[str, float] = {}
     t0 = time.perf_counter()
+
+    def ckpt(phase: str) -> None:
+        with open(_PARTIAL, "w") as f:
+            json.dump({"phase": phase, "n_turns": n_turns,
+                       "timings": {k: round(v, 3) for k, v in tm.items()}},
+                      f, indent=2)
 
     corpus_dir = tempfile.mkdtemp(prefix="bzzz_x100_corpus_")
     serve_t = tempfile.mkdtemp(prefix="bzzz_x100_serve_t_")
@@ -61,15 +74,15 @@ def main() -> None:
         )[0]
         tdf = spark.read.parquet(corpus_dir)
         tdf.count()  # warm file listing/footers, untimed
+        ckpt("synth")
 
+        # ---- transcript index: build once (one-off rung), pin, query
         tcfg = IndexConfig(segment_size=1 << 15, docvalue_cols=("turn_idx",))
         tidx = None
         n_blocks = 0
 
         def build_once():
             nonlocal tidx, n_blocks
-            if tidx is not None:
-                tidx.unpersist()
             tidx = build_index(tdf, tcfg).persist(layout=None)
             n_blocks = tidx.postings.count()
 
@@ -77,6 +90,7 @@ def main() -> None:
         tm["pin_transcripts"] = timed(
             lambda: (tidx.persist(layout="segment"), tidx.postings.count())
         )[0]
+        ckpt("build")
 
         t_jobs = {
             name: (lambda n=node: search(tidx, n, size=10).collect())
@@ -86,7 +100,18 @@ def main() -> None:
             tidx, workload, size=10
         ).collect()
         tm.update(min_of_interleaved(t_jobs, 3))
+        ckpt("t_queries")
 
+        # serving handoff BEFORE the pin drops; then free everything so
+        # the positions build gets the whole heap
+        tm["write_serving_transcripts"] = timed(
+            lambda: write_index(tidx, serve_t)
+        )[0]
+        tidx.unpersist()
+        tidx = None
+        ckpt("serve_t_written")
+
+        # ---- positional index: build, query, hand off, free
         pcfg = IndexConfig(segment_size=1 << 15, store_positions=True)
         pidx = None
 
@@ -96,6 +121,7 @@ def main() -> None:
             pidx.postings.count()
 
         tm["build_transcripts_pos"] = timed(build_pos_once)[0]
+        ckpt("pos_build")
         p_jobs = {
             name: (lambda n=node: search(pidx, n, size=10).collect())
             for name, node in PHRASE_QUERIES.items()
@@ -104,14 +130,16 @@ def main() -> None:
             pidx, PHRASE_BATCH, size=10
         ).collect()
         tm.update(min_of_interleaved(p_jobs, 3))
-
-        # in-process serving at 100x the base corpus — bench.py measures
-        # l_* only at 200k turns; this is the evidence the serving-tier
-        # latency claims hold as the shard grows
-        tm["write_serving_transcripts"] = timed(
-            lambda: write_index(tidx, serve_t)
-        )[0]
+        ckpt("p_queries")
         tm["write_serving_pos"] = timed(lambda: write_index(pidx, serve_p))[0]
+        pidx.unpersist()
+        pidx = None
+        ckpt("serve_p_written")
+
+        # ---- in-process serving at 100x the base corpus (zero Spark
+        # memory: pyarrow over the persisted layouts)
+        from bzzz_spark.serve.local import LocalIndex, local_search
+
         ltix, lpix = LocalIndex(serve_t), LocalIndex(serve_p)
         l_jobs = {
             f"l_{name}": (lambda q=node: local_search(ltix, q, size=10))
@@ -122,8 +150,9 @@ def main() -> None:
             for name, node in PHRASE_QUERIES.items()
         })
         tm.update(min_of_interleaved(l_jobs, 3))
+        ckpt("serving")
 
-        # span-dedup + decontamination pipelines (same shapes as bench.py)
+        # ---- data-bound pipelines (same shapes as bench.py)
         def spans_strip():
             from pyspark.sql import functions as F
 
@@ -138,6 +167,7 @@ def main() -> None:
             ).collect()
 
         tm["d_spans_strip"] = timed(spans_strip)[0]
+        ckpt("spans")
 
         def decontam():
             from pyspark.sql import functions as F
@@ -159,6 +189,7 @@ def main() -> None:
             ).collect()
 
         tm["d_decontam"] = timed(decontam)[0]
+        ckpt("decontam")
 
         def pack_scan():
             from pyspark.sql import functions as F
@@ -174,6 +205,7 @@ def main() -> None:
             ).collect()
 
         tm["d_pack_scan"] = timed(pack_scan)[0]
+        ckpt("pack")
 
         out = {
             "n_turns": n_turns,
