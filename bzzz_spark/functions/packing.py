@@ -91,6 +91,11 @@ def token_offsets(
         r[_B]: r["s"]
         for r in base.groupBy(_B).agg(F.sum("n_tokens").alias("s")).collect()
     }
+    if None in sums:
+        raise ValueError(
+            f"packing key column {key_col!r} contains NULLs — a null key "
+            "has no deterministic position in the packed order"
+        )
     acc = 0
     bases = []
     for b in sorted(sums):

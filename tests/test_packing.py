@@ -138,3 +138,11 @@ def test_no_exchange_beyond_bucket_window(docs):
         docs, "doc_id", text_col="text", seed=SEED
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_null_key_raises(spark):
+    df = spark.createDataFrame(
+        [("a", 5), (None, 3)], "doc_id string, n int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        token_offsets(df, "doc_id", tokens_col="n").collect()
