@@ -25,14 +25,22 @@ Every output value is a pure function of (seed, doc_key, n_tokens), so
 packing is reproducible and incremental re-runs place unchanged docs
 at unchanged offsets as long as the corpus set is unchanged.
 
-Scale shape: one groupBy(bucket) agg + one bucket-partitioned window
-shuffle + JVM-only arithmetic (`F.sequence` explode emits exactly
-ceil(n/L)-ish rows per doc).  No Python, no driver data beyond the
-65 536 bucket sums.
+Scale shape: the corpus is scanned + tokenized ONCE into a slim
+persisted projection (key, n_tokens, bucket, okey — ~50 B/doc); the
+bucket-sums collect materializes the cache, and both the groupBy agg
+and the 65 536-way window read the cached slim rows, so the window
+shuffle moves ~50 B/doc, not full documents.  Offsets then join back
+to the input on key_col (one hash-join shuffle) — strictly cheaper at
+scale than the previous shape, which tokenized twice AND windowed the
+full-width rows.  No Python, no driver data beyond the 65 536 bucket
+sums.  The slim cache is left persisted (MEMORY_AND_DISK, evictable)
+because the returned DataFrame's lineage reads it; callers that are
+done with the result may `spark.catalog.clearCache()`.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,7 +81,14 @@ def token_offsets(
     engine's standard tokenizer, JVM-side).  Zero-token docs are
     dropped — they occupy no space in the packed stream.
 
-    Output: input columns + n_tokens + offset (long).
+    key_col must be unique and non-NULL: duplicate keys share one md5
+    order key, so their relative order (hence their offsets) would be
+    partitioning-dependent — both conditions are detected in the same
+    bucket-sums pass and raise, rather than silently breaking the
+    determinism contract.
+
+    Output: input columns (any pre-existing n_tokens/offset replaced)
+    + n_tokens + offset (long).
     """
     if (tokens_col is None) == (text_col is None):
         raise ValueError("pass exactly one of tokens_col / text_col")
@@ -82,19 +97,33 @@ def token_offsets(
         if tokens_col
         else F.size(standard_tokenize(F.col(text_col))).cast("long")
     )
-    base = _with_order_key(
-        df.withColumn("n_tokens", n).filter(F.col("n_tokens") > 0),
+    # ONE scan+tokenize of the corpus: the slim (key, n_tokens, bucket,
+    # okey) projection is persisted; the bucket-sums collect below
+    # materializes it, and the window stage reuses the cached rows
+    slim = _with_order_key(
+        df.select(F.col(key_col), n.alias("n_tokens")).filter(
+            F.col("n_tokens") > 0
+        ),
         key_col,
         seed,
-    )
-    sums = {
-        r[_B]: r["s"]
-        for r in base.groupBy(_B).agg(F.sum("n_tokens").alias("s")).collect()
-    }
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = slim.groupBy(_B).agg(
+        F.sum("n_tokens").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct(key_col).alias("cd"),
+    ).collect()
+    sums = {r[_B]: r["s"] for r in stats}
     if None in sums:
         raise ValueError(
             f"packing key column {key_col!r} contains NULLs — a null key "
             "has no deterministic position in the packed order"
+        )
+    if any(r["c"] != r["cd"] for r in stats):
+        raise ValueError(
+            f"packing key column {key_col!r} contains duplicates — "
+            "duplicate keys share one md5 order key, so their packed "
+            "offsets would be partitioning-dependent; deduplicate or "
+            "pick a unique key"
         )
     acc = 0
     bases = []
@@ -110,14 +139,15 @@ def token_offsets(
         .orderBy(_K, F.col(key_col).cast("string"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        base.join(base_df, _B, "left")
+    offs = (
+        slim.join(base_df, _B, "left")
         .withColumn(
             "offset",
             F.col(_BASE) + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
         )
-        .drop(_B, _K, _BASE)
+        .select(key_col, "n_tokens", "offset")
     )
+    return df.drop("n_tokens", "offset").join(offs, key_col, "inner")
 
 
 def pack_sequences(
@@ -155,8 +185,10 @@ def pack_sequences(
         df, key_col, tokens_col=tokens_col, text_col=text_col, seed=seed
     )
     L = F.lit(int(seq_len)).cast("long")
-    first = F.floor(F.col("offset") / L)
-    last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / L)
+    # integer division (`div`), not floor(double division): exact at
+    # any offset, matching the oracle's `//` with no float caveat
+    first = F.expr(f"offset div {int(seq_len)}")
+    last = F.expr(f"(offset + n_tokens - 1) div {int(seq_len)}")
     out = off.withColumn(
         "seq_id", F.explode(F.sequence(first, last))
     )

@@ -146,3 +146,23 @@ def test_null_key_raises(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         token_offsets(df, "doc_id", tokens_col="n").collect()
+
+
+def test_duplicate_key_raises(spark):
+    """Duplicate keys share one md5 order key → their offsets would be
+    partitioning-dependent; the bucket-sums pass detects and raises."""
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("a", 7)], "doc_id string, n int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        token_offsets(df, "doc_id", tokens_col="n").collect()
+
+
+def test_offsets_read_persisted_slim_frame(docs):
+    """The tokenize pass runs ONCE: the window stage's lineage reads
+    the persisted slim projection (InMemoryTableScan in the plan), not
+    a re-tokenization of the input."""
+    out = token_offsets(docs, "doc_id", text_col="text", seed=SEED)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    docs.sparkSession.catalog.clearCache()
