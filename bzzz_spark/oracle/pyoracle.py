@@ -176,6 +176,38 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment (restricted Damerau) distance: an
+    adjacent-character transposition counts as ONE edit.  This is
+    Lucene's FuzzyQuery(transpositions=true) metric (its Levenshtein
+    automata are built with transpositions as primitive edits)."""
+    if a == b:
+        return 0
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur.append(d)
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
+def fuzzy_distance_fn(transpositions: bool):
+    """The edit-distance metric a Fuzzy node pins: plain Levenshtein
+    (reference default) or OSA when transpositions=true."""
+    return osa_distance if transpositions else levenshtein
+
+
 class PyIndex:
     def __init__(self, rows: list[dict], extra_fields: tuple = ()):
         """rows: dicts with conv_id, turn_idx, role, text, tool, ts.
@@ -233,6 +265,14 @@ class PyIndex:
         return [(t, t) for t in self.postings if ":" not in t]
 
     # ---------------------------------------------------------------- scoring
+
+    def _cap_expansion(self, terms: list[str], cap: int | None) -> list[str]:
+        """max_expansion: keep the top-cap matching terms by
+        (df desc, term asc) — TopTermsRewrite order, the same cap the
+        engine applies (executor.expand_multiterm)."""
+        if cap is None or len(terms) <= cap:
+            return terms
+        return sorted(terms, key=lambda t: (-len(self.postings[t]), t))[:cap]
 
     def _bm25(self, term: str) -> dict[int, float]:
         plist = self.postings.get(term, {})
@@ -374,15 +414,18 @@ class PyIndex:
                 t for t, bare in self._scoped_terms(node.field_name)
                 if rx.match(bare)
             ]
+            terms = self._cap_expansion(terms, node.max_expansion)
             docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
             return {d: node.boost for d in docs}
         if isinstance(node, ast.Fuzzy):
+            dist = fuzzy_distance_fn(getattr(node, "transpositions", False))
             terms = [
                 t
                 for t, bare in self._scoped_terms(node.field_name)
                 if bare.startswith(node.value[: node.prefix_len])
-                and levenshtein(bare, node.value) <= node.max_edits
+                and dist(bare, node.value) <= node.max_edits
             ]
+            terms = self._cap_expansion(terms, node.max_expansion)
             docs = set().union(*[set(self.postings[t]) for t in terms]) if terms else set()
             return {d: node.boost for d in docs}
         if isinstance(node, ast.NoZeroScore):

@@ -126,18 +126,36 @@ class Phrase(Query):
 
 @dataclass
 class Wildcard(Query):
+    """Glob with * and ? (Lucene WildcardQuery).  ``max_expansion``
+    bounds the dictionary expansion to the top-N matching terms by
+    (df desc, term asc) — Lucene's TopTermsRewrite discipline; None =
+    unbounded (the reference's default, max-expansion
+    Integer/MAX_VALUE, fuzzy.clj:9-18 — wildcard.clj has no cap at
+    all).  At web-scale vocabularies pass a finite cap: an unbounded
+    ``*e*`` against 10^8 terms collects millions of strings."""
+
     value: str  # glob with * and ?
     field_name: str = "text"
     boost: float = 1.0
+    max_expansion: int | None = None
 
 
 @dataclass
 class Fuzzy(Query):
+    """Levenshtein fuzzy term (reference fuzzy.clj:9-18).
+    ``transpositions=True`` counts an adjacent-character swap as ONE
+    edit (Damerau / optimal-string-alignment, Lucene's
+    FuzzyQuery(transpositions=true)); the reference's default is
+    false, ours too.  ``max_expansion`` as in Wildcard (reference
+    max-expansion, default Integer/MAX_VALUE → None)."""
+
     value: str
     max_edits: int = 2
     prefix_len: int = 0
     field_name: str = "text"
     boost: float = 1.0
+    max_expansion: int | None = None
+    transpositions: bool = False
 
 
 @dataclass
@@ -174,6 +192,18 @@ class CustomScore(Query):
     expression: str
     replace: bool = False  # False: multiply (custom-score); True: replace (expr-score)
     boost: float = 1.0
+
+
+def _parse_max_expansion(body: dict) -> int | None:
+    """Reference `max-expansion` (fuzzy.clj:11: default
+    Integer/MAX_VALUE = unbounded).  Values ≥ 2^31-1 normalize to None
+    so DSL round-trips compare equal to the dataclass default."""
+    v = body.get("max-expansion")
+    if v is None or int(v) >= (1 << 31) - 1:
+        return None
+    if int(v) <= 0:
+        raise ValueError(f"max-expansion must be positive, got {v}")
+    return int(v)
 
 
 def rand_score(docid: int, seed: int) -> float:
@@ -256,6 +286,7 @@ def parse_query(spec) -> Query:
             value=body["value"],
             field_name=body.get("field", "text"),
             boost=body.get("boost", 1.0),
+            max_expansion=_parse_max_expansion(body),
         )
     if kind == "fuzzy":
         return Fuzzy(
@@ -264,6 +295,8 @@ def parse_query(spec) -> Query:
             prefix_len=body.get("prefix-len", 0),
             field_name=body.get("field", "text"),
             boost=body.get("boost", 1.0),
+            max_expansion=_parse_max_expansion(body),
+            transpositions=bool(body.get("transpositions", False)),
         )
     if kind == "no-zero-score":
         return NoZeroScore(query=parse_query(body["query"]))

@@ -65,16 +65,32 @@ def term_key(index: BzzzIndex, field_name: str, value: str) -> str:
     return value
 
 
-def _multiterm_cond(p, prefix: str = ""):
+def _multiterm_cond(p, prefix: str = "") -> tuple:
     """Dictionary-side filter Column for one Wildcard/Fuzzy pattern —
     Lucene's multi-term rewrite pushed into the scan instead of a
     driver-side full-vocabulary collect (the reference rewrites against
     the term dictionary the same way: queries/wildcard.clj:5-11,
     fuzzy.clj:7-21).  At 10^8+ terms only the (small) expansion ever
     reaches the driver.  ``prefix`` scopes the pattern to an extra
-    field's key space ('<field>:')."""
+    field's key space ('<field>:'); for the default field the condition
+    excludes '<field>:' keys outright (text tokens cannot hold ':').
+
+    Returns (cond, is_exact): is_exact=True means the Column matches
+    EXACTLY the pattern's expansion set, so a SQL-side
+    `orderBy(df desc).limit(max_expansion)` is already the correct
+    TopTermsRewrite cut.  The one inexact case is fuzzy with
+    transpositions=True: OSA distance has no Spark builtin, so the
+    condition is the superset `levenshtein ≤ 2·max_edits` (one
+    transposition = one OSA edit but two plain edits, so
+    OSA ≤ e ⇒ lev ≤ 2e) and the exact OSA check runs driver-side on
+    the collected candidates."""
+    scope = (
+        F.col("term").startswith(prefix)
+        if prefix
+        else ~F.col("term").contains(":")
+    )
     if isinstance(p, ast.Wildcard):
-        cond = F.col("term").rlike(glob_to_regex(prefix + p.value))
+        cond = scope & F.col("term").rlike(glob_to_regex(prefix + p.value))
         # leading-literal globs ("src1*", "err?r") get a cheap
         # startswith pre-filter ahead of the regex — Lucene's
         # PrefixQuery-style term-dictionary range pruning; the regex
@@ -86,7 +102,7 @@ def _multiterm_cond(p, prefix: str = ""):
             lit_prefix += ch
         if lit_prefix:
             cond = F.col("term").startswith(prefix + lit_prefix) & cond
-        return cond
+        return cond, True
     # Fuzzy: cheap codegen'd pre-filters (length band + prefix) ahead of
     # the levenshtein, mirroring Lucene's prefix_len discipline.  The
     # edit distance is measured on the bare token (field prefix
@@ -96,14 +112,16 @@ def _multiterm_cond(p, prefix: str = ""):
         if prefix
         else F.col("term")
     )
-    cond = (
+    transpositions = getattr(p, "transpositions", False)
+    # length band: every OSA/levenshtein op changes length by ≤1, so
+    # the band is valid for both metrics
+    lev_bound = p.max_edits * (2 if transpositions else 1)
+    cond = scope & (
         F.abs(F.length(bare) - F.lit(len(p.value))) <= F.lit(p.max_edits)
-    ) & (F.levenshtein(bare, F.lit(p.value)) <= F.lit(p.max_edits))
+    ) & (F.levenshtein(bare, F.lit(p.value)) <= F.lit(lev_bound))
     if p.prefix_len > 0:
         cond = bare.startswith(p.value[: p.prefix_len]) & cond
-    if prefix:
-        cond = F.col("term").startswith(prefix) & cond
-    return cond
+    return cond, not transpositions
 
 
 def _pattern_prefix(index: BzzzIndex, p) -> str:
@@ -112,18 +130,125 @@ def _pattern_prefix(index: BzzzIndex, p) -> str:
     )
 
 
+def _exact_matches(p, prefix: str, cand: list[tuple]) -> list[tuple]:
+    """Driver-side exact re-match of collected (term, df) candidates
+    for one pattern (the authoritative check: the SQL cond may be a
+    superset for transpositions, and candidates from other OR'd
+    patterns flow through the shared collect).  Returns deduped
+    (term, df) pairs in candidate order."""
+    from bzzz_spark.oracle.pyoracle import fuzzy_distance_fn
+
+    scoped = (
+        [(t, t[len(prefix):], d) for t, d in cand if t.startswith(prefix)]
+        if prefix
+        else [(t, t, d) for t, d in cand if ":" not in t]
+    )
+    if isinstance(p, ast.Wildcard):
+        rx = re.compile(glob_to_regex(p.value))
+        exp = [(t, d) for t, bare, d in scoped if rx.match(bare)]
+    else:
+        dist = fuzzy_distance_fn(getattr(p, "transpositions", False))
+        exp = [
+            (t, d)
+            for t, bare, d in scoped
+            if bare.startswith(p.value[: p.prefix_len])
+            and dist(bare, p.value) <= p.max_edits
+        ]
+    return list(dict.fromkeys(exp))
+
+
+def _cap_by_df(exp: list[tuple], cap: int | None) -> list[str]:
+    """TopTermsRewrite cut: keep the top-cap terms by (df desc, term
+    asc) — Lucene disciplines multi-term explosion the same way."""
+    if cap is not None and len(exp) > cap:
+        exp = sorted(exp, key=lambda td: (-td[1], td[0]))[:cap]
+    return [t for t, _ in exp]
+
+
+def _paged_expand(dictionary: DataFrame, p, prefix: str, cond) -> list[str]:
+    """Exact-fill for the one inexact-cond case (fuzzy transpositions
+    with a finite cap): keyset-paginated df-descending pages of the
+    superset condition, OSA-checked driver-side, until `cap` exact
+    matches are in hand or the superset is exhausted.  Each page is one
+    bounded TakeOrderedAndProject job; page 1 almost always suffices
+    (the lev≤2e superset of an OSA≤e ball is small)."""
+    cap = int(p.max_expansion)
+    page = max(64, 2 * cap)
+    out: list[str] = []
+    last = None
+    while True:
+        q = dictionary.filter(cond)
+        if last is not None:
+            last_df, last_term = last
+            q = q.filter(
+                (F.col("df") < last_df)
+                | ((F.col("df") == last_df) & (F.col("term") > last_term))
+            )
+        rows = (
+            q.orderBy(F.col("df").desc(), "term")
+            .limit(page)
+            .select("term", "df")
+            .collect()
+        )
+        cand = [(r["term"], int(r["df"])) for r in rows]
+        # pages arrive in (df desc, term asc) order, so the first `cap`
+        # exact matches ARE the top-cap by that order
+        out.extend(t for t, _ in _exact_matches(p, prefix, cand))
+        if len(out) >= cap or len(rows) < page:
+            break
+        last = (rows[-1]["df"], rows[-1]["term"])
+    return list(dict.fromkeys(out))[:cap]
+
+
 def expand_multiterm(
     dictionary: DataFrame, patterns: list, prefixes: list[str] | None = None
-) -> list[str]:
-    """Candidate terms for ALL patterns in one Spark job over the
-    dictionary.  Collects only terms matching at least one pattern."""
+) -> list[list[str]]:
+    """Exact, max_expansion-capped dictionary expansions for ALL
+    patterns — one per-pattern list, in as few Spark jobs as possible.
+
+    Uncapped patterns and capped patterns with an exact SQL condition
+    batch into ONE union job; a capped pattern's leg is pre-cut SQL-side
+    with `orderBy(df desc, term).limit(cap)` (TopTermsRewrite), so the
+    driver collect is bounded by Σ caps + the uncapped matches — never
+    the vocabulary.  Fuzzy-with-transpositions + finite cap runs the
+    keyset-paginated exact-fill instead (see _paged_expand)."""
     if not patterns:
         return []
     prefixes = prefixes or [""] * len(patterns)
-    cond = _multiterm_cond(patterns[0], prefixes[0])
-    for p, pre in zip(patterns[1:], prefixes[1:]):
-        cond = cond | _multiterm_cond(p, pre)
-    return [r["term"] for r in dictionary.filter(cond).select("term").collect()]
+    conds = [_multiterm_cond(p, pre) for p, pre in zip(patterns, prefixes)]
+    legs = []
+    paged: set[int] = set()
+    for i, (p, (cond, is_exact)) in enumerate(zip(patterns, conds)):
+        cap = getattr(p, "max_expansion", None)
+        if cap is None:
+            legs.append(dictionary.filter(cond).select("term", "df"))
+        elif is_exact:
+            legs.append(
+                dictionary.filter(cond)
+                .orderBy(F.col("df").desc(), "term")
+                .limit(int(cap))
+                .select("term", "df")
+            )
+        else:
+            paged.add(i)
+    cand: list[tuple] = []
+    if legs:
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionByName(leg)
+        cand = [(r["term"], int(r["df"])) for r in u.collect()]
+    out: list[list[str]] = []
+    for i, (p, pre) in enumerate(zip(patterns, prefixes)):
+        if i in paged:
+            out.append(_paged_expand(dictionary, p, pre, conds[i][0]))
+        else:
+            out.append(
+                _cap_by_df(
+                    _exact_matches(p, pre, cand),
+                    getattr(p, "max_expansion", None),
+                )
+            )
+    return out
 
 
 def decode_postings(postings: DataFrame, term_ids: list[int]) -> DataFrame:
@@ -204,8 +329,6 @@ class _Ctx:
     """Per-search state: dictionary lookups, expansions, one shared decode."""
 
     def __init__(self, index: BzzzIndex, node: ast.Query):
-        from bzzz_spark.oracle.pyoracle import levenshtein
-
         self.index = index
         validate_fields(index, node)
         self.n_docs, self.avgdl = index.scalar_stats()
@@ -219,32 +342,15 @@ class _Ctx:
             elif isinstance(n, ast.Phrase):
                 terms.update(term_key(index, n.field_name, t) for t in n.terms)
         # wildcard/fuzzy expansion — Lucene's multi-term rewrite, pushed
-        # into a dictionary filter (rlike / levenshtein Columns); only
-        # the matching expansion set is collected, never the vocabulary
+        # into a dictionary filter (rlike / levenshtein Columns) with the
+        # max_expansion TopTermsRewrite cut applied SQL-side; only the
+        # (capped) expansion set is collected, never the vocabulary
         self.expansions: dict[tuple, list[str]] = {}
         patterns = _collect_multiterm(node)
         if patterns:
             prefixes = [_pattern_prefix(index, p) for p in patterns]
-            cand = expand_multiterm(index.dictionary, patterns, prefixes)
-            for p, pre in zip(patterns, prefixes):
-                # scope candidates: field patterns only see their own
-                # key space; default-field patterns never see field keys
-                # (text tokens cannot contain ':')
-                scoped = (
-                    [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
-                    if pre
-                    else [(t, t) for t in cand if ":" not in t]
-                )
-                if isinstance(p, ast.Wildcard):
-                    rx = re.compile(glob_to_regex(p.value))
-                    exp = [t for t, bare in scoped if rx.match(bare)]
-                else:  # Fuzzy
-                    exp = [
-                        t
-                        for t, bare in scoped
-                        if bare.startswith(p.value[: p.prefix_len])
-                        and levenshtein(bare, p.value) <= p.max_edits
-                    ]
+            exps = expand_multiterm(index.dictionary, patterns, prefixes)
+            for p, exp in zip(patterns, exps):
                 self.expansions[_mt_key(p)] = exp
                 terms.update(exp)
 
@@ -331,8 +437,11 @@ def validate_fields(index: BzzzIndex, node: ast.Query) -> None:
 
 def _mt_key(p) -> tuple:
     if isinstance(p, ast.Wildcard):
-        return ("w", p.field_name, p.value)
-    return ("f", p.field_name, p.value, p.max_edits, p.prefix_len)
+        return ("w", p.field_name, p.value, p.max_expansion)
+    return (
+        "f", p.field_name, p.value, p.max_edits, p.prefix_len,
+        p.max_expansion, p.transpositions,
+    )
 
 
 def _collect_multiterm(node: ast.Query) -> list:

@@ -1481,55 +1481,32 @@ def _run_kernel(index: BzzzIndex, blocks: DataFrame, kernel) -> DataFrame:
 
 def _expand_scoped_many(index: BzzzIndex, nodes: list) -> list[list[str]]:
     """Wildcard/Fuzzy patterns → their exact dictionary expansions in
-    ONE dictionary job (the executor's _Ctx discipline: candidates for
-    all patterns are collected together, then re-matched per pattern,
-    since `_multiterm_cond` ORs the patterns and a candidate may match
-    only one of them).  Scope: field patterns only see their own key
-    space; default-field patterns never see '<field>:' keys (text
-    tokens cannot hold ':')."""
-    import re
-
-    from bzzz_spark.oracle.pyoracle import levenshtein
+    ONE dictionary job (executor.expand_multiterm owns the semantics:
+    per-pattern exact match, max_expansion capped by (df desc, term
+    asc), field-scoped key spaces), memoized per index on the pattern's
+    full option key."""
     from bzzz_spark.query.executor import (
+        _mt_key,
         _pattern_prefix,
         expand_multiterm,
-        glob_to_regex,
     )
-
-    def ckey(p):
-        if isinstance(p, ast.Wildcard):
-            return ("w", p.field_name, p.value)
-        return ("f", p.field_name, p.value, p.max_edits, p.prefix_len)
 
     cache = getattr(index, "_expansion_cache", None)
     if cache is None:
         cache = {}  # index without the memo field: per-call cache
-    fresh = [p for p in nodes if ckey(p) not in cache]
+    fresh = [p for p in nodes if _mt_key(p) not in cache]
     if fresh:
         prefixes = [_pattern_prefix(index, n) for n in fresh]
         if hasattr(index, "expand_candidates"):
             # in-process serving index (serve.local.LocalIndex): the
-            # dictionary is driver-resident, no Spark job to batch
-            cand = index.expand_candidates(fresh, prefixes)
+            # dictionary is driver-resident, no Spark job to batch —
+            # same exact-match + max_expansion semantics by contract
+            exps = index.expand_candidates(fresh, prefixes)
         else:
-            cand = expand_multiterm(index.dictionary, fresh, prefixes)
-        for p, pre in zip(fresh, prefixes):
-            scoped = (
-                [(t, t[len(pre):]) for t in cand if t.startswith(pre)]
-                if pre
-                else [(t, t) for t in cand if ":" not in t]
-            )
-            if isinstance(p, ast.Wildcard):
-                rx = re.compile(glob_to_regex(p.value))
-                exp = [t for t, bare in scoped if rx.match(bare)]
-            else:
-                exp = [
-                    t for t, bare in scoped
-                    if bare.startswith(p.value[: p.prefix_len])
-                    and levenshtein(bare, p.value) <= p.max_edits
-                ]
-            cache[ckey(p)] = exp
-    return [cache[ckey(p)] for p in nodes]
+            exps = expand_multiterm(index.dictionary, fresh, prefixes)
+        for p, exp in zip(fresh, exps):
+            cache[_mt_key(p)] = exp
+    return [cache[_mt_key(p)] for p in nodes]
 
 
 def _expand_scoped(index: BzzzIndex, node) -> list[str]:

@@ -100,6 +100,12 @@ class LocalIndex:
         self._cache_blocks = bool(cache_blocks)
         self._max_cached_terms = int(max_cached_terms)
         self._block_cache: dict[int, pd.DataFrame] = {}
+        # docid-indexed stored-column arrays for serving-side facets and
+        # field sorts — the Lucene FieldCache/doc-values analog: one
+        # column read per column ever, then every query indexes it by
+        # matched docid (docids are dense 0..n_docs-1 by construction)
+        self._col_cache: dict[str, np.ndarray] = {}
+        self._token_cache: dict[str, list] = {}
         self._manifest_mtime = os.path.getmtime(
             os.path.join(out_dir, "manifest.json")
         )
@@ -153,42 +159,57 @@ class LocalIndex:
                 self._term_cache[k] = found.get(k)
         return {k: v for k in keys if (v := self._term_cache[k]) is not None}
 
-    def expand_candidates(self, patterns, prefixes) -> list[str]:
+    def expand_candidates(self, patterns, prefixes) -> list[list[str]]:
         """Wildcard/Fuzzy pattern expansion against the memory-resident
         term dictionary — the LocalIndex analog of
-        executor.expand_multiterm's dictionary-scan job, with identical
-        match semantics (anchored glob regex; length-band + prefix_len
-        + levenshtein for fuzzy, measured on the bare token).  The full
-        term list loads lazily on first pattern query and stays resident
-        (Lucene keeps its term dictionary FST memory-resident the same
-        way)."""
-        from bzzz_spark.oracle.pyoracle import levenshtein
+        executor.expand_multiterm, with identical semantics: anchored
+        glob regex; length-band + prefix_len + edit distance (plain
+        levenshtein, or OSA when transpositions=True) on the bare
+        token; max_expansion keeps the top-N by (df desc, term asc) —
+        the TopTermsRewrite cut.  One exact list per pattern.  The
+        (term, df) dictionary loads lazily on first pattern query and
+        stays resident (Lucene keeps its term dictionary FST
+        memory-resident the same way)."""
+        from bzzz_spark.oracle.pyoracle import fuzzy_distance_fn
         from bzzz_spark.query.executor import glob_to_regex
 
         if self._terms_arr is None:
-            self._terms_arr = (
-                self._dict_ds.to_table(columns=["term"])["term"].to_pylist()
+            tbl = self._dict_ds.to_table(columns=["term", "df"])
+            self._terms_arr = list(
+                zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
             )
-        out: set[str] = set()
+        out: list[list[str]] = []
         for p, pre in zip(patterns, prefixes):
+            exp: list[tuple] = []
             if isinstance(p, ast.Wildcard):
                 rx = re.compile(glob_to_regex(pre + p.value))
-                out.update(t for t in self._terms_arr if rx.match(t))
+                exp = [
+                    (t, d) for t, d in self._terms_arr
+                    if rx.match(t) and (pre or ":" not in t)
+                ]
             else:  # Fuzzy
+                dist = fuzzy_distance_fn(getattr(p, "transpositions", False))
                 lo = len(p.value) - p.max_edits
                 hi = len(p.value) + p.max_edits
                 lit = pre + p.value[: p.prefix_len]
-                for t in self._terms_arr:
-                    if pre and not t.startswith(pre):
+                for t, d in self._terms_arr:
+                    if pre:
+                        if not t.startswith(pre):
+                            continue
+                    elif ":" in t:
                         continue
                     bare = t[len(pre):]
                     if not (lo <= len(bare) <= hi):
                         continue
                     if p.prefix_len > 0 and not t.startswith(lit):
                         continue
-                    if levenshtein(bare, p.value) <= p.max_edits:
-                        out.add(t)
-        return sorted(out)
+                    if dist(bare, p.value) <= p.max_edits:
+                        exp.append((t, d))
+            cap = getattr(p, "max_expansion", None)
+            if cap is not None and len(exp) > cap:
+                exp = sorted(exp, key=lambda td: (-td[1], td[0]))[:cap]
+            out.append(sorted(t for t, _ in exp))
+        return out
 
     # -- block + doc fetch -------------------------------------------------
 
@@ -230,6 +251,38 @@ class LocalIndex:
                 pd.DataFrame(columns=self._block_cols)
             )
         return pd.concat(parts, ignore_index=True)
+
+    def doc_column(self, col: str) -> np.ndarray:
+        """The full stored column as a docid-indexed array (position i
+        == docid i; docids are dense 0..n_docs-1 by build contract).
+        Loaded once per column, then facets/sorts index it per query —
+        Lucene's FieldCache / doc-values discipline.  Memory is one
+        column per *used* field, not the docs table."""
+        if col not in self._col_cache:
+            pdf = (
+                self._docs_ds.to_table(columns=["docid", col])
+                .to_pandas()
+                .sort_values("docid")
+            )
+            if len(pdf) != self._stats[0]:
+                raise ValueError(
+                    f"docs sidecar has {len(pdf)} rows for column {col!r}, "
+                    f"expected n_docs={self._stats[0]}"
+                )
+            self._col_cache[col] = pdf[col].to_numpy()
+        return self._col_cache[col]
+
+    def doc_tokens(self, col: str) -> list:
+        """Analyzed tokens of a stored column per docid (use-analyzer
+        facet labels), cached like doc_column."""
+        if col not in self._token_cache:
+            from bzzz_spark.analysis.tokenizer import py_tokenize
+
+            vals = self.doc_column(col)
+            self._token_cache[col] = [
+                py_tokenize(v) if isinstance(v, str) else [] for v in vals
+            ]
+        return self._token_cache[col]
 
     def fetch_docs(self, docids, columns=None) -> pd.DataFrame:
         """Stored fields for the given docids (R1 field projection).
@@ -319,3 +372,185 @@ def local_search(
     k = size * page + size
     top = cand.iloc[order[:k]].iloc[page * size:].reset_index(drop=True)
     return top
+
+
+def _normalized(index: LocalIndex, query) -> "ast.Query":
+    from bzzz_spark.query.executor import validate_fields
+    from bzzz_spark.query.rewrite import normalize
+
+    node = query if isinstance(query, ast.Query) else ast.parse_query(query)
+    validate_fields(index, node)
+    return normalize(node)
+
+
+def local_matched(index: LocalIndex, query) -> pd.DataFrame:
+    """The FULL matched set (docid, score) — the serving analog of
+    executor.execute: the same per-segment kernels run with k = n_docs,
+    so block-max pruning never cuts and every match surfaces.  This is
+    what facets, field sorts, and non-term totals consume (Lucene also
+    abandons early termination for those collectors)."""
+    node = _normalized(index, query)
+    n_docs, _ = index.scalar_stats()
+    cand = local_candidates(index, node, max(1, n_docs))
+    if cand is None:
+        raise ValueError(
+            f"query shape {type(node).__name__} is outside the in-process "
+            "serving family; run it on the Spark runtime"
+        )
+    return cand
+
+
+def local_total_hits(index: LocalIndex, query) -> int:
+    """Reference totalHits (index_search.clj:287-288): a bare term
+    answers straight from the dictionary df — zero I/O beyond the
+    memoized lookup — everything else counts its matched set."""
+    node = query if isinstance(query, ast.Query) else ast.parse_query(query)
+    if isinstance(node, ast.Term):
+        from bzzz_spark.query.executor import term_key, validate_fields
+
+        validate_fields(index, node)
+        key = term_key(index, node.field_name, node.value)
+        meta = index.lookup_terms([key])
+        return int(meta[key][1]) if key in meta else 0
+    return int(len(local_matched(index, query)))
+
+
+def _label_counts(
+    index: LocalIndex, docids: np.ndarray, facet_field: str,
+    use_analyzer: bool = False,
+) -> dict:
+    """label → count over the matched docids, from the cached
+    docid-indexed column (no per-query parquet reads).  use_analyzer
+    counts analyzed TOKEN occurrences (a token twice in one doc counts
+    twice — reference index_store.clj:86-93); array columns count per
+    element; scalars per doc.  None/NaN is a real label (the Spark
+    path's groupBy keeps the null group)."""
+    counts: dict = {}
+    if use_analyzer:
+        toks = index.doc_tokens(facet_field)
+        for d in docids:
+            for t in toks[int(d)]:
+                counts[t] = counts.get(t, 0) + 1
+        return counts
+    vals = index.doc_column(facet_field)
+    sel = vals[docids]
+    if len(sel) and isinstance(sel[0], (list, np.ndarray)):
+        for arr in sel:
+            for v in arr:
+                counts[v] = counts.get(v, 0) + 1
+        return counts
+    for v, c in pd.Series(sel).value_counts(dropna=False).items():
+        counts[None if pd.isna(v) else v] = int(c)
+    return counts
+
+
+def _facet_cut(counts: dict, size: int) -> pd.DataFrame:
+    """(count desc, label asc) cut — the executor.facet_counts order
+    (nulls first on the ascending label, Spark's asc default)."""
+    rows = sorted(
+        counts.items(),
+        key=lambda kv: (-kv[1], kv[0] is not None, kv[0]),
+    )[:size]
+    return pd.DataFrame(rows, columns=["label", "cnt"])
+
+
+def local_facet_counts(
+    index: LocalIndex, query, facet_field: str, size: int = 20,
+    use_analyzer: bool = False,
+) -> pd.DataFrame:
+    """Serving-tier facet counts (reference F1,
+    index_search.clj:252-262,294-305): exhaustive matched set via the
+    kernels, label counting from the cached doc-values column, exact
+    (count desc, label asc) cut — parity with the Spark path's
+    executor.facet_counts pinned in tests."""
+    matched = local_matched(index, query)
+    docids = matched["docid"].to_numpy().astype(np.int64)
+    return _facet_cut(
+        _label_counts(index, docids, facet_field, use_analyzer), size
+    )
+
+
+def _sort_plan(sort: list) -> list[tuple[str, str]]:
+    """Serving-tier sort spec → [(column, order)] with the executor's
+    `_sort_specs` surface minus expression sorts (those need Spark SQL
+    eval — an analytics shape; the serving tier raises and routes them
+    to executor.sorted_search)."""
+    out = []
+    for s in sort:
+        if isinstance(s, dict):
+            raise ValueError(
+                "expression sorts run on the Spark runtime "
+                "(executor.sorted_search) — the serving tier serves "
+                "field/_score/_doc sorts"
+            )
+        name, order = (s, "asc") if isinstance(s, str) else s
+        out.append((name, order))
+    return out
+
+
+def _sorted_candidates(
+    index: LocalIndex, query, sort: list
+) -> tuple[pd.DataFrame, list[tuple[str, str]]]:
+    """Matched set + one column per sort key (reference T3/T4 field
+    sorts, index_search.clj:96-103,209-244): _score is the BM25 match
+    score, _doc the docid, field keys come from the cached doc-values
+    arrays.  Shared by the one-shard sort and the scatter/gather merge
+    (the merge re-sorts on exactly these columns)."""
+    specs = _sort_plan(sort)
+    matched = local_matched(index, query).rename(columns={"score": "_score"})
+    docids = matched["docid"].to_numpy().astype(np.int64)
+    for name, _ in specs:
+        if name == "_score":
+            continue
+        if name == "_doc":
+            matched["_doc"] = matched["docid"]
+            continue
+        matched[name] = index.doc_column(name)[docids]
+    return matched, specs
+
+
+def _apply_sort(
+    pdf: pd.DataFrame, specs: list[tuple[str, str]],
+    tiebreak: list[str],
+) -> pd.DataFrame:
+    """The executor's comparator: per key asc/desc with NULLS LAST
+    (asc_nulls_last/desc_nulls_last), then an ascending tiebreak —
+    stable mergesort so concatenated shard frames merge
+    deterministically."""
+    by = [n for n, _ in specs] + tiebreak
+    asc = [o == "asc" for _, o in specs] + [True] * len(tiebreak)
+    return pdf.sort_values(
+        by=by, ascending=asc, na_position="last", kind="mergesort"
+    )
+
+
+def local_sorted_search(
+    index: LocalIndex, query, sort: list, size: int = 20, page: int = 0,
+    with_sort_values: bool = False,
+) -> pd.DataFrame:
+    """Top-k by field sort keys on the serving tier — rank-identical to
+    executor.sorted_search for field/_score/_doc sorts (reference T3/T4
+    + T6 `_sort` values, index_search.clj:209-250).  Expression sorts
+    raise → Spark runtime."""
+    pdf, specs = _sorted_candidates(index, query, sort)
+    top = (
+        _apply_sort(pdf, specs, ["docid"])
+        .iloc[page * size: page * size + size]
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {"docid": top["docid"], "score": top["_score"]}
+    )
+    if with_sort_values:
+        out["_sort"] = [
+            [
+                {
+                    "name": n,
+                    "value": None if pd.isna(r[n]) else str(r[n]),
+                    "reverse": o == "desc",
+                }
+                for n, o in specs
+            ]
+            for _, r in top.iterrows()
+        ]
+    return out

@@ -38,20 +38,21 @@ def test_expansion_is_a_dictionary_filter_not_a_full_collect(small_index):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "RLIKE" in cond_plan or "rlike" in cond_plan
 
-    exp = expand_multiterm(small_index.dictionary, pats)
+    wexp, fexp = expand_multiterm(small_index.dictionary, pats)
     vocab_size = small_index.dictionary.count()
     # the collected candidate set is the expansion, not the vocabulary
-    assert 0 < len(exp) < vocab_size
-    assert all(t.startswith("tok001") or "spark" in t or len(t) >= 4 for t in exp)
+    assert 0 < len(wexp) + len(fexp) < vocab_size
+    assert all(t.startswith("tok001") for t in wexp)
+    assert all(len(t) >= 4 for t in fexp)
 
 
 def test_expansion_matches_oracle(small_index, small_oracle):
-    exp = set(expand_multiterm(small_index.dictionary, [ast.Wildcard("tok00*")]))
+    [exp] = expand_multiterm(small_index.dictionary, [ast.Wildcard("tok00*")])
     import re
 
     rx = re.compile(glob_to_regex("tok00*"))
     want = {t for t in small_oracle.postings if rx.match(t)}
-    assert exp == want
+    assert set(exp) == want
 
 
 def test_unknown_field_raises(small_index):
