@@ -1141,16 +1141,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return buckets
 
     def m_features(spark, sf):
-        # multimodal plumbing (rows-only check): binary payload →
-        # deterministic fake feature vector via Arrow-batched UDF
-        from bzzz_spark.functions.multimodal import attach_payload, extract_features
+        # multimodal: part='fake' is the format-agnostic feature path
+        # over text payloads; part='png'/'wav' exercise the REAL stdlib
+        # decode (zlib inflate + unfilter / wave PCM) on deterministic
+        # in-test fixtures whose decoded stats have closed forms the
+        # oracle computes from doc_id alone — a true end-to-end check
+        # of the decoder, not the plumbing
+        import pandas as pd
+
+        from bzzz_spark.functions.multimodal import (
+            attach_payload, decode_media, extract_features, synth_png,
+            synth_wav,
+        )
 
         media = attach_payload(
             _documents(spark, sf).filter(F.col("doc_id") < 50), "text", "doc_id"
         )
-        return extract_features(media, feat_dim=8).select(
-            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        fake = extract_features(media, feat_dim=8).select(
+            F.lit("fake").alias("part"), "media_id",
+            F.round(F.element_at("features", 1), 6).alias("v1"),
+            F.lit(0.0).alias("v2"),
         )
+        ids = _documents(spark, sf).filter(F.col("doc_id") < 50).select("doc_id")
+
+        def synth(kind):
+            def gen(it):
+                for pdf in it:
+                    mids = [int(i) for i in pdf["doc_id"]]
+                    if kind == "png":
+                        pay = [
+                            synth_png(i % 7 + 1, i % 5 + 1, (i * 37) % 256)
+                            for i in mids
+                        ]
+                    else:
+                        pay = [
+                            synth_wav((i % 50 + 1) * 10, 8000, (i * 131) % 32768)
+                            for i in mids
+                        ]
+                    yield pd.DataFrame({"media_id": mids, "payload": pay})
+            return gen
+
+        schema = "media_id long, payload binary"
+        png = decode_media(ids.mapInPandas(synth("png"), schema)).select(
+            F.lit("png").alias("part"), "media_id",
+            (F.col("width") * 100 + F.col("height")).cast("double").alias("v1"),
+            F.round("mean_val", 6).alias("v2"),
+        )
+        wav = decode_media(ids.mapInPandas(synth("wav"), schema)).select(
+            F.lit("wav").alias("part"), "media_id",
+            F.col("n_samples").cast("double").alias("v1"),
+            F.round("rms", 6).alias("v2"),
+        )
+        return fake.unionByName(png).unionByName(wav)
 
     def t_profile(spark, sf):
         # text-analysis suite as one contract entry (50-row budget):
@@ -1838,17 +1880,34 @@ FROM events WHERE event_type = 'click'
 GROUP BY 1 ORDER BY bucket"""
     # the fake feature extractor is a bucketed byte histogram; the text
     # payload is UTF-8 of an ASCII corpus, so ord(char) == byte value
+    # part='fake': byte-histogram bucket 0 share of the utf-8 text
+    # payload.  part='png'/'wav': the REAL decoders run Spark-side on
+    # synthesized fixtures whose decoded stats have closed forms —
+    # a constant-gray PNG's mean pixel equals its gray level, a
+    # constant-sample WAV's rms equals |sample|/32768 — so the oracle
+    # needs no media decode at all, just the same arithmetic on doc_id
     o["m_features"] = """
-SELECT doc_id AS media_id,
+SELECT 'fake' AS part, doc_id AS media_id,
        round(CASE WHEN len(codes) > 0
              THEN len(list_filter(codes, c -> c % 8 = 0))::DOUBLE / len(codes)
-             ELSE 0.0 END, 6) AS f0
+             ELSE 0.0 END, 6) AS v1,
+       0.0 AS v2
 FROM (
   SELECT doc_id,
          list_transform(range(1, length(text) + 1),
                         i -> ord(substr(text, i, 1))) AS codes
   FROM documents WHERE doc_id < 50
-)"""
+)
+UNION ALL
+SELECT 'png', doc_id,
+       ((doc_id % 7 + 1) * 100 + (doc_id % 5 + 1))::DOUBLE,
+       round(((doc_id * 37) % 256)::DOUBLE, 6)
+FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT 'wav', doc_id,
+       ((doc_id % 50 + 1) * 10)::DOUBLE,
+       round(((doc_id * 131) % 32768)::DOUBLE / 32768.0, 6)
+FROM documents WHERE doc_id < 50"""
     o["d_minhash_lsh"] = _minhash_sql(8, 4)
     o["d_jaccard"] = f"""WITH {_shingle_cte(3)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -227,10 +227,12 @@ def test_multimodal_plumbing(spark, docs_df):
     assert frames and all(f["frame_idx"] < 4 for f in frames)
 
 
-def test_extract_features_real_decode_is_stubbed(docs_df):
+def test_extract_features_real_decode_rejects_unknown_formats(docs_df):
+    # real decode now exists for PNG/WAV (tests/test_multimodal_decode);
+    # a payload that is neither still raises, at decode time
     media = attach_payload(docs_df, "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
+    with pytest.raises(Exception, match="not PNG or WAV"):
+        extract_features(media, fake=False).collect()
 
 
 def test_explain_components_sum_to_score(small_index):
