@@ -23,14 +23,17 @@ Division of labor at 100 TB:
     pruning on term_id (postings files are written term_id-sorted, so
     a query reads only its own terms' blocks — the same pruned-bytes
     property tools/cold_io_bench.py measures for the Spark reader).
-  * Scatter/gather across shards is the caller's (or Spark's) job;
+  * Scatter/gather across shards: serve.scatter.ShardedIndex — N
+    LocalIndex shards (built with GLOBAL stats) + exact k-way merge,
     one LocalIndex = one shard, mirroring one reference node.
 
 Scope: the block-max kernel shapes (term / bool / phrase / dv-range /
 wildcard / fuzzy / constant-score / dis-max — everything
-plan_candidates serves).  Shapes only the exhaustive executor answers
-(spatial sorts, custom-score rescoring, facets) raise: they are
-analytics, not serving-path lookups, and belong on the Spark runtime.
+plan_candidates serves) for scoring, plus facets (local_facet_counts),
+field sorts (local_sorted_search) and totals (local_total_hits) over
+the exhaustive matched set.  Shapes only the exhaustive executor
+answers (spatial sorts, custom/expression scoring and expression
+sorts) raise: they are analytics and belong on the Spark runtime.
 """
 
 from __future__ import annotations
@@ -252,37 +255,45 @@ class LocalIndex:
             )
         return pd.concat(parts, ignore_index=True)
 
-    def doc_column(self, col: str) -> np.ndarray:
-        """The full stored column as a docid-indexed array (position i
-        == docid i; docids are dense 0..n_docs-1 by build contract).
-        Loaded once per column, then facets/sorts index it per query —
-        Lucene's FieldCache / doc-values discipline.  Memory is one
-        column per *used* field, not the docs table."""
+    def doc_column(self, col: str) -> tuple:
+        """The full stored column as (sorted docid array, value array)
+        — loaded once per column, then facets/sorts index it per query
+        via doc_values: Lucene's FieldCache / doc-values discipline.
+        Docid-keyed (not positional) so it serves both a single index
+        (dense 0..n-1) and a shard holding a hash-routed subset of the
+        GLOBAL docid space.  Memory is one column per *used* field, not
+        the docs table."""
         if col not in self._col_cache:
             pdf = (
                 self._docs_ds.to_table(columns=["docid", col])
                 .to_pandas()
                 .sort_values("docid")
             )
-            if len(pdf) != self._stats[0]:
-                raise ValueError(
-                    f"docs sidecar has {len(pdf)} rows for column {col!r}, "
-                    f"expected n_docs={self._stats[0]}"
-                )
-            self._col_cache[col] = pdf[col].to_numpy()
+            self._col_cache[col] = (
+                pdf["docid"].to_numpy().astype(np.int64),
+                pdf[col].to_numpy(),
+            )
         return self._col_cache[col]
 
-    def doc_tokens(self, col: str) -> list:
-        """Analyzed tokens of a stored column per docid (use-analyzer
-        facet labels), cached like doc_column."""
+    def doc_values(self, col: str, docids: np.ndarray) -> np.ndarray:
+        """Column values for the given docids (all of which exist in
+        this index by construction — they came from its own kernels)."""
+        ids, vals = self.doc_column(col)
+        return vals[np.searchsorted(ids, docids)]
+
+    def doc_tokens(self, col: str, docids: np.ndarray) -> list:
+        """Analyzed tokens of a stored column for the given docids
+        (use-analyzer facet labels); token lists cached per column."""
         if col not in self._token_cache:
             from bzzz_spark.analysis.tokenizer import py_tokenize
 
-            vals = self.doc_column(col)
+            _, vals = self.doc_column(col)
             self._token_cache[col] = [
                 py_tokenize(v) if isinstance(v, str) else [] for v in vals
             ]
-        return self._token_cache[col]
+        ids, _ = self.doc_column(col)
+        toks = self._token_cache[col]
+        return [toks[p] for p in np.searchsorted(ids, docids)]
 
     def fetch_docs(self, docids, columns=None) -> pd.DataFrame:
         """Stored fields for the given docids (R1 field projection).
@@ -427,13 +438,11 @@ def _label_counts(
     path's groupBy keeps the null group)."""
     counts: dict = {}
     if use_analyzer:
-        toks = index.doc_tokens(facet_field)
-        for d in docids:
-            for t in toks[int(d)]:
+        for doc_toks in index.doc_tokens(facet_field, docids):
+            for t in doc_toks:
                 counts[t] = counts.get(t, 0) + 1
         return counts
-    vals = index.doc_column(facet_field)
-    sel = vals[docids]
+    sel = index.doc_values(facet_field, docids)
     if len(sel) and isinstance(sel[0], (list, np.ndarray)):
         for arr in sel:
             for v in arr:
@@ -505,7 +514,7 @@ def _sorted_candidates(
         if name == "_doc":
             matched["_doc"] = matched["docid"]
             continue
-        matched[name] = index.doc_column(name)[docids]
+        matched[name] = index.doc_values(name, docids)
     return matched, specs
 
 
