@@ -96,6 +96,29 @@ def _local_index(spark: SparkSession, sf_dir: str):
     return _IDX_CACHE[key]
 
 
+def _sharded_index(spark: SparkSession, sf_dir: str):
+    """3-shard serving build over the contract documents table (once
+    per sf_dir per session): global-stats shards + exact merge, so its
+    hits must equal the single index's — and the DuckDB oracle's."""
+    import tempfile
+
+    from bzzz_spark.build.indexer import IndexConfig
+    from bzzz_spark.serve.scatter import ShardedIndex, build_sharded
+
+    key = ("sharded", id(spark), sf_dir)
+    if key not in _IDX_CACHE:
+        out = tempfile.mkdtemp(prefix="bzzz_entry_shards_")
+        docs = _documents(spark, sf_dir)
+        build_sharded(
+            docs, out, 3,
+            IndexConfig(key_cols=("doc_id",), text_col="text", ts_col=None,
+                        segment_size=1 << 12, num_partitions=8,
+                        store_positions=True),
+        )
+        _IDX_CACHE[key] = ShardedIndex(out)
+    return _IDX_CACHE[key]
+
+
 def _hits(index: BzzzIndex, node, size: int = 10, page: int = 0) -> DataFrame:
     return search(index, node, size=size, page=page).select(
         F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
@@ -230,6 +253,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parts = []
         for name, node in members.items():
             pdf = local_search(lix, node, size=10)
+            parts.append(pdf.assign(query_id=name))
+        # the THIRD runtime: the same queries through the multi-shard
+        # coordinator (serve/scatter.py — 3 global-stats shards + exact
+        # k-way merge); hits must equal the single index's AND DuckDB's
+        six = _sharded_index(spark, sf)
+        for name, node in {
+            "sh_term": members["ls_term"],
+            "sh_and2": members["ls_and2"],
+            "sh_phrase": members["ls_phrase"],
+            "sh_dismax": members["ls_dismax"],
+        }.items():
+            pdf = six.search(node, size=10)[["docid", "score"]]
             parts.append(pdf.assign(query_id=name))
         allp = pd.concat(parts, ignore_index=True)
         allp["score"] = allp["score"].round(4)
@@ -2601,6 +2636,13 @@ FROM documents GROUP BY source"""
             ("ls_range", b_range),
             ("ls_wild", b_wild),
             ("ls_dismax", b_dismax),
+            # sharded-coordinator twins (serve/scatter.py): same member
+            # oracles — 3 global-stats shards + exact merge must be
+            # indistinguishable from the single index in DuckDB's eyes
+            ("sh_term", term_topk),
+            ("sh_and2", o["q_and2"]),
+            ("sh_phrase", b_phrase),
+            ("sh_dismax", b_dismax),
         ]
     )
     return o

@@ -321,6 +321,55 @@ def main() -> None:
     doc_jobs["d_dsir_scan"] = _dsir_scan
     timings.update(min_of_interleaved(doc_jobs, N_QUERY_REPS))
 
+    # 1b. serving-tier facets + multi-shard serving over the documents
+    # index: l_facet_lang is the in-process facet line (matched set via
+    # kernels at k=n_docs, labels from the cached doc-values column);
+    # ls_* lines run the SAME queries through ShardedIndex (4 shards
+    # built with GLOBAL stats, scatter + exact k-way merge) — the
+    # serving deployment shape at 100 TB.  build_sharded is the one-off
+    # handoff cost, not per-query work.
+    import shutil
+    import tempfile
+
+    from bzzz_spark.build.checkpoint import write_index
+    from bzzz_spark.serve.local import (
+        LocalIndex, local_facet_counts, local_sorted_search,
+    )
+    from bzzz_spark.serve.scatter import ShardedIndex, build_sharded
+
+    serve_d = tempfile.mkdtemp(prefix="bzzz_serve_d_")
+    shard_d = tempfile.mkdtemp(prefix="bzzz_shards_d_")
+    try:
+        timings["write_serving_documents"] = timed(
+            lambda: write_index(idx, serve_d)
+        )[0]
+        timings["build_sharded_documents"] = timed(
+            lambda: build_sharded(docs, shard_d, 4, cfg)
+        )[0]
+        ldix, sdix = LocalIndex(serve_d), ShardedIndex(shard_d)
+        serve_jobs = {
+            "l_facet_lang": lambda: local_facet_counts(
+                ldix, ast.Term("dup"), "lang"
+            ),
+            "l_sorted_nchars": lambda: local_sorted_search(
+                ldix, ast.Term("merge"), [("n_chars", "desc")], size=10
+            ),
+            "ls_term_head": lambda: sdix.search(ast.Term("batch"), size=10),
+            "ls_and2": lambda: sdix.search(
+                ast.Bool(must=[ast.Term("scan"), ast.Term("filter")]), size=10
+            ),
+            "ls_facet_lang": lambda: sdix.facet_counts(
+                ast.Term("dup"), "lang"
+            ),
+            "ls_sorted_nchars": lambda: sdix.sorted_search(
+                ast.Term("merge"), [("n_chars", "desc")], size=10
+            ),
+        }
+        timings.update(min_of_interleaved(serve_jobs, N_QUERY_REPS))
+    finally:
+        shutil.rmtree(serve_d, ignore_errors=True)
+        shutil.rmtree(shard_d, ignore_errors=True)
+
     # 2. transcript-corpus build throughput (the BASELINE.md headline).
     # The corpus is materialized to parquet first so the timed region is
     # the index build over a table — the north-rule input shape — not

@@ -250,7 +250,13 @@ def build_and_write(
     return m
 
 
-def write_index(index: BzzzIndex, out_dir: str) -> dict:
+SERVING_SEGMENT_SIZE = 1 << 19  # 524 288 docs — measured sweet spot
+
+
+def write_index(
+    index: BzzzIndex, out_dir: str,
+    serving_segment_size: int | None = SERVING_SEGMENT_SIZE,
+) -> dict:
     """Persist an in-memory-built BzzzIndex to the on-disk serving
     layout (the same directory shape build_and_write produces, readable
     by read_index and serve.local.LocalIndex).
@@ -263,23 +269,53 @@ def write_index(index: BzzzIndex, out_dir: str) -> dict:
     reads only its own blocks' bytes), docs sorted by docid, the
     dictionary sorted by term for pruned lookups.  The reference's
     analog is Lucene's commit + forceMerge producing the segment files
-    its searchers then mmap (src/bzzz/index_store.clj)."""
+    its searchers then mmap (src/bzzz/index_store.clj).
+
+    Serving writes re-segment to FAT segments by default: the Spark
+    path wants many small segments (one narrow task each), but the
+    in-process serving loop pays a fixed numpy-kernel cost per segment
+    — tools/serve_segsize_bench measured 512k-doc segments halving hot
+    p50 vs the 32k build default (0.206 → 0.097 s at 10× base).  The
+    relabel is pure metadata (segment := docid // new_size groups whole
+    old segments; blocks never span segments) and is only valid for the
+    docid//segment_size numbering, so aligned-merge indexes (whose docs
+    carry explicit segment ids) keep their layout.  Pass
+    serving_segment_size=None to keep the build segmentation.
+    """
     spark = index.postings.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     n_docs, avgdl = index.scalar_stats()
     cfg = index.config
+    postings, docs = index.postings, index.docs
+    if (
+        serving_segment_size
+        and cfg.merge_mode == "shuffle"
+        and serving_segment_size > cfg.segment_size
+        and serving_segment_size % cfg.segment_size == 0
+    ):
+        factor = serving_segment_size // cfg.segment_size
+        postings = postings.withColumn(
+            "segment", F.expr(f"segment div {int(factor)}").cast("int")
+        )
+        if "segment" in docs.columns:
+            docs = docs.withColumn(
+                "segment", F.expr(f"segment div {int(factor)}").cast("int")
+            )
+        from dataclasses import replace
+
+        cfg = replace(cfg, segment_size=int(serving_segment_size))
     per_tok = 6 if getattr(cfg, "store_positions", False) else 3
     bytes_est = n_docs * max(avgdl, 1.0) * per_tok
     n_files = max(1, min(1024, math.ceil(bytes_est / (32 << 20))))
     (
-        index.postings.repartitionByRange(n_files, "term_id")
+        postings.repartitionByRange(n_files, "term_id")
         .sortWithinPartitions("term_id", "segment", "block_id")
         .write.mode("overwrite")
         .option("parquet.block.size", 128 * 1024)
         .parquet(os.path.join(out_dir, "postings", "chunk=0"))
     )
     (
-        index.docs.repartitionByRange(
+        docs.repartitionByRange(
             max(1, math.ceil(n_docs / 2_000_000)), "docid"
         )
         .sortWithinPartitions("docid")
