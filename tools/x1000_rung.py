@@ -1,7 +1,10 @@
-"""One-off x1000 scale rung: build + headline-query sample at 200M turns.
+"""One-off 10^8-turn scale rung: build + headline-query sample.
 
 VERDICT r4 "Next round" #7: extend the flat-throughput curve one more
-decade (200k → 2M → 4M → 20M → 200M).  At this scale the in-memory
+decade (200k → 2M → 4M → 20M → 10^8).  A first attempt at 2·10^8 was
+OOM-killed in the docs stage (java anon-RSS 50 GB + 77 GB tmpfs
+shuffle/persist spill > the box's 125 GB — dmesg 2026-08-22); at 10^8
+with a 44 GB heap the same phases fit.  At this scale the in-memory
 build (tools/x100_rung.py's shape) cannot hold: the persisted tf frame
 alone would exceed box memory.  So this rung exercises the engine's
 SCALE path instead — the checkpointed chunked build
@@ -80,60 +83,62 @@ def main() -> None:
                        "timings": {k: round(v, 3) for k, v in tm.items()}},
                       f, indent=2)
 
-    try:
-        tdf = synth_transcripts_spark(spark, n_turns)
-        cfg = IndexConfig(segment_size=1 << 15, docvalue_cols=("turn_idx",))
-        tm["build_checkpointed"] = timed(
-            lambda: build_and_write(tdf, out_dir, cfg, n_chunks=16)
-        )[0]
-        ckpt("build")
+    # NO cleanup on failure: build_and_write checkpoints per stage/chunk
+    # in its manifest, so a crashed run (the box OOM-kills big JVMs —
+    # see the 200M attempt in BASELINE.md) RESUMES by re-running this
+    # tool with the same out_dir; only a completed run removes it.
+    tdf = synth_transcripts_spark(spark, n_turns)
+    cfg = IndexConfig(segment_size=1 << 15, docvalue_cols=("turn_idx",))
+    tm["build_checkpointed"] = timed(
+        lambda: build_and_write(tdf, out_dir, cfg, n_chunks=16)
+    )[0]
+    ckpt("build")
 
-        tidx = read_index(spark, out_dir)
-        tm["pin"] = timed(
-            lambda: (tidx.persist(layout="segment"), tidx.postings.count())
-        )[0]
-        ckpt("pin")
+    tidx = read_index(spark, out_dir)
+    tm["pin"] = timed(
+        lambda: (tidx.persist(layout="segment"), tidx.postings.count())
+    )[0]
+    ckpt("pin")
 
-        jobs = {
-            name: (lambda n=node: search(tidx, n, size=10).collect())
-            for name, node in SAMPLE.items()
-        }
-        tm.update(min_of_interleaved(jobs, 3))
-        n_match_all = total_hits(tidx, ast.MatchAll())
-        ckpt("queries")
+    jobs = {
+        name: (lambda n=node: search(tidx, n, size=10).collect())
+        for name, node in SAMPLE.items()
+    }
+    tm.update(min_of_interleaved(jobs, 3))
+    n_match_all = total_hits(tidx, ast.MatchAll())
+    ckpt("queries")
 
-        # in-process serving straight off the checkpoint directory
-        from bzzz_spark.serve.local import LocalIndex, local_search
+    # in-process serving straight off the checkpoint directory
+    from bzzz_spark.serve.local import LocalIndex, local_search
 
-        lix = LocalIndex(out_dir)
-        l_jobs = {
-            f"l_{name}": (lambda q=node: local_search(lix, q, size=10))
-            for name, node in SAMPLE.items()
-        }
-        tm.update(min_of_interleaved(l_jobs, 3))
-        ckpt("serving")
+    lix = LocalIndex(out_dir)
+    l_jobs = {
+        f"l_{name}": (lambda q=node: local_search(lix, q, size=10))
+        for name, node in SAMPLE.items()
+    }
+    tm.update(min_of_interleaved(l_jobs, 3))
+    ckpt("serving")
 
-        with open(os.path.join(out_dir, "manifest.json")) as f:
-            manifest = json.load(f)
-        out = {
-            "n_turns": n_turns,
-            "cpus": cpus,
-            "n_docs": manifest["stages"]["docs"]["n_docs"],
-            "n_terms": manifest["stages"]["dictionary"]["n_terms"],
-            "n_match_all": int(n_match_all),
-            "build_turns_per_sec": round(
-                n_turns / tm["build_checkpointed"], 1
-            ),
-            "total_sec": round(time.perf_counter() - t0, 1),
-            "timings": {k: round(v, 3) for k, v in tm.items()},
-        }
-        print(json.dumps(out))
-        with open(
-            os.path.join(os.path.dirname(__file__), "x1000_result.json"), "w"
-        ) as f:
-            json.dump(out, f, indent=2)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    out = {
+        "n_turns": n_turns,
+        "cpus": cpus,
+        "n_docs": manifest["stages"]["docs"]["n_docs"],
+        "n_terms": manifest["stages"]["dictionary"]["n_terms"],
+        "n_match_all": int(n_match_all),
+        "build_turns_per_sec": round(
+            n_turns / tm["build_checkpointed"], 1
+        ),
+        "total_sec": round(time.perf_counter() - t0, 1),
+        "timings": {k: round(v, 3) for k, v in tm.items()},
+    }
+    print(json.dumps(out))
+    with open(
+        os.path.join(os.path.dirname(__file__), "x1000_result.json"), "w"
+    ) as f:
+        json.dump(out, f, indent=2)
+    shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
