@@ -305,6 +305,8 @@ def _wav_byte_scale(payload: bytes) -> np.ndarray:
         return ((x + 32768) >> 8).astype(np.uint8)
     if width == 1:
         return np.frombuffer(frames, dtype=np.uint8)
+    if width != 4:  # same failure mode as _wav_decode (e.g. 24-bit PCM)
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
     x = np.frombuffer(frames, dtype="<i4").astype(np.int64)
     return (((x >> 16) + 32768) >> 8).astype(np.uint8)
 

@@ -114,11 +114,13 @@ def token_offsets(
     ).collect()
     sums = {r[_B]: r["s"] for r in stats}
     if None in sums:
+        slim.unpersist()  # don't leak the cache on the error path
         raise ValueError(
             f"packing key column {key_col!r} contains NULLs — a null key "
             "has no deterministic position in the packed order"
         )
     if any(r["c"] != r["cd"] for r in stats):
+        slim.unpersist()
         raise ValueError(
             f"packing key column {key_col!r} contains duplicates — "
             "duplicate keys share one md5 order key, so their packed "

@@ -174,7 +174,7 @@ class LocalIndex:
         stays resident (Lucene keeps its term dictionary FST
         memory-resident the same way)."""
         from bzzz_spark.oracle.pyoracle import fuzzy_distance_fn
-        from bzzz_spark.query.executor import glob_to_regex
+        from bzzz_spark.query.executor import _cap_by_df, glob_to_regex
 
         if self._terms_arr is None:
             tbl = self._dict_ds.to_table(columns=["term", "df"])
@@ -208,10 +208,9 @@ class LocalIndex:
                         continue
                     if dist(bare, p.value) <= p.max_edits:
                         exp.append((t, d))
-            cap = getattr(p, "max_expansion", None)
-            if cap is not None and len(exp) > cap:
-                exp = sorted(exp, key=lambda td: (-td[1], td[0]))[:cap]
-            out.append(sorted(t for t, _ in exp))
+            out.append(
+                sorted(_cap_by_df(exp, getattr(p, "max_expansion", None)))
+            )
         return out
 
     # -- block + doc fetch -------------------------------------------------
@@ -275,6 +274,14 @@ class LocalIndex:
             )
         return self._col_cache[col]
 
+    def column_is_array(self, col: str) -> bool:
+        """Whether a stored column is array-typed (memoized from the
+        parquet schema — drives facet per-element vs per-doc counting)."""
+        import pyarrow as pa
+
+        f = self._docs_ds.schema.field(col)
+        return pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+
     def doc_values(self, col: str, docids: np.ndarray) -> np.ndarray:
         """Column values for the given docids (all of which exist in
         this index by construction — they came from its own kernels)."""
@@ -288,8 +295,12 @@ class LocalIndex:
             from bzzz_spark.analysis.tokenizer import py_tokenize
 
             _, vals = self.doc_column(col)
+            # cast-to-string before analysis, like the Spark path's
+            # standard_tokenize(col.cast('string')); nulls analyze to []
             self._token_cache[col] = [
-                py_tokenize(v) if isinstance(v, str) else [] for v in vals
+                [] if v is None or (isinstance(v, float) and np.isnan(v))
+                else py_tokenize(v if isinstance(v, str) else str(v))
+                for v in vals
             ]
         ids, _ = self.doc_column(col)
         toks = self._token_cache[col]
@@ -433,9 +444,12 @@ def _label_counts(
     """label → count over the matched docids, from the cached
     docid-indexed column (no per-query parquet reads).  use_analyzer
     counts analyzed TOKEN occurrences (a token twice in one doc counts
-    twice — reference index_store.clj:86-93); array columns count per
-    element; scalars per doc.  None/NaN is a real label (the Spark
-    path's groupBy keeps the null group)."""
+    twice — reference index_store.clj:86-93, matching
+    facet_counts_multi's use_analyzer).  Scalar columns count per doc
+    with None/NaN a real label (executor.facet_counts keeps the null
+    group); array columns count per ELEMENT with null rows skipped —
+    facet_counts_multi's explode semantics, the reference's
+    multi-valued facets."""
     counts: dict = {}
     if use_analyzer:
         for doc_toks in index.doc_tokens(facet_field, docids):
@@ -443,8 +457,10 @@ def _label_counts(
                 counts[t] = counts.get(t, 0) + 1
         return counts
     sel = index.doc_values(facet_field, docids)
-    if len(sel) and isinstance(sel[0], (list, np.ndarray)):
+    if index.column_is_array(facet_field):
         for arr in sel:
+            if arr is None or (isinstance(arr, float) and pd.isna(arr)):
+                continue  # explode drops null arrays on the Spark path
             for v in arr:
                 counts[v] = counts.get(v, 0) + 1
         return counts
@@ -470,8 +486,10 @@ def local_facet_counts(
     """Serving-tier facet counts (reference F1,
     index_search.clj:252-262,294-305): exhaustive matched set via the
     kernels, label counting from the cached doc-values column, exact
-    (count desc, label asc) cut — parity with the Spark path's
-    executor.facet_counts pinned in tests."""
+    (count desc, label asc) cut.  Parity contract: scalar columns
+    match executor.facet_counts (null group kept); array columns and
+    use_analyzer match facet_counts_multi's per-element / analyzed-
+    token semantics — pinned in tests."""
     matched = local_matched(index, query)
     docids = matched["docid"].to_numpy().astype(np.int64)
     return _facet_cut(

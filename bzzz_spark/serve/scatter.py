@@ -111,6 +111,10 @@ def build_sharded(
     avgdl = (float(tot or 0) / n_docs) if n_docs else 0.0
     dictionary = build_dictionary(tf, cfg).persist()
     dictionary.count()
+    # tf is dead once the dictionary materialized: the per-shard loops
+    # below re-derive tf from their docs slice, so free the largest
+    # cached frame BEFORE the heavy encode phase
+    tf.unpersist()
     stats = docs.sparkSession.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
     )
@@ -139,7 +143,6 @@ def build_sharded(
             config=cfg,
         )
         write_index(idx, os.path.join(out_dir, f"shard={i}"))
-    tf.unpersist()
     docs.unpersist()
     dictionary.unpersist()
     m = {"n_shards": int(n_shards), "route_col": route,
@@ -193,7 +196,7 @@ class ShardedIndex:
         parts = []
         for si, s in enumerate(self.shards):
             pdf = local_search(s, query, size=k, page=0).copy()
-            pdf["shard"] = si
+            pdf["__shard"] = si  # internal: a stored column may be 'shard'
             parts.append(pdf)
         allh = pd.concat(parts, ignore_index=True)
         order = np.lexsort(
@@ -202,7 +205,7 @@ class ShardedIndex:
         top = allh.iloc[order[:k]].iloc[page * size:].reset_index(drop=True)
         if fields:
             top = self._attach_fields(top, fields)
-        return top
+        return self._expose_shard(top)
 
     def sorted_search(
         self, query, sort: list, size: int = 20, page: int = 0,
@@ -216,7 +219,7 @@ class ShardedIndex:
         for si, s in enumerate(self.shards):
             pdf, specs = _sorted_candidates(s, query, sort)
             pdf = _apply_sort(pdf, specs, ["docid"]).iloc[:k].copy()
-            pdf["shard"] = si
+            pdf["__shard"] = si
             parts.append(pdf)
         allh = pd.concat(parts, ignore_index=True)
         top = (
@@ -225,9 +228,9 @@ class ShardedIndex:
             .reset_index(drop=True)
         )
         out = top.rename(columns={"_score": "score"})
-        keep = ["shard", "docid", "score"]
+        keep = ["__shard", "docid", "score"]
         keep += [n for n, _ in specs if n not in keep and n != "_score"]
-        return out[[c for c in keep if c in out.columns]]
+        return self._expose_shard(out[[c for c in keep if c in out.columns]])
 
     def facet_counts(
         self, query, facet_field: str, size: int = 20,
@@ -256,7 +259,7 @@ class ShardedIndex:
         pdf = pdf.copy()
         pdf["__pos"] = np.arange(len(pdf))
         parts = []
-        for si, g in pdf.groupby("shard", sort=False):
+        for si, g in pdf.groupby("__shard", sort=False):
             stored = self.shards[int(si)].fetch_docs(
                 g["docid"].tolist(), columns=["docid", *fields]
             )
@@ -266,6 +269,15 @@ class ShardedIndex:
             out.sort_values("__pos").drop(columns="__pos")
             .reset_index(drop=True)
         )
+
+    @staticmethod
+    def _expose_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Expose the internal routing column as 'shard' unless a
+        stored/sort column of that name is present (then it stays
+        '__shard' rather than clobbering user data)."""
+        if "shard" in pdf.columns:
+            return pdf
+        return pdf.rename(columns={"__shard": "shard"})
 
 
 def open_serving(out_dir: str, **kw):

@@ -104,6 +104,27 @@ def test_png_rejects_what_it_cannot_decode():
         _decode_payload(b"\xff\xd8\xff\xe0 jpeg soi ...")
 
 
+def test_wav_24bit_raises_cleanly_everywhere():
+    """Both decode entry points agree on the failure mode for widths
+    the decoders don't handle (24-bit PCM)."""
+    import io
+    import wave
+
+    from bzzz_spark.functions.multimodal import _wav_byte_scale
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x01\x02" * 10)
+    data = buf.getvalue()
+    with pytest.raises(NotImplementedError, match="width 3"):
+        _wav_decode(data)
+    with pytest.raises(NotImplementedError, match="width 3"):
+        _wav_byte_scale(data)
+
+
 def test_wav_decode_closed_form():
     d = _wav_decode(synth_wav(250, 16000, -8192))
     assert d["sample_rate"] == 16000 and d["n_samples"] == 250

@@ -87,3 +87,59 @@ def test_resegmented_results_identical(tmp_path, shuffle_index, small_oracle):
             r["docid"] for r in search(shuffle_index, node, size=10).collect()
         ]
         assert a["docid"].tolist() == spark_hits
+
+
+def test_facet_array_and_analyzer_semantics(spark, tmp_path):
+    """Array facet columns count per element with null rows skipped
+    (facet_counts_multi's explode semantics) and use_analyzer casts
+    non-strings before analysis — including when a null leads the
+    matched set (the dispatch must not depend on sel[0])."""
+    from bzzz_spark.build.indexer import IndexConfig, build_index
+
+    rows = [
+        (0, "alpha common", None, 7),
+        (1, "beta common", ["x", "y"], 7),
+        (2, "gamma common", ["y"], 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tags array<string>, n long"
+    )
+    idx = build_index(
+        df,
+        IndexConfig(key_cols=("doc_id",), text_col="text", ts_col=None,
+                    block_size=8, segment_size=16, merge_mode="shuffle"),
+    )
+    out = str(tmp_path / "arrfacet")
+    write_index(idx, out)
+    li = LocalIndex(out)
+    from bzzz_spark.serve.local import local_facet_counts
+
+    fc = local_facet_counts(li, ast.Term("common"), "tags", size=10)
+    assert list(zip(fc["label"], fc["cnt"])) == [("y", 2), ("x", 1)]
+    # numeric column under use_analyzer: cast to string then analyze
+    fa = local_facet_counts(
+        li, ast.Term("common"), "n", size=10, use_analyzer=True
+    )
+    assert list(zip(fa["label"], fa["cnt"])) == [("7", 2), ("8", 1)]
+
+
+def test_sharded_shard_column_collision(spark, tmp_path):
+    """A stored column literally named 'shard' must not be clobbered by
+    the coordinator's routing column."""
+    from bzzz_spark.build.indexer import IndexConfig
+    from bzzz_spark.serve.scatter import ShardedIndex, build_sharded
+
+    rows = [(i, f"tok{i % 3} common", f"s{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, shard string")
+    out = str(tmp_path / "collide")
+    build_sharded(
+        df, out, 2,
+        IndexConfig(key_cols=("doc_id",), text_col="text", ts_col=None,
+                    block_size=8, segment_size=16),
+    )
+    si = ShardedIndex(out)
+    got = si.search(ast.Term("common"), size=12, fields=["shard"])
+    # the stored column survives under its own name; routing stays __shard
+    assert set(got["shard"]) == {"s0", "s1"}
+    assert "__shard" in got.columns
+    assert set(got["__shard"]) <= {0, 1}

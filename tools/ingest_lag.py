@@ -56,6 +56,7 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="bzzz_lag_")
     src, ckpt, live, gen = (os.path.join(base, d) for d in
                             ("src", "ckpt", "live", "gen"))
+    q = None
     try:
         cfg = IndexConfig(segment_size=4096, num_partitions=4)
         ing = StreamingIndexer(spark, live, cfg)
@@ -121,6 +122,10 @@ def main() -> None:
         ) as f:
             json.dump(out, f, indent=2)
     finally:
+        # stop the streaming query BEFORE deleting its source/checkpoint
+        # (a live 1 s trigger against removed paths spews failures)
+        if q is not None and q.isActive:
+            q.stop()
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -42,7 +42,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 os.environ.setdefault("BZZZ_BENCH_SF_DIR", "/root/testdata/sf0.1")
-os.environ.setdefault("BZZZ_DRIVER_MEM", "56g")
+# 44g, NOT 56g: heap and tmpfs shuffle spill share the box's physical
+# RAM (the 2·10^8 attempt died at 50G RSS + 77G /dev/shm — BASELINE.md)
+os.environ.setdefault("BZZZ_DRIVER_MEM", "44g")
 
 from bench import min_of_interleaved, timed  # noqa: E402
 from bzzz_spark.build.checkpoint import build_and_write, read_index  # noqa: E402
