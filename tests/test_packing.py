@@ -165,4 +165,7 @@ def test_offsets_read_persisted_slim_frame(docs):
     out = token_offsets(docs, "doc_id", text_col="text", seed=SEED)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
-    docs.sparkSession.catalog.clearCache()
+    # NB: no spark.catalog.clearCache() here — it would also drop the
+    # session fixtures' persisted id-assignment frames, whose
+    # monotonically_increasing_id lineage does NOT recompute
+    # deterministically (observed poisoning later tests in-suite)
