@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from bzzz_spark.build.indexer import IndexConfig  # noqa: E402
-from bzzz_spark.fixtures import synth_transcripts_pdf, to_spark  # noqa: E402
+from bzzz_spark.fixtures import synth_transcripts_pdf  # noqa: E402
 from bzzz_spark.session import get_spark  # noqa: E402
 from bzzz_spark.streaming.ingest import StreamingIndexer  # noqa: E402
 
@@ -64,7 +64,9 @@ def main() -> None:
         pdf = pdf.iloc[:n_seed].copy()
         pdf["ts"] = pdf["ts"].astype("int64")  # epoch ns, matches SCHEMA
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-        to_spark(spark, pdf[cols]).coalesce(2).write.parquet(
+        # write with the STREAM schema (ts long): to_spark would coerce
+        # ts back to timestamp and the file lands INT96 ≠ bigint
+        spark.createDataFrame(pdf[cols], SCHEMA).coalesce(2).write.parquet(
             os.path.join(src, "seed")
         )
         stream = (
@@ -80,7 +82,7 @@ def main() -> None:
             row["conv_id"] = f"lag-probe-{i}"
             row["turn_idx"] = 0
             t0 = time.perf_counter()
-            to_spark(spark, row[cols]).coalesce(1).write.parquet(
+            spark.createDataFrame(row[cols], SCHEMA).coalesce(1).write.parquet(
                 os.path.join(src, f"probe{i}")
             )
             while _count_rows(os.path.join(live, "docs")) <= seen:
